@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §2).
+  *
+  * The reference engine's "dataset" abstraction is one-or-more parquet files
+  * treated as a single logical table (reference: README.md:36,
+  * src/parquetreader/reader.py:128-129); `spark.read.parquet` is the native
+  * equivalent — a directory of part-files is one table, schema comes from the
+  * parquet footers, and column pruning / predicate pushdown are handled by
+  * Catalyst + the vectorized parquet reader.
+  */
+final class Tables(val spark: SparkSession, val dir: String) {
+  // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
+  // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then lower to microsecond
+  // timestamps — the same precision DuckDB reads these files at, so both
+  // engines see identical instants (SURVEY.md §7.4.3).
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = Tables.nanosToMicros(t("events"), "ts")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Lower a nanos-as-long column to a microsecond timestamp (exact long
+    * division — nanos ≈ 1.7e18 exceed double precision, so no `/`). */
+  def nanosToMicros(df: DataFrame, c: String): DataFrame =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+    else df
+}
+
+/** Shared helpers enforcing the determinism rules of SURVEY.md §7.4. */
+object dsl {
+  /** Total-order the output on every column, left to right — the exact
+    * mirror of DuckDB's `ORDER BY ALL`. All query outputs are constructed
+    * null-free, so Spark's NULLS FIRST vs DuckDB's NULLS LAST default can
+    * never diverge. Spark multi-file read order is not stable (SURVEY.md §2
+    * A2), so every oracle-checked result imposes this explicit total order.
+    */
+  def orderedByAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.toIndexedSeq.map(col): _*)
+
+  /** Float aggregates are rounded to 4dp on both engines (SURVEY.md §7.4.2). */
+  def round4(c: Column): Column = round(c, 4)
+
+  /** Timestamps never leave a query raw: epoch seconds as BIGINT on both
+    * engines (Spark `cast(ts as long)` == DuckDB `epoch_us(ts)//1000000`
+    * for post-1970 values; SURVEY.md §7.4.3). */
+  def epochSec(c: Column): Column = c.cast("long")
+
+  /** Whitespace tokens of the `documents.text` column (single-space
+    * separated lowercase tokens per FIXTURES.md §2). */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** k-token shingles ("w1 w2 .. wk") per document, distinct. Caller must
+    * filter size(tokens) >= k first: Spark `sequence(1, n)` with n < 1
+    * yields a DESCENDING sequence instead of an empty one. */
+  def shingles(tokCol: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(tokCol) - (k - 1)),
+      i => concat_ws(" ", slice(tokCol, i, lit(k)))))
+
+  /** Left-fold double sum over an array column — identical accumulation
+    * order to the DuckDB mirror `list_reduce(list_prepend(0.0, xs), +)`,
+    * giving bit-identical doubles across engines. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float-array columns in double precision, fixed
+    * fold order (matches the DuckDB oracle expression exactly). */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm of a float-array column in double precision. */
+  def l2norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+}
+
+/** One engine operator: a DataFrame program plus (optionally) the ANSI-SQL
+  * DuckDB oracle the driver hash-compares it against (SURVEY.md §2 Part B).
+  * Column names and order MUST match between `body`'s output and `oracle`.
+  */
+final case class EngineQuery(name: String, oracle: Option[String])(
+    body: Tables => DataFrame) {
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    body(new Tables(spark, sfDir))
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.functions._
+
+/** Scalar-function breadth: string/date/math (q18), JSON (q19), and
+  * array/higher-order functions (q20) — SURVEY.md §2 Part B.
+  *
+  * All of these are `org.apache.spark.sql.functions` built-ins, so they stay
+  * inside whole-stage codegen; no UDFs on the hot path (the deliberate UDF
+  * exercise lives in q27/q28 only).
+  */
+object ScalarFuncQueries {
+
+  val q18 = EngineQuery(
+    "q18_scalar_funcs",
+    Some("""SELECT o_orderkey,
+           |  upper(substring(o_orderpriority, 1, 1)) AS prio1,
+           |  concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+           |  CAST(year(o_orderdate) AS INT) AS y,
+           |  CAST(month(o_orderdate) AS INT) AS m,
+           |  CAST(day(o_orderdate) AS INT) AS d,
+           |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT) AS days_to,
+           |  round(o_totalprice * 0.9, 4) AS disc_price,
+           |  round(abs(o_totalprice - 250000.0), 4) AS dev,
+           |  CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS bucket
+           |FROM orders ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.orders.select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio1"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate").cast("date")).as("days_to"),
+        // 4dp, not 2: o_totalprice has 2-decimal values, so ×0.9 lands
+        // exactly on .xx5 — Spark (shortest-repr HALF_UP) and DuckDB
+        // (binary multiply-round) disagree on that boundary; at 4dp the
+        // product's decimal expansion terminates and no rounding occurs.
+        round(col("o_totalprice") * 0.9, 4).as("disc_price"),
+        round4(abs(col("o_totalprice") - 250000.0)).as("dev"),
+        when(col("o_totalprice") > 250000, "big").otherwise("small").as("bucket")))
+  }
+
+  val q19 = EngineQuery(
+    "q19_json",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           |       CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
+           |FROM (SELECT event_type,
+           |             CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |      FROM events) t
+           |GROUP BY event_type ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.events
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          round4(avg(col("k"))).as("avg_k")))
+  }
+
+  /** Higher-order array functions over the embeddings table. The L2 norm is
+    * a left-fold in double precision with the exact accumulation order of the
+    * oracle's list_reduce(list_prepend(0.0, ...)) — bit-identical doubles on
+    * both engines, so round(.,4) can never straddle a boundary differently.
+    */
+  val q20 = EngineQuery(
+    "q20_array_funcs",
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+           |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |        (a, b) -> a + b)), 4) AS l2_norm,
+           |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+           |FROM embeddings ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.embeddings.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round4(l2norm(col("embedding"))).as("l2_norm"),
+        round4(element_at(col("embedding"), 1).cast("double")).as("first_val")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q18, q19, q20)
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, batch-shaped decode/feature-extraction via mapPartitions.
+  *
+  * The container has no image/audio codecs, so `decodeFeatures` is a
+  * clearly-marked deterministic STUB — but the Spark-side plumbing (typed
+  * schema, binary column, partition-wise batch iteration, feature schema) is
+  * real and unit-tested. At scale this is exactly where a JNI/codec call (or
+  * an Arrow-batched Python worker on a PySpark deployment) plugs in: one
+  * codec init per partition, streamed record batches, no driver involvement.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, source: String, media: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, source: String, n_bytes: Long,
+      fake_width: Int, fake_height: Int, checksum: Long)
+
+  /** Partition-wise "decode": iterator-in/iterator-out, the shape a real
+    * codec integration uses (init once per partition, stream the batch). */
+  def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    ds.mapPartitions { it =>
+      // STUB decode: a real implementation opens the codec here, once per
+      // partition, and decodes each record's bytes. The fake is a pure
+      // deterministic function of the bytes.
+      it.map { m =>
+        val n = m.media.length.toLong
+        val checksum = m.media.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+        MediaFeatures(m.doc_id, m.source, n,
+          fake_width = (n % 640).toInt, fake_height = (n % 480).toInt, checksum)
+      }
+    }
+  }
+
+  /** documents.text reinterpreted as opaque media bytes (UTF-8) — the
+    * testdata has no true binary column, so the binary pipeline is exercised
+    * on encoded text. */
+  def mediaTable(docs: org.apache.spark.sql.DataFrame): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    docs.select(col("doc_id"), col("source"), col("text").cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+}
+
+object MultimodalQueries {
+
+  /** Media metadata aggregation over the binary column: per source, media
+    * count, total payload bytes, and the mean of the stubbed decoded width.
+    * The width fake (octet_length % 640) is mirrored in SQL so the whole
+    * binary path stays oracle-checked even with the codec stubbed out.
+    */
+  val q39 = EngineQuery(
+    "q39_multimodal_meta",
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+           |       CAST(sum(octet_length(b)) AS BIGINT) AS total_bytes,
+           |       round(avg(CAST(octet_length(b) % 640 AS DOUBLE)), 4) AS avg_fake_width
+           |FROM (SELECT source, encode(text) AS b FROM documents) t
+           |GROUP BY source ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .select(col("source"), col("text").cast("binary").as("b"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(octet_length(col("b"))).as("total_bytes"),
+          round4(avg((octet_length(col("b")) % 640).cast("double"))).as("avg_fake_width")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39)
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection and similarity search over documents/embeddings —
+  * the scale-path operators of an LLM data pipeline (SURVEY.md §2 q24, q25 +
+  * q35/q37/q38 extensions).
+  *
+  * Scale design:
+  *  - q24 (MinHash+LSH banding) and q35 (SimHash banding) find candidate
+  *    pairs by joining on (band, band-hash) buckets — never a crossJoin; the
+  *    expensive exact verification runs only on candidates. This is the
+  *    shape that works at 10^9 documents.
+  *  - q25 is the brute-force cosine top-k BASELINE (quality oracle); q37 is
+  *    the IVF-bucketed approximate variant — the scale path, searching only
+  *    the query's centroid bucket (|bucket| ≈ N/C instead of N per query).
+  *  - All hash families are seeded constants → fully deterministic output.
+  */
+object SimilarityQueries {
+
+  private val NumHashes = 64
+  private val Bands = 16 // × 4 rows per band: P(candidate | J=0.8) ≈ 1 - 3e-4
+
+  /** doc_id + distinct 5-token shingle set, docs with >= 5 tokens. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.filter(size(toks(col("text"))) >= 5)
+      .select(col("doc_id"), shingles(toks(col("text")), 5).as("sh"))
+
+  val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
+    val base = shingled(t.documents)
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    // 64 seeded min-hashes per doc: partial-aggregating min() per seed —
+    // map-side combine keeps the shuffle at one row per doc.
+    val sigCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = inv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // 16 bands × 4 rows: band hash = xxhash64 over the band's signature slice.
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until (b + 1) * 4).map(j => col(s"h$j")): _*).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.as("l")
+      .join(bands.as("r"), Seq("band", "bh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    // Exact Jaccard verification on candidates only.
+    val verified = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
+    orderedByAll(verified)
+  }
+
+  /** embeddings + precomputed L2 norm. */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+
+  private def cosine(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
+    dot(aEmb, bEmb) / (aNrm * bNrm)
+
+  val q25 = EngineQuery(
+    "q25_knn_cosine",
+    Some("""WITH e AS (SELECT vec_id, embedding,
+           |        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |          (a, b) -> a + b)) AS nrm
+           |       FROM embeddings),
+           |p AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(generate_series(1, 64),
+           |            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+           |          (a, b) -> a + b) / (q.nrm * e.nrm) AS cos
+           |      FROM e q, e WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, neighbor_id) AS rn
+           |      FROM p)
+           |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, CAST(rn AS INT) AS rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)) { t =>
+    val e = withNorm(t.embeddings)
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // Queries are the small side → broadcast; the big side streams through
+    // map-only (no shuffle of the corpus), then per-query top-k.
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    q25Shape(e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")))
+      .withColumn("rn", row_number().over(w)))
+  }
+
+  private def q25Shape(scored: DataFrame): DataFrame =
+    scored.filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round4(col("cos")).as("cos_sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+
+  /** SimHash near-dup: 64-bit per-token-hash bit-majority signature, then
+    * 4×16-bit band bucketing for candidates, hamming <= 8 verification.
+    * No SQL oracle (bit-level majority vote is not reasonably expressible);
+    * covered by ScalaTest against brute-force hamming pairs.
+    */
+  val q35 = EngineQuery("q35_dedup_simhash", None) { t =>
+    val tok = t.documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      .withColumn("h", xxhash64(lit(99), col("tk")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+    val sims = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    // Disjoint bit contributions: sum == bitwise OR, never overflows.
+    val simhash = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sh = sims.select(col("doc_id"), simhash.as("sim"))
+    val bandCols = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
+    val bands = sh.select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("sim"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val pairs = bands.as("l")
+      .join(bands.as("r"), Seq("band", "bh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    orderedByAll(pairs)
+  }
+
+  /** IVF-style approximate k-NN: deterministic "centroids" (every 50th
+    * vector), assign every vector to its nearest centroid (broadcast — the
+    * centroid set is tiny), then search only within the query's bucket.
+    * Approximate by construction → no SQL oracle; recall vs q25 is asserted
+    * in ScalaTest.
+    */
+  val q37 = EngineQuery("q37_knn_ivf", None) { t =>
+    val e = withNorm(t.embeddings)
+    val cents = e.filter(col("vec_id") % 50 === 0).select(
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val buckets = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+    val q = buckets.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    orderedByAll(
+      buckets.join(broadcast(q), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"), round4(col("cos")).as("cos_sim"), col("rn")))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label (the "bucket" at this
+    * data's scale; swap for LSH hyperplane buckets beyond ~1e5 vectors).
+    * Threshold applied on the rounded value on both engines so a last-ulp
+    * difference can never flip membership.
+    */
+  val q38 = EngineQuery(
+    "q38_embed_neardup",
+    Some("""WITH e AS (SELECT vec_id, label, embedding,
+           |        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |          (a, b) -> a + b)) AS nrm
+           |       FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(generate_series(1, 64),
+           |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+           |          (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cos_sim
+           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(generate_series(1, 64),
+           |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+           |          (x, y) -> x + y) / (a.nrm * b.nrm), 4) >= 0.4
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    orderedByAll(
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos_sim", round4(cosine(col("ea"), col("na"), col("eb"), col("nb"))))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38)
+}

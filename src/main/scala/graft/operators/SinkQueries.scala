@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.EngineQuery
+import graft.dsl._
+import org.apache.spark.sql.functions.col
+
+/** Write-path parity (SURVEY.md §2 q30 ↔ reference A8): the reference's only
+  * write surface is its test harness's parquet-dataset write with
+  * max_rows_per_file / max_rows_per_group control (reference
+  * tests/test_parquetbatch.py:197-208). Spark equivalent:
+  * DataFrameWriter.option("maxRecordsPerFile", n) (+ parquet.block.size for
+  * row groups). q30 writes q10's result, reads it back, and returns it — the
+  * oracle is q10's SQL, so the round-trip must be lossless.
+  */
+object SinkQueries {
+
+  val q30 = EngineQuery("q30_write_roundtrip", Some(RelationalQueries.q10Sql)) { t =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q30_roundtrip").toString
+    RelationalQueries.q10Body(t)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000)
+      .parquet(out)
+    orderedByAll(t.spark.read.parquet(out))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30)
+}

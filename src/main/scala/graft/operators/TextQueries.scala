@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + exact/n-gram dedup operators over the `documents` table —
+  * the LLM-training-pipeline surface (SURVEY.md §2 q23, q26, q29 plus the
+  * q31–q34/q36 extensions: language-ID, quality scoring, token counting,
+  * fingerprinting, n-gram Jaccard dedup).
+  *
+  * Scale notes: every per-document computation is a codegen'd column
+  * expression over the token array (no UDF, no collect); the only shuffles
+  * are the final aggregations and — for q36 — the inverted-index self-join
+  * on shingle, which is the standard way to find near-dup pairs without a
+  * crossJoin (skewed hot shingles are handled by AQE skew-join at runtime).
+  */
+object TextQueries {
+
+  /** Exact dedup by normalized key (first 10 tokens). Survivor per duplicate
+    * group = min doc_id — deterministic, unlike dropDuplicates' arbitrary
+    * row pick. Reported as surviving-doc count per language of the survivor.
+    */
+  val q23 = EngineQuery(
+    "q23_dedup_exact",
+    Some("""WITH k AS (SELECT doc_id, lang,
+           |            array_to_string((string_split(text, ' '))[1:10], ' ') AS key
+           |           FROM documents),
+           |     s AS (SELECT min(doc_id) AS keep_id FROM k GROUP BY key)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS survivors
+           |FROM k JOIN s ON doc_id = keep_id
+           |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val keyed = t.documents.select(
+      col("doc_id"), col("lang"),
+      concat_ws(" ", slice(toks(col("text")), 1, 10)).as("key"))
+    val keep = keyed.groupBy("key").agg(min(col("doc_id")).as("keep_id"))
+    orderedByAll(
+      keyed
+        .join(keep, keyed("doc_id") === keep("keep_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("survivors")))
+  }
+
+  val q26 = EngineQuery(
+    "q26_text_stats",
+    Some("""SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+           |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin)) { t =>
+    t.documents
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20)
+  }
+
+  /** Generator/UDTF surface: row expansion via the built-in explode
+    * Generator — a custom Catalyst Generator is unnecessary because explode
+    * over a computed array expresses every flatMap-shaped expansion the
+    * reference surface needs (SURVEY.md §2 q29 note, §7.5).
+    */
+  val q29 = EngineQuery(
+    "q29_udtf_generator",
+    Some("""SELECT lang, CAST(count(DISTINCT sh) AS BIGINT) AS shingle_cnt,
+           |       CAST(count(*) AS BIGINT) AS total
+           |FROM (SELECT lang,
+           |        unnest(list_transform(
+           |          generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           |          i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+           |      FROM documents) t
+           |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .filter(size(toks(col("text"))) >= 3)
+        .select(col("lang"),
+          explode(transform(
+            sequence(lit(1), size(toks(col("text"))) - 2),
+            i => concat_ws(" ", slice(toks(col("text")), i, lit(3))))).as("sh"))
+        .groupBy("lang")
+        .agg(countDistinct(col("sh")).as("shingle_cnt"), count(lit(1)).as("total")))
+  }
+
+  /** Language-ID by token-frequency profile: score each candidate language
+    * by how many of its 3 signature tokens appear; argmax with struct
+    * ordering (score, then lang name) — deterministic on both engines.
+    * Profiles derived from observed per-language token frequencies in the
+    * driver testdata; this is the n-gram-heuristic shape, not a real model.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join"),
+    "en" -> Seq("hash", "order", "table"),
+    "es" -> Seq("slow", "agg", "vector"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "zh" -> Seq("join", "small", "column"))
+
+  val q31 = EngineQuery(
+    "q31_lang_id",
+    Some {
+      val cands = langProfiles.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"struct_pack(sc := len(list_filter(string_split(text,' '), x -> list_contains($lst, x))), l := '$l')"
+      }.mkString("[", ", ", "]")
+      s"""WITH scored AS (SELECT doc_id, lang, unnest($cands) AS cand FROM documents),
+         |best AS (SELECT doc_id, any_value(lang) AS lang, max(cand).l AS predicted
+         |         FROM scored GROUP BY doc_id)
+         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+         |FROM best GROUP BY lang, predicted ORDER BY ALL""".stripMargin
+    }) { t =>
+    val cands = langProfiles.map { case (l, ms) =>
+      struct(
+        size(filter(toks(col("text")), x => x.isin(ms: _*))).cast("long").as("sc"),
+        lit(l).as("l"))
+    }
+    orderedByAll(
+      t.documents
+        .select(col("lang"), array_max(array(cands: _*)).getField("l").as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Quality scoring: token count, avg token length, stopword ratio, and a
+    * composite score — the length/punct/stopword-ratio family of filters a
+    * training-data pipeline applies before dedup.
+    */
+  val q32 = EngineQuery(
+    "q32_quality_score",
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text,' ')) AS INT) AS n_tok,
+           |  round(CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS DOUBLE)
+           |        / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS avg_tok_len,
+           |  round(CAST(len(list_filter(string_split(text,' '),
+           |          x -> list_contains(['the','a','of','and','in','to'], x))) AS DOUBLE)
+           |        / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS stop_ratio,
+           |  round(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 200.0)
+           |        * (1.0 - CAST(len(list_filter(string_split(text,' '),
+           |             x -> list_contains(['the','a','of','and','in','to'], x))) AS DOUBLE)
+           |           / CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS score
+           |FROM documents ORDER BY ALL""".stripMargin)) { t =>
+    val tk = toks(col("text"))
+    val nTok = size(tk)
+    val stops = Seq("the", "a", "of", "and", "in", "to")
+    val stopRatio = size(filter(tk, x => x.isin(stops: _*))).cast("double") / nTok.cast("double")
+    orderedByAll(
+      t.documents.select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        round4(aggregate(transform(tk, x => length(x)), lit(0), (a, x) => a + x)
+          .cast("double") / nTok.cast("double")).as("avg_tok_len"),
+        round4(stopRatio).as("stop_ratio"),
+        round4(least(lit(1.0), nTok.cast("double") / 200.0) * (lit(1.0) - stopRatio)).as("score")))
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * ([a-z]+|[0-9]+|other) — the latter is what a tokenizer-budget estimate
+    * looks like before a real BPE vocab is available.
+    */
+  val q33 = EngineQuery(
+    "q33_token_count",
+    Some("""SELECT lang,
+           |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+           |  round(avg(CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS avg_ws_tokens
+           |FROM documents GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .select(col("lang"),
+          size(toks(col("text"))).as("ws"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("re"))
+        .groupBy("lang")
+        .agg(
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("re")).as("re_tokens"),
+          round4(avg(col("ws").cast("double"))).as("avg_ws_tokens")))
+  }
+
+  /** Document fingerprint: polynomial rolling hash over per-token codes,
+    * mod 1e9+7 at each step (stays far from int64 overflow — ANSI-safe).
+    * Fold order is fixed and mirrored exactly by the oracle's
+    * list_reduce(list_prepend(0, ...)).
+    */
+  val q34 = EngineQuery(
+    "q34_fingerprint",
+    Some("""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(string_split(text,' '),
+           |      t -> CAST(length(t) AS BIGINT) * 131 + CAST(ascii(t) AS BIGINT))),
+           |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           |FROM documents ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents.select(
+        col("doc_id"),
+        aggregate(
+          toks(col("text")), lit(0L),
+          (h, tk) => (h * 31L + (length(tk).cast("long") * 131L + ascii(tk).cast("long")))
+            % 1000000007L).as("fp")))
+  }
+
+  /** Exact n-gram (5-token shingle) Jaccard near-dup pairs via an
+    * inverted-index self-join on shingle — the crossJoin-free formulation
+    * that survives scale: |pairs| is bounded by shingle co-occurrence, not
+    * |docs|². Threshold applied on the exact (integer-arithmetic) ratio.
+    */
+  val q36 = EngineQuery(
+    "q36_dedup_ngram_jaccard",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val base = t.documents
+      .filter(size(toks(col("text"))) >= 5)
+      .select(col("doc_id"), shingles(toks(col("text")), 5).as("sh"))
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common")).cast("double")
+    orderedByAll(
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q23, q26, q29, q31, q32, q33, q34, q36)
+}

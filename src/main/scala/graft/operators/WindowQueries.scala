@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, as-of join, and sessionization (SURVEY.md §2 q09, q14,
+  * q15, q22).
+  *
+  * Scale notes: every query here shuffles exactly once, on its partition key
+  * (customer / user), then does a per-partition sort — the canonical
+  * distributed window pattern. The as-of join is the union+window formulation
+  * (SURVEY.md §7.5.1): no crossJoin, no per-row subquery; cost is one shuffle
+  * + sort over (events ∪ orders), which survives 100× data growth, unlike a
+  * per-order lookup.
+  */
+object WindowQueries {
+
+  /** As-of join: for each order, the most recent event of the same user with
+    * ts <= o_orderdate (ties on ts broken by max event_id — mirrored in the
+    * oracle's ORDER BY ts DESC, event_id DESC LIMIT 1). Sentinels -1/0.0
+    * keep the output null-free (determinism rules, SURVEY.md §7.4).
+    */
+  val q09 = EngineQuery(
+    "q09_join_asof",
+    Some("""SELECT o_orderkey,
+           |       coalesce(ev.event_id, -1) AS last_event_id,
+           |       coalesce(ev.value, 0.0)   AS last_value
+           |FROM orders LEFT JOIN LATERAL (
+           |  SELECT event_id, value FROM events e
+           |  WHERE e.user_id = orders.o_custkey AND e.ts <= orders.o_orderdate
+           |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) ev ON TRUE
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val ev = t.events.select(
+      col("user_id").as("k"), col("ts"), col("event_id"), col("value"),
+      lit(0).as("tag"), lit(null).cast("long").as("o_orderkey"))
+    val od = t.orders.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+      lit(1).as("tag"), col("o_orderkey"))
+    // tag sorts events (0) before orders (1) at equal ts → "<=" semantics;
+    // event_id asc means last() picks the max event_id among equal-ts events.
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedByAll(
+      ev.unionByName(od)
+        .withColumn("last_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+        .withColumn("last_value", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(
+          col("o_orderkey"),
+          coalesce(col("last_event_id"), lit(-1L)).as("last_event_id"),
+          coalesce(col("last_value"), lit(0.0)).as("last_value")))
+  }
+
+  val q14 = EngineQuery(
+    "q14_window_rank",
+    Some("""SELECT * FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    CAST(row_number() OVER (PARTITION BY o_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+           |    CAST(rank() OVER (PARTITION BY o_custkey
+           |         ORDER BY o_totalprice DESC) AS INT) AS rnk,
+           |    CAST(dense_rank() OVER (PARTITION BY o_custkey
+           |         ORDER BY o_totalprice DESC) AS INT) AS drnk
+           |  FROM orders) t WHERE rn <= 3 ORDER BY ALL""".stripMargin)) { t =>
+    val wTotal = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    orderedByAll(
+      t.orders
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(wTotal).as("rn"),
+          rank().over(wPrice).as("rnk"),
+          dense_rank().over(wPrice).as("drnk"))
+        .filter(col("rn") <= 3))
+  }
+
+  val q15 = EngineQuery(
+    "q15_window_analytic",
+    Some("""SELECT user_id, event_id, epoch_us(ts)//1000000 AS ts_sec,
+           |  coalesce(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), -999999.0) AS lag_v,
+           |  coalesce(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -999999.0) AS lead_v,
+           |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+           |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+           |FROM events ORDER BY ALL""".stripMargin)) { t =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = w.rowsBetween(-2, 0)
+    orderedByAll(
+      t.events.select(
+        col("user_id"), col("event_id"), epochSec(col("ts")).as("ts_sec"),
+        coalesce(lag(col("value"), 1).over(w), lit(-999999.0)).as("lag_v"),
+        coalesce(lead(col("value"), 1).over(w), lit(-999999.0)).as("lead_v"),
+        round4(sum(col("value")).over(running)).as("run_sum"),
+        round4(avg(col("value")).over(moving)).as("mov_avg")))
+  }
+
+  /** Sessionization with a 30-minute inactivity gap. Spark's session_window
+    * starts a new session when ts - prev_ts >= gap; the oracle's
+    * gaps-and-islands formulation uses the same >= comparison. Both engines
+    * read events.ts at microsecond precision, so boundary decisions agree.
+    */
+  val q22 = EngineQuery(
+    "q22_sessionize",
+    Some("""WITH x AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |              >= INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events),
+           |y AS (
+           |  SELECT user_id, ts,
+           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                  ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM x),
+           |s AS (
+           |  SELECT user_id, sid, count(*) AS n,
+           |         min(ts) AS mn, max(ts) AS mx
+           |  FROM y GROUP BY user_id, sid)
+           |SELECT user_id,
+           |  CAST(count(*) AS BIGINT) AS session_cnt,
+           |  CAST(max(epoch_us(mx)//1000000 - epoch_us(mn)//1000000) AS BIGINT) AS max_sess_secs,
+           |  round(avg(CAST(n AS DOUBLE)), 4) AS avg_sess_n
+           |FROM s GROUP BY user_id ORDER BY ALL""".stripMargin)) { t =>
+    val sessions = t.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    orderedByAll(
+      sessions
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("session_cnt"),
+          max(epochSec(col("mx")) - epochSec(col("mn"))).as("max_sess_secs"),
+          round4(avg(col("n").cast("double"))).as("avg_sess_n")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22)
+}

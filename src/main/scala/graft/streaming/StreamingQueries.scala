@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.{EngineQuery, Tables, dsl}
+import graft.dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (SURVEY.md §2 group H, q21). The oracle-checked
+  * query is the batch-equivalent tumbling-window aggregation; `tumblingStream`
+  * is the Structured Streaming twin over the same files (file source +
+  * watermark + append mode), asserted equal to the batch result in ScalaTest
+  * (SURVEY.md §5.2.4). The watermark (2h) exceeds the data's max disorder, so
+  * nothing is dropped in the equivalence test (SURVEY.md §7.5.5).
+  */
+object StreamingQueries {
+
+  /** Tumbling 1-hour window × event_type. Spark's window() aligns to the
+    * epoch origin, identical to date_trunc('hour'). */
+  val q21 = EngineQuery(
+    "q21_stream_tumbling",
+    Some("""SELECT epoch_us(date_trunc('hour', ts))//1000000 AS ws, event_type,
+           |       CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sum_v
+           |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(aggShape(t.events))
+  }
+
+  private def aggShape(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round4(sum(col("value"))).as("sum_v"))
+      .select(epochSec(col("w.start")).as("ws"), col("event_type"), col("cnt"), col("sum_v"))
+
+  /** Structured Streaming twin of q21: same aggregation over a file source.
+    * Run with Trigger.AvailableNow into a sink, then compare to the batch
+    * result. Event-time watermark bounds state for a continuous run. */
+  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // File-source schema must match the raw file (ts = nanos-as-long);
+    // the micros lowering is applied on the stream, same as the batch path.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = Tables.nanosToMicros(
+      spark.readStream.schema(raw).parquet(s"$sfDir/events.parquet"), "ts")
+      .withWatermark("ts", "2 hours")
+    aggShape(stream)
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21)
+}
