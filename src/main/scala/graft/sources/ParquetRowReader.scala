@@ -80,8 +80,8 @@ object ParquetRowReader {
 
   private def lower(v: Any): Any = v match {
     case r: Row                        => toMap(r)
-    case s: scala.collection.Seq[_]    => s.map(lower)
-    case m: scala.collection.Map[_, _] => m.map { case (k, x) => k -> lower(x) }
+    case s: scala.collection.Seq[_]    => s.iterator.map(lower).toList
+    case m: scala.collection.Map[_, _] => m.iterator.map { case (k, x) => k -> lower(x) }.toMap
     case x                             => x
   }
 }

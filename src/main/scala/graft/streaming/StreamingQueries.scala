@@ -38,8 +38,15 @@ object StreamingQueries {
     // the micros lowering is applied on the stream, same as the batch path.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // The file source streams a DIRECTORY (in production: the landing dir
+    // files arrive into); the testdata events table is a single file, so
+    // stage it into one.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
     val stream = Tables.nanosToMicros(
-      spark.readStream.schema(raw).parquet(s"$sfDir/events.parquet"), "ts")
+      spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
       .withWatermark("ts", "2 hours")
     aggShape(stream)
   }

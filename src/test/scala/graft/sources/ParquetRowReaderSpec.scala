@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SharedSparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Mirrors the reference's test matrix (1-file / 3-file-even / 3-file-uneven,
+  * nested schema — reference tests/test_parquetbatch.py:242-331) but with
+  * genuinely DISTINCT rows, closing the blind spot its aliasing bug created
+  * (SURVEY.md §0.1/§5.1): full-content equality is asserted, not just
+  * first/last/count.
+  */
+case class Sub(sub_field_1: String, sub_field_2: Long, sub_field_3: Double,
+    sub_field_4: Seq[Long])
+case class Rec(field_1: String, field_2: Long, field_3: Double, field_4: Sub,
+    field_5: Seq[Sub])
+
+class ParquetRowReaderSpec extends SharedSparkSpec {
+  import spark.implicits._
+
+  private def mkRec(i: Int) = Rec(
+    field_1 = s"string_field_$i",
+    field_2 = i.toLong - 5,
+    field_3 = i / 3.0,
+    field_4 = Sub(s"sub_$i", i.toLong * 2, i / 7.0, (0L to (i % 9).toLong).toSeq),
+    field_5 = (0 until 1 + i % 4).map(j => Sub(s"sub_${i}_$j", j.toLong, j / 3.0, Seq(j.toLong))))
+
+  /** Write rows split across one parquet dir per "file" of the given sizes. */
+  private def writeDataset(rowsPerFile: Seq[Int]): (Seq[String], Seq[Rec]) = {
+    val dir = tmpDir("rowreader")
+    var next = 0
+    rowsPerFile.zipWithIndex.foreach { case (n, fi) =>
+      val recs = (next until next + n).map(mkRec)
+      next += n
+      recs.toDS().coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$fi")
+    }
+    (rowsPerFile.indices.map(fi => s"$dir/part_$fi"), (0 until next).map(mkRec))
+  }
+
+  private def matrix = Seq(
+    "single file" -> Seq(12),
+    "multi-file even" -> Seq(10, 10, 10),
+    "multi-file uneven" -> Seq(10, 10, 7))
+
+  for ((label, sizes) <- matrix) {
+    test(s"row reader: $label — count/first/last/full equality") {
+      val (paths, expected) = writeDataset(sizes)
+      val reader = ParquetRowReader.fromPath(spark, paths: _*)
+      // Explicit total order: Spark multi-file order is not guaranteed.
+      val rows = ParquetRowReader
+        .fromDataFrame(reader.df.orderBy(col("field_2")))
+        .getRows().toVector
+      assert(rows.size == expected.size)
+      assert(rows.head("field_1") == expected.head.field_1)
+      assert(rows.last("field_1") == expected.last.field_1)
+      // Full content, deep-lowered: struct → Map, array → Seq.
+      rows.zip(expected).foreach { case (m, e) =>
+        assert(m("field_2") == e.field_2)
+        assert(m("field_3") == e.field_3)
+        val f4 = m("field_4").asInstanceOf[Map[String, Any]]
+        assert(f4("sub_field_1") == e.field_4.sub_field_1)
+        assert(f4("sub_field_4").asInstanceOf[Seq[Any]] == e.field_4.sub_field_4)
+        val f5 = m("field_5").asInstanceOf[Seq[Any]]
+        assert(f5.size == e.field_5.size)
+      }
+    }
+  }
+
+  test("row reader: projection returns only requested columns") {
+    val (paths, _) = writeDataset(Seq(12))
+    val rows = ParquetRowReader.fromPath(spark, paths: _*)
+      .getRows(Seq("field_1", "field_2")).toVector
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.keySet == Set("field_1", "field_2")))
+  }
+
+  test("row reader: lazy iterator equals collect") {
+    val (paths, _) = writeDataset(Seq(10, 10, 7))
+    val df = spark.read.parquet(paths: _*).orderBy(col("field_2"))
+    val lazyRows = ParquetRowReader.fromDataFrame(df).getRows(Seq("field_2")).toVector
+    val collected = df.select("field_2").collect().map(_.getLong(0)).toVector
+    assert(lazyRows.map(_("field_2")) == collected)
+  }
+
+  test("row reader: explicit schema + corrupt-file tolerance options") {
+    val (paths, expected) = writeDataset(Seq(12))
+    val schema = spark.read.parquet(paths: _*).schema
+    val reader = ParquetRowReader.fromPath(spark, paths.head, schema)
+    assert(reader.getRows().size == expected.size)
+  }
+}
