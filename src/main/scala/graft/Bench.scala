@@ -11,6 +11,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first timed query doesn't absorb Spark
+    // startup: one tiny scan+agg+window exercises the scan, hash-agg, sort
+    // and window codepaths.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.groupBy("n_regionkey").count()
+        .withColumn("r", row_number().over(Window.partitionBy("n_regionkey").orderBy("count")))
+        .count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -31,7 +31,9 @@ object SimilarityQueries {
       .select(col("doc_id"), shingles(toks(col("text")), 5).as("sh"))
 
   val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
-    val base = shingled(t.documents)
+    // The shingle table feeds three plan branches (signatures + two
+    // verification joins); cache it once instead of re-shingling the corpus.
+    val base = shingled(t.documents).cache()
     val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
     // 64 seeded min-hashes per doc: partial-aggregating min() per seed —
     // map-side combine keeps the shuffle at one row per doc.

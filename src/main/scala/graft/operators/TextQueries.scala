@@ -217,11 +217,12 @@ object TextQueries {
            |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    val base = t.documents
+    // One pass computes the inverted index; set sizes derive from it with a
+    // reusable aggregation instead of re-shingling the corpus per branch.
+    val inv = t.documents
       .filter(size(toks(col("text"))) >= 5)
-      .select(col("doc_id"), shingles(toks(col("text")), 5).as("sh"))
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+      .select(col("doc_id"), explode(shingles(toks(col("text")), 5)).as("s"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
