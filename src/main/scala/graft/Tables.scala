@@ -66,7 +66,10 @@ object dsl {
 
   /** k-token shingles ("w1 w2 .. wk") per document, distinct. Caller must
     * filter size(tokens) >= k first: Spark `sequence(1, n)` with n < 1
-    * yields a DESCENDING sequence instead of an empty one. */
+    * yields a DESCENDING sequence instead of an empty one.
+    * IMPORTANT: pass a materialized array COLUMN, not `split(...)` inline —
+    * an expression inside the per-index lambda is re-evaluated per shingle
+    * position (O(tokens²) per document). */
   def shingles(tokCol: Column, k: Int): Column =
     array_distinct(transform(
       sequence(lit(1), size(tokCol) - (k - 1)),

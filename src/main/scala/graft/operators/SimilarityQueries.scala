@@ -25,10 +25,12 @@ object SimilarityQueries {
   private val NumHashes = 64
   private val Bands = 16 // × 4 rows per band: P(candidate | J=0.8) ≈ 1 - 3e-4
 
-  /** doc_id + distinct 5-token shingle set, docs with >= 5 tokens. */
+  /** doc_id + distinct 5-token shingle set, docs with >= 5 tokens. Tokens
+    * are materialized as a column first — see dsl.shingles. */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.filter(size(toks(col("text"))) >= 5)
-      .select(col("doc_id"), shingles(toks(col("text")), 5).as("sh"))
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), shingles(col("tk"), 5).as("sh"))
 
   val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
     // The shingle table feeds three plan branches (signatures + two

@@ -71,11 +71,12 @@ object TextQueries {
            |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
     orderedByAll(
       t.documents
-        .filter(size(toks(col("text"))) >= 3)
-        .select(col("lang"),
-          explode(transform(
-            sequence(lit(1), size(toks(col("text"))) - 2),
-            i => concat_ws(" ", slice(toks(col("text")), i, lit(3))))).as("sh"))
+        .select(col("lang"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        // all instances, not distinct — `total` counts every expansion row
+        .select(col("lang"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("sh"))
         .groupBy("lang")
         .agg(countDistinct(col("sh")).as("shingle_cnt"), count(lit(1)).as("total")))
   }
@@ -220,8 +221,9 @@ object TextQueries {
     // One pass computes the inverted index; set sizes derive from it with a
     // reusable aggregation instead of re-shingling the corpus per branch.
     val inv = t.documents
-      .filter(size(toks(col("text"))) >= 5)
-      .select(col("doc_id"), explode(shingles(toks(col("text")), 5)).as("s"))
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
