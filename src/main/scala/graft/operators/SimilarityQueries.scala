@@ -66,12 +66,11 @@ object SimilarityQueries {
     orderedByAll(verified)
   }
 
-  /** embeddings + precomputed L2 norm. */
-  private def withNorm(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-
-  private def cosine(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
-    dot(aEmb, bEmb) / (aNrm * bNrm)
+  /** Cosine via the native codegen'd Catalyst expression — bit-identical to
+    * the fold-based dsl.dot/l2norm formulation the DuckDB oracles mirror
+    * (see graft.functions.CosineSimilarity's numeric contract). */
+  private def cosine(aEmb: Column, bEmb: Column): Column =
+    graft.functions.CosineSimilarity(aEmb, bEmb)
 
   val q25 = EngineQuery(
     "q25_knn_cosine",
@@ -92,14 +91,14 @@ object SimilarityQueries {
            |      FROM p)
            |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, CAST(rn AS INT) AS rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)) { t =>
-    val e = withNorm(t.embeddings)
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 10).select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // Queries are the small side → broadcast; the big side streams through
     // map-only (no shuffle of the corpus), then per-query top-k.
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     q25Shape(e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
       .withColumn("rn", row_number().over(w)))
   }
 
@@ -150,23 +149,22 @@ object SimilarityQueries {
     * in ScalaTest.
     */
   val q37 = EngineQuery("q37_knn_ivf", None) { t =>
-    val e = withNorm(t.embeddings)
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0).select(
-      col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
     val buckets = e.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
     val q = buckets.filter(col("vec_id") < 10).select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm"), col("bucket"))
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     orderedByAll(
       buckets.join(broadcast(q), "bucket")
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")))
+        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -196,16 +194,13 @@ object SimilarityQueries {
            |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
            |          (x, y) -> x + y) / (a.nrm * b.nrm), 4) >= 0.4
            |ORDER BY ALL""".stripMargin)) { t =>
-    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"),
-      l2norm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("eb"))
     orderedByAll(
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", round4(cosine(col("ea"), col("na"), col("eb"), col("nb"))))
+        .withColumn("cos_sim", round4(cosine(col("ea"), col("eb"))))
         .filter(col("cos_sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos_sim")))
   }
