@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TextQueries.all ++
       operators.SimilarityQueries.all ++
       functions.UdfQueries.all ++
+      functions.SketchQueries.all ++
       operators.SinkQueries.all ++
       operators.MultimodalQueries.all
 

@@ -19,7 +19,8 @@ object SinkQueries {
       .createTempDirectory("graft_q30_roundtrip").toString
     RelationalQueries.q10Body(t)
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", 1000)
+      .option("maxRecordsPerFile", 1000)     // ↔ reference max_rows_per_file
+      .option("parquet.block.size", 1 << 20) // ↔ reference max_rows_per_group
       .parquet(out)
     orderedByAll(t.spark.read.parquet(out))
   }

@@ -56,6 +56,33 @@ final class ParquetRowReader private (val df: DataFrame) {
 
 object ParquetRowReader {
 
+  /** The reference's `get_rows_with_args` resource knobs (reader.py:47-49,
+    * README.md:76-83), mapped to their Spark scan controls. Arrow scopes
+    * these per call; Spark scopes them per session, so [[tuned]] applies
+    * them to the session before building a reader.
+    *
+    *  - `batchSize` ↔ Arrow `batch_size` (rows per columnar batch) ↔
+    *    `spark.sql.parquet.columnarReaderBatchSize` (default 4096)
+    *  - `maxPartitionBytes` ↔ the scan's per-task input split — the knob
+    *    that bounds executor memory per task at 100 TB
+    *  - readahead (`batch_readahead`/`fragment_readahead`) has no direct
+    *    equivalent: Spark pipelines batches inside whole-stage codegen and
+    *    schedules fragment parallelism via tasks
+    *  - `use_threads=False` ↔ `master("local[1]")` — a session-level choice
+    */
+  final case class ScanTuning(
+      batchSize: Int = 4096,
+      maxPartitionBytes: String = "128m",
+      ignoreCorruptFiles: Boolean = false)
+
+  /** Apply scan tuning to the session, then build a reader (A5 parity). */
+  def tuned(spark: SparkSession, tuning: ScanTuning, path: String*): ParquetRowReader = {
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", tuning.batchSize.toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", tuning.maxPartitionBytes)
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", tuning.ignoreCorruptFiles.toString)
+    fromPath(spark, path: _*)
+  }
+
   /** Reference `from_path`: file, directory, or list — one logical table. */
   def fromPath(spark: SparkSession, path: String*): ParquetRowReader =
     new ParquetRowReader(spark.read.parquet(path: _*))

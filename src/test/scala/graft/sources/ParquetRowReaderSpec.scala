@@ -87,4 +87,12 @@ class ParquetRowReaderSpec extends SharedSparkSpec {
     val reader = ParquetRowReader.fromPath(spark, paths.head, schema)
     assert(reader.getRows().size == expected.size)
   }
+
+  test("row reader: A5 scan-tuning knobs apply and read correctly") {
+    val (paths, expected) = writeDataset(Seq(10, 10, 7))
+    val reader = ParquetRowReader.tuned(
+      spark, ParquetRowReader.ScanTuning(batchSize = 1000, ignoreCorruptFiles = true), paths: _*)
+    assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1000")
+    assert(reader.getRows(Seq("field_2")).size == expected.size)
+  }
 }
