@@ -47,6 +47,37 @@ object Multimodal {
     docs.select(col("doc_id"), col("source"), col("text").cast("binary").as("media"))
       .as[MediaRecord]
   }
+
+  /** One sampled "frame" of a media payload. */
+  final case class MediaFrame(
+      doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** 1→N frame sampling: every `stride`-th fixed-size block of the payload
+    * is one frame — the row-expansion (flatMap) shape of a real video
+    * frame-sampler, with the decoder STUBBED as byte-slicing. Partition-wise
+    * iteration keeps per-partition codec state possible and never
+    * materializes a whole partition of frames at once. */
+  def sampleFrames(ds: Dataset[MediaRecord], frameSize: Int, stride: Int): Dataset[MediaFrame] = {
+    require(frameSize > 0 && stride > 0)
+    implicit val enc = Encoders.product[MediaFrame]
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        m.media.grouped(frameSize).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 => MediaFrame(m.doc_id, i, chunk)
+        }
+      }
+    }
+  }
+
+  /** "Resize" a frame to exactly `n` bytes (truncate/zero-pad) — the
+    * fixed-output-shape contract of a real resize kernel, decoder stubbed. */
+  def resizeFrames(ds: Dataset[MediaFrame], n: Int): Dataset[MediaFrame] = {
+    require(n > 0)
+    implicit val enc = Encoders.product[MediaFrame]
+    ds.mapPartitions { it =>
+      it.map { f => f.copy(frame_bytes = java.util.Arrays.copyOf(f.frame_bytes, n)) }
+    }
+  }
 }
 
 object MultimodalQueries {

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.{SharedSparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The partitioned layout must (a) round-trip losslessly and (b) actually
+  * prune: a filter on the partition column must appear as a PartitionFilter
+  * on the scan, not a data filter over all files. */
+class LayoutWriterSpec extends SharedSparkSpec {
+
+  test("partitionBy layout round-trips and prunes partitions at plan time") {
+    val events = new Tables(spark, sf001).events
+    val dir = tmpDir("layout")
+    LayoutWriter.writePartitioned(
+      events, dir,
+      partitionCols = Seq("event_type"),
+      sortCols = Seq("ts"),
+      maxRecordsPerFile = 500)
+
+    // subdirectories per partition value exist
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.count(_.startsWith("event_type=")) == 5)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == events.count())
+
+    val filtered = back.filter(col("event_type") === "purchase")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition filter in plan:\n$scan")
+    val expected = events.filter(col("event_type") === "purchase").count()
+    assert(filtered.count() == expected)
+  }
+
+  test("corrupt files are skipped under ignoreCorruptFiles (reference A3)") {
+    val t = new Tables(spark, sf001)
+    val dir = tmpDir("corrupt")
+    t.nation.coalesce(1).write.parquet(s"$dir/data")
+    // drop a garbage file next to the real parquet part
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/junk.parquet"),
+      "this is not parquet".getBytes)
+    val schema = t.nation.schema
+    val reader = ParquetRowReader.fromPath(spark, s"$dir/data", schema)
+    assert(reader.getRows().size == t.nation.count())
+  }
+}
