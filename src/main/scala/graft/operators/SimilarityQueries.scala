@@ -36,15 +36,19 @@ object SimilarityQueries {
     // The shingle table feeds three plan branches (signatures + two
     // verification joins); cache it once instead of re-shingling the corpus.
     val base = shingled(t.documents).cache()
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    // 64 seeded min-hashes per doc: partial-aggregating min() per seed —
-    // map-side combine keeps the shuffle at one row per doc.
-    val sigCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sigs = inv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // 64 seeded min-hashes per doc in ONE pass: two base hashes per shingle
+    // feed the double-hashing family g_i = h1 + i*h2 inside a typed
+    // Aggregator whose Array[Long] buffer partial-merges map-side.
+    val minhash = udaf(graft.functions.SketchAggregators.MinHashSigAgg)
+    val sigs = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
+      .groupBy("doc_id")
+      .agg(minhash(col("h1"), col("h2")).as("sig"))
     // 16 bands × 4 rows: band hash = xxhash64 over the band's signature slice.
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * 4 until (b + 1) * 4).map(j => col(s"h$j")): _*).as("bh"))
+        xxhash64((b * 4 + 1 to b * 4 + 4).map(j => element_at(col("sig"), j)): _*).as("bh"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
@@ -117,14 +121,10 @@ object SimilarityQueries {
     val tok = t.documents
       .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
       .withColumn("h", xxhash64(lit(99), col("tk")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
-    val sims = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    // Disjoint bit contributions: sum == bitwise OR, never overflows.
-    val simhash = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sh = sims.select(col("doc_id"), simhash.as("sim"))
+    // Bit-majority vote in one pass per doc (typed Aggregator, Array[Int]
+    // vote buffer) instead of 64 separate sum() expressions.
+    val simhashAgg = udaf(graft.functions.SketchAggregators.SimHashAgg)
+    val sh = tok.groupBy("doc_id").agg(simhashAgg(col("h")).as("sim"))
     val bandCols = (0 until 4).map(i =>
       struct(lit(i).as("band"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
