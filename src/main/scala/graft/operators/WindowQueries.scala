@@ -22,16 +22,18 @@ object WindowQueries {
     * oracle's ORDER BY ts DESC, event_id DESC LIMIT 1). Sentinels -1/0.0
     * keep the output null-free (determinism rules, SURVEY.md §7.4).
     */
-  val q09 = EngineQuery(
-    "q09_join_asof",
-    Some("""SELECT o_orderkey,
-           |       coalesce(ev.event_id, -1) AS last_event_id,
-           |       coalesce(ev.value, 0.0)   AS last_value
-           |FROM orders LEFT JOIN LATERAL (
-           |  SELECT event_id, value FROM events e
-           |  WHERE e.user_id = orders.o_custkey AND e.ts <= orders.o_orderdate
-           |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) ev ON TRUE
-           |ORDER BY ALL""".stripMargin)) { t =>
+  /** Shared by q09 (union+window formulation) and q43 (native merge exec). */
+  val asofOracleSql: String =
+    """SELECT o_orderkey,
+      |       coalesce(ev.event_id, -1) AS last_event_id,
+      |       coalesce(ev.value, 0.0)   AS last_value
+      |FROM orders LEFT JOIN LATERAL (
+      |  SELECT event_id, value FROM events e
+      |  WHERE e.user_id = orders.o_custkey AND e.ts <= orders.o_orderdate
+      |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) ev ON TRUE
+      |ORDER BY ALL""".stripMargin
+
+  val q09 = EngineQuery("q09_join_asof", Some(asofOracleSql)) { t =>
     val ev = t.events.select(
       col("user_id").as("k"), col("ts"), col("event_id"), col("value"),
       lit(0).as("tag"), lit(null).cast("long").as("o_orderkey"))
@@ -141,5 +143,24 @@ object WindowQueries {
           round4(avg(col("n").cast("double"))).as("avg_sess_n")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22)
+  /** The same as-of join through the native merge-based operator
+    * (graft.plans.AsOfJoin): custom LogicalPlan + Strategy + SparkPlan.
+    * Identical semantics and oracle as q09; one exchange + sort per side
+    * and an O(n+m) streaming merge instead of the unioned window sort. */
+  val q43 = EngineQuery("q43_join_asof_native", Some(asofOracleSql)) { t =>
+    val orders = t.orders
+    val events = t.events.select("user_id", "ts", "event_id", "value")
+    val joined = graft.plans.AsOfJoin.asof(
+      orders, events,
+      leftKey = orders("o_custkey"), rightKey = events("user_id"),
+      leftTime = orders("o_orderdate"), rightTime = events("ts"),
+      rightTieBreak = Seq(events("event_id")))
+    orderedByAll(
+      joined.select(
+        col("o_orderkey"),
+        coalesce(col("event_id"), lit(-1L)).as("last_event_id"),
+        coalesce(col("value"), lit(0.0)).as("last_value")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22, q43)
 }

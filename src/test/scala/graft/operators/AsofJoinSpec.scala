@@ -31,8 +31,24 @@ class AsofJoinSpec extends SharedSparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderdate")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
-    val out = WindowQueries.q09.run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
-    assert(out == List((100L, 12L, 3.0), (200L, -1L, 0.0), (300L, -1L, 0.0)))
+    for (q <- Seq(WindowQueries.q09, WindowQueries.q43)) {
+      val out = q.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      assert(out == List((100L, 12L, 3.0), (200L, -1L, 0.0), (300L, -1L, 0.0)), q.name)
+    }
+  }
+
+  test("native as-of exec equals union+window formulation on real data") {
+    val a = WindowQueries.q09.run(spark, sf001).collect().map(_.toSeq).toList
+    val b = WindowQueries.q43.run(spark, sf001).collect().map(_.toSeq).toList
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("native as-of plan contains AsOfJoinExec and one sort per side") {
+    val df = WindowQueries.q43.run(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(2000))
+    assert("(?i)sort".r.findAllIn(plan).size >= 2)
   }
 }
