@@ -95,4 +95,24 @@ class ParquetRowReaderSpec extends SharedSparkSpec {
     assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1000")
     assert(reader.getRows(Seq("field_2")).size == expected.size)
   }
+
+  test("type breadth: decimal, date, map, float-array round-trip (SURVEY §1)") {
+    val dir = tmpDir("typebreadth")
+    val df = spark.sql(
+      """SELECT id,
+        |  CAST(id * 1.5 AS DECIMAL(10,2)) AS dec,
+        |  DATE '2024-01-01' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS d,
+        |  map('k', id, 'k2', id * 2) AS m,
+        |  CAST(array(id * 1.0, id * 2.0) AS array<float>) AS emb
+        |FROM range(20)""".stripMargin)
+    df.write.mode("overwrite").parquet(dir)
+    val rows = ParquetRowReader.fromDataFrame(
+      spark.read.parquet(dir).orderBy("id")).getRows().toVector
+    assert(rows.size == 20)
+    val r5 = rows(5)
+    assert(r5("dec") == new java.math.BigDecimal("7.50"))
+    assert(r5("d") == java.sql.Date.valueOf("2024-01-06"))
+    assert(r5("m") == Map("k" -> 5L, "k2" -> 10L))
+    assert(r5("emb") == List(5.0f, 10.0f))
+  }
 }

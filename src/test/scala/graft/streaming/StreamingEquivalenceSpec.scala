@@ -26,4 +26,27 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup within watermark drops re-sent events") {
+    val t = new graft.Tables(spark, sf001)
+    val dir = tmpDir("streamdedup")
+    // batch 1 and batch 2 contain overlapping event_ids (a re-delivery)
+    val ev = t.events.select("event_id", "ts", "user_id")
+    ev.filter(org.apache.spark.sql.functions.col("event_id") < 600)
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    ev.filter(org.apache.spark.sql.functions.col("event_id").between(400, 999))
+      .coalesce(1).write.parquet(s"$dir/in/b2")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", "10 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 1000L).toSeq) // each event exactly once
+  }
 }
