@@ -239,5 +239,64 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q23, q26, q29, q31, q32, q33, q34, q36)
+  /** Redaction / scrubbing (the PII-scrub shape of a training pipeline):
+    * pattern-redact "sensitive" tokens, report per-language redaction
+    * volume. Patterns are trivial here (the corpus has no real PII) but the
+    * operator — global regexp rewrite + match counting, both codegen'd — is
+    * the real thing. */
+  val q44 = EngineQuery(
+    "q44_redact",
+    Some("""SELECT lang,
+           |  CAST(count(*) FILTER (WHERE regexp_matches(text, '\b(value|key)\b')) AS BIGINT)
+           |    AS docs_affected,
+           |  CAST(sum(len(regexp_extract_all(text, '\b(value|key)\b'))) AS BIGINT)
+           |    AS total_redactions,
+           |  CAST(sum(length(regexp_replace(text, '\b(value|key)\b', '[REDACTED]', 'g'))
+           |       - length(text)) AS BIGINT) AS added_chars
+           |FROM documents GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val pat = "\\b(value|key)\\b"
+    orderedByAll(
+      t.documents
+        .select(col("lang"),
+          regexp_count(col("text"), lit(pat)).as("hits"),
+          (length(regexp_replace(col("text"), pat, "[REDACTED]")) - length(col("text"))).as("delta"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_affected"),
+          sum(col("hits")).as("total_redactions"),
+          sum(col("delta").cast("long")).as("added_chars")))
+  }
+
+  /** Quality filtering: the q32 score applied as a survival threshold —
+    * the shape of a pre-training corpus filter pass. */
+  val q45 = EngineQuery(
+    "q45_quality_filter",
+    Some("""WITH scored AS (
+           |  SELECT lang,
+           |    least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 200.0)
+           |      * (1.0 - CAST(len(list_filter(string_split(text,' '),
+           |           x -> list_contains(['the','a','of','and','in','to'], x))) AS DOUBLE)
+           |         / CAST(len(string_split(text,' ')) AS DOUBLE)) AS score
+           |  FROM documents)
+           |SELECT lang,
+           |  CAST(count(*) FILTER (WHERE score >= 0.5) AS BIGINT) AS survivors,
+           |  CAST(count(*) AS BIGINT) AS total,
+           |  round(avg(score), 4) AS avg_score
+           |FROM scored GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val tk = toks(col("text"))
+    val nTok = size(tk)
+    val stops = Seq("the", "a", "of", "and", "in", "to")
+    val stopRatio = size(filter(tk, x => x.isin(stops: _*))).cast("double") / nTok.cast("double")
+    val score = least(lit(1.0), nTok.cast("double") / 200.0) * (lit(1.0) - stopRatio)
+    orderedByAll(
+      t.documents
+        .select(col("lang"), score.as("score"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("survivors"),
+          count(lit(1)).as("total"),
+          round4(avg(col("score"))).as("avg_score")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45)
 }

@@ -51,5 +51,32 @@ object StreamingQueries {
     aggShape(stream)
   }
 
-  val all: Seq[EngineQuery] = Seq(q21)
+  /** The custom-state sessionizer's per-session output, under the DuckDB
+    * oracle gate: flatMapGroupsWithState (batch mode) must reproduce the
+    * gaps-and-islands SQL exactly. */
+  val q46 = EngineQuery(
+    "q46_sessionize_stateful",
+    Some("""WITH x AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |              >= INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events),
+           |y AS (
+           |  SELECT user_id, ts,
+           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                  ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM x),
+           |s AS (SELECT user_id, sid, count(*) AS n, min(ts) AS mn, max(ts) AS mx
+           |      FROM y GROUP BY user_id, sid)
+           |SELECT user_id,
+           |  CAST(epoch_us(mn)//1000000 AS BIGINT) AS start_sec,
+           |  CAST(epoch_us(mx)//1000000 AS BIGINT) AS end_sec,
+           |  CAST(n AS BIGINT) AS n_events
+           |FROM s ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(StatefulSessionizer.sessionizeBatch(t.events, 30).toDF())
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46)
 }
