@@ -265,6 +265,28 @@ object RelationalQueries {
     orderedByAll(u.unionByName(i).unionByName(e))
   }
 
+  /** Full outer join with unmatched rows on BOTH sides: high-balance
+    * customers vs big-order customers. Output is null-free (coalesced key +
+    * membership flags) per the determinism rules. */
+  val q48 = EngineQuery(
+    "q48_join_full_outer",
+    Some("""WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+           |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 450000)
+           |SELECT coalesce(a.k, b.k) AS k,
+           |       CAST(CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS INT) AS in_rich,
+           |       CAST(CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS INT) AS in_big
+           |FROM a FULL OUTER JOIN b ON a.k = b.k ORDER BY ALL""".stripMargin)) { t =>
+    val a = t.customer.filter(col("c_acctbal") > 9000).select(col("c_custkey").as("ak"))
+    val b = t.orders.filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("bk")).distinct()
+    orderedByAll(
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(
+          coalesce(col("ak"), col("bk")).as("k"),
+          when(col("ak").isNull, 0).otherwise(1).as("in_rich"),
+          when(col("bk").isNull, 0).otherwise(1).as("in_big")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17, q48)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{EngineQuery, dsl}
 import graft.dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + exact/n-gram dedup operators over the `documents` table —
@@ -298,5 +299,41 @@ object TextQueries {
           round4(avg(col("score"))).as("avg_score")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45)
+  /** TF-IDF: term frequency per document × inverse document frequency over
+    * the corpus, averaged per language, top-3 terms each. Corpus size joins
+    * in as a broadcast 1-row aggregate (no driver collect); the df table is
+    * broadcast (|vocabulary| rows). */
+  val q47 = EngineQuery(
+    "q47_tfidf",
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term
+           |            FROM documents),
+           |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+           |dfx AS (SELECT term, count(*) AS dfn FROM tf GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |sc AS (SELECT lang, term,
+           |         avg(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(dfn AS DOUBLE))) AS s
+           |       FROM tf JOIN dfx USING (term) CROSS JOIN n GROUP BY lang, term),
+           |r AS (SELECT lang, term, s,
+           |        row_number() OVER (PARTITION BY lang ORDER BY s DESC, term) AS rn
+           |      FROM sc)
+           |SELECT lang, term, round(s, 4) AS tfidf, CAST(rn AS INT) AS rn
+           |FROM r WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)) { t =>
+    val tok = t.documents.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("dfn"))
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    val sc = tf
+      .join(broadcast(dfx), "term")
+      .crossJoin(broadcast(n))
+      .groupBy("lang", "term")
+      .agg(avg(col("tf").cast("double")
+        * log(col("n_docs").cast("double") / col("dfn").cast("double"))).as("s"))
+    val w = Window.partitionBy("lang").orderBy(col("s").desc, col("term"))
+    sc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("term"), round4(col("s")).as("tfidf"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47)
 }
