@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size reduce-side tasks by bytes, not by default parallelism:
+      // tiny shuffles coalesce to few full tasks (same knob that avoids
+      // 200-empty-task stages at 100 TB).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
