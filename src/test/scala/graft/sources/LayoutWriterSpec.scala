@@ -44,4 +44,35 @@ class LayoutWriterSpec extends SharedSparkSpec {
     val reader = ParquetRowReader.fromPath(spark, s"$dir/data", schema)
     assert(reader.getRows().size == t.nation.count())
   }
+
+  test("bucketed tables join with no shuffle exchange (co-located SMJ)") {
+    val t = new Tables(spark, sf001)
+    spark.conf.set("spark.sql.warehouse.dir", tmpDir("warehouse"))
+    LayoutWriter.writeBucketed(t.lineitem, "li_bkt", "l_orderkey", 8)
+    LayoutWriter.writeBucketed(t.orders, "ord_bkt", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() == t.lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dynamic partition pruning kicks in on a partitioned fact join") {
+    val t = new Tables(spark, sf001)
+    val dir = tmpDir("dpp")
+    LayoutWriter.writePartitioned(t.events, dir, Seq("event_type"))
+    val fact = spark.read.parquet(dir)
+    // tiny dim: one selected event type
+    val dim = spark.createDataFrame(Seq(("purchase", 1))).toDF("et", "flag")
+    val joined = fact.join(dim, col("event_type") === col("et"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+    val expected = t.events.filter(col("event_type") === "purchase").count()
+    assert(joined.count() == expected)
+  }
 }
