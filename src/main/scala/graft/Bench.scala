@@ -26,15 +26,25 @@ object Bench {
         .withColumn("r", row_number().over(Window.partitionBy("n_regionkey").orderBy("count")))
         .count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // (time, error): a failing query must be VISIBLE in the bench JSON, not
+    // silently contribute a bogus duration.
+    val results: Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,19 +20,30 @@ final class Tables(val spark: SparkSession, val dir: String) {
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
-  def region: DataFrame     = t("region")
-  def nation: DataFrame     = t("nation")
-  def customer: DataFrame   = t("customer")
-  def supplier: DataFrame   = t("supplier")
-  def part: DataFrame       = t("part")
-  def orders: DataFrame     = t("orders")
-  def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = Tables.nanosToMicros(t("events"), "ts")
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  // lazy vals: file listing + footer/schema read happen once per table per
+  // Tables instance; with Tables.forPath that is once per (session, dir) —
+  // a 47-query bench run otherwise pays the footer read 47× per table.
+  lazy val region: DataFrame     = t("region")
+  lazy val nation: DataFrame     = t("nation")
+  lazy val customer: DataFrame   = t("customer")
+  lazy val supplier: DataFrame   = t("supplier")
+  lazy val part: DataFrame       = t("part")
+  lazy val orders: DataFrame     = t("orders")
+  lazy val lineitem: DataFrame   = t("lineitem")
+  lazy val events: DataFrame     = Tables.nanosToMicros(t("events"), "ts")
+  lazy val documents: DataFrame  = t("documents")
+  lazy val embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Tables]()
+
+  /** Memoized Tables per (session, data dir): all queries of a run share one
+    * set of resolved DataFrames instead of re-reading parquet footers. */
+  def forPath(spark: SparkSession, dir: String): Tables =
+    instances.computeIfAbsent((spark, dir), _ => new Tables(spark, dir))
+
   /** Lower a nanos-as-long column to a microsecond timestamp (exact long
     * division — nanos ≈ 1.7e18 exceed double precision, so no `/`). */
   def nanosToMicros(df: DataFrame, c: String): DataFrame =
@@ -98,5 +109,5 @@ object dsl {
 final case class EngineQuery(name: String, oracle: Option[String])(
     body: Tables => DataFrame) {
   def run(spark: SparkSession, sfDir: String): DataFrame =
-    body(new Tables(spark, sfDir))
+    body(Tables.forPath(spark, sfDir))
 }

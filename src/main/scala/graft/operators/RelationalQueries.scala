@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Monotonic suffix for q12's per-invocation temp-view names. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val q01 = EngineQuery(
     "q01_scan_project",
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -202,19 +205,27 @@ object RelationalQueries {
     // ambiguous-self-join detector on the Expand's duplicated grouping
     // attributes (SPARK analyzer quirk), so this one goes through the SQL
     // front end — same Catalyst plan, same Expand+partial-agg execution.
-    t.customer.createOrReplaceTempView("g_customer")
-    t.nation.createOrReplaceTempView("g_nation")
-    t.region.createOrReplaceTempView("g_region")
-    orderedByAll(
-      t.spark.sql(
-        """SELECT coalesce(r_name, 'ALL') AS r_name,
-          |       coalesce(n_name, 'ALL') AS n_name,
-          |       round(sum(c_acctbal), 4) AS acct_sum,
-          |       CAST(grouping_id() AS INT) AS gid
-          |FROM g_customer
-          |JOIN g_nation ON c_nationkey = n_nationkey
-          |JOIN g_region ON n_regionkey = r_regionkey
-          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin))
+    // View names are unique per invocation (concurrent q12 runs on one
+    // session must not clobber each other) and dropped once the plan is
+    // analyzed — spark.sql resolves views eagerly, so the returned
+    // DataFrame no longer needs them.
+    val id = RelationalQueries.viewSeq.incrementAndGet()
+    val (vc, vn, vr) = (s"g_customer_$id", s"g_nation_$id", s"g_region_$id")
+    t.customer.createOrReplaceTempView(vc)
+    t.nation.createOrReplaceTempView(vn)
+    t.region.createOrReplaceTempView(vr)
+    try {
+      orderedByAll(
+        t.spark.sql(
+          s"""SELECT coalesce(r_name, 'ALL') AS r_name,
+             |       coalesce(n_name, 'ALL') AS n_name,
+             |       round(sum(c_acctbal), 4) AS acct_sum,
+             |       CAST(grouping_id() AS INT) AS gid
+             |FROM $vc
+             |JOIN $vn ON c_nationkey = n_nationkey
+             |JOIN $vr ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin))
+    } finally Seq(vc, vn, vr).foreach(t.spark.catalog.dropTempView)
   }
 
   val q13 = EngineQuery(

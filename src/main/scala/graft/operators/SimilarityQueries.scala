@@ -34,8 +34,12 @@ object SimilarityQueries {
 
   val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
     // The shingle table feeds three plan branches (signatures + two
-    // verification joins); cache it once instead of re-shingling the corpus.
-    val base = shingled(t.documents).cache()
+    // verification joins). Deliberately NOT cached: pinning the exploded
+    // shingle set of a 100 TB corpus is not viable, and recomputing it from
+    // the parquet scan per branch is cheap relative to the joins. The
+    // verification joins see only the candidate pairs (a tiny fraction of
+    // the corpus after LSH banding), so the re-shingle cost is bounded.
+    val base = shingled(t.documents)
     // 64 seeded min-hashes per doc in ONE pass: two base hashes per shingle
     // feed the double-hashing family g_i = h1 + i*h2 inside a typed
     // Aggregator whose Array[Long] buffer partial-merges map-side.

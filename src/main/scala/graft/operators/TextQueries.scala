@@ -18,14 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Exact dedup by normalized key (first 10 tokens). Survivor per duplicate
-    * group = min doc_id — deterministic, unlike dropDuplicates' arbitrary
-    * row pick. Reported as surviving-doc count per language of the survivor.
+  /** Exact dedup by normalized full text `lower(trim(text))` (SURVEY §2 key).
+    * Survivor per duplicate group = min doc_id — deterministic, unlike
+    * dropDuplicates' arbitrary row pick. Reported as surviving-doc count per
+    * language of the survivor. At 100 TB the groupBy key would be
+    * sha2(normalized_text) to shuffle 32-byte digests instead of documents;
+    * the semantics are identical, so the readable form is kept here.
     */
   val q23 = EngineQuery(
     "q23_dedup_exact",
-    Some("""WITH k AS (SELECT doc_id, lang,
-           |            array_to_string((string_split(text, ' '))[1:10], ' ') AS key
+    Some("""WITH k AS (SELECT doc_id, lang, lower(trim(text)) AS key
            |           FROM documents),
            |     s AS (SELECT min(doc_id) AS keep_id FROM k GROUP BY key)
            |SELECT lang, CAST(count(*) AS BIGINT) AS survivors
@@ -33,7 +35,7 @@ object TextQueries {
            |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
     val keyed = t.documents.select(
       col("doc_id"), col("lang"),
-      concat_ws(" ", slice(toks(col("text")), 1, 10)).as("key"))
+      lower(trim(col("text"))).as("key"))
     val keep = keyed.groupBy("key").agg(min(col("doc_id")).as("keep_id"))
     orderedByAll(
       keyed
@@ -301,8 +303,9 @@ object TextQueries {
 
   /** TF-IDF: term frequency per document × inverse document frequency over
     * the corpus, averaged per language, top-3 terms each. Corpus size joins
-    * in as a broadcast 1-row aggregate (no driver collect); the df table is
-    * broadcast (|vocabulary| rows). */
+    * in as a broadcast 1-row aggregate (no driver collect). The tf⋈df join
+    * keys on term and is left to AQE: a web-scale vocabulary (10⁷–10⁸ terms)
+    * must NOT be broadcast, and a shuffle join on term is correct there. */
   val q47 = EngineQuery(
     "q47_tfidf",
     Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term
@@ -323,7 +326,7 @@ object TextQueries {
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("dfn"))
     val n = t.documents.agg(count(lit(1)).as("n_docs"))
     val sc = tf
-      .join(broadcast(dfx), "term")
+      .join(dfx, "term")
       .crossJoin(broadcast(n))
       .groupBy("lang", "term")
       .agg(avg(col("tf").cast("double")

@@ -98,6 +98,16 @@ case class AsOfJoinExec(
           }
           val tRow = lTimeProj(lRow)
           val tNull = tRow.isNullAt(0)
+          if (tNull) {
+            // A null left time matches nothing, regardless of scan state.
+            // Do NOT fall through to the merge loop: it must not observe (or
+            // emit) lastMatch for this row, and must not consume right rows
+            // whose times could match later non-null left times. (Sort order
+            // puts NULLS FIRST so no right row has been consumed for this
+            // key yet, but this branch keeps that invariant explicit rather
+            // than an accident of the ordering.)
+            resultProj(joined(lRow, nullRight))
+          } else {
           val t = tRow.copy()
           var advance = true
           while (advance && rBuf.hasNext) {
@@ -108,10 +118,10 @@ case class AsOfJoinExec(
               rBuf.next() // right key with no remaining left rows (or null key)
             } else if (c == 0) {
               val rt = rTimeProj(head)
-              if (!tNull && !rt.isNullAt(0) && timeOrd.compare(rt, t) <= 0) {
-                lastMatch = rBuf.next().copy()
-              } else if (rt.isNullAt(0)) {
+              if (rt.isNullAt(0)) {
                 rBuf.next() // null time never matches; consume
+              } else if (timeOrd.compare(rt, t) <= 0) {
+                lastMatch = rBuf.next().copy()
               } else {
                 advance = false
               }
@@ -120,6 +130,7 @@ case class AsOfJoinExec(
             }
           }
           resultProj(joined(lRow, if (lastMatch == null) nullRight else lastMatch))
+          }
         }
       }
     }

@@ -12,13 +12,9 @@ object AsOfJoinProps extends Properties("AsOfJoinExec") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(15)
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-asof-props")
-    .config("spark.sql.shuffle.partitions", "5")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Shared JVM-wide test session (static confs are decided by the first
+  // builder to run — see SharedSparkSpec scaladoc).
+  private lazy val spark: SparkSession = graft.SharedSparkSpec.session
 
   final case class L(lid: Long, k: Long, t: Long)
   final case class R(rid: Long, k: Long, t: Long, v: Double)
@@ -40,6 +36,56 @@ object AsOfJoinProps extends Properties("AsOfJoinExec") {
         .sortBy(r => (r.t, r.rid)).lastOption
       (l.lid, m.map(_.rid).getOrElse(-1L))
     }.toSet
+
+  // --- nullable-time variant: null left time matches nothing; null right
+  //     time is never a match candidate. Guards the explicit tNull branch in
+  //     AsOfJoinExec (a regression there would make a null-time left row
+  //     inherit lastMatch from the previous same-key row).
+  final case class LN(lid: Long, k: Long, t: Option[Long])
+  final case class RN(rid: Long, k: Long, t: Option[Long], v: Double)
+
+  private val genOptTime: Gen[Option[Long]] =
+    Gen.frequency(1 -> Gen.const(None), 4 -> Gen.chooseNum(0L, 50L).map(Some(_)))
+
+  private val genLeftN: Gen[List[(Long, Option[Long])]] = for {
+    n <- Gen.chooseNum(0, 30)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 5L), genOptTime))
+  } yield rows
+
+  private val genRightN: Gen[List[(Long, Option[Long])]] = for {
+    n <- Gen.chooseNum(0, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 5L), genOptTime))
+  } yield rows
+
+  private def expectedN(ls: Seq[LN], rs: Seq[RN]): Set[(Long, Long)] =
+    ls.map { l =>
+      val m = l.t match {
+        case None => None
+        case Some(lt) =>
+          rs.filter(r => r.k == l.k && r.t.exists(_ <= lt))
+            .sortBy(r => (r.t.get, r.rid)).lastOption
+      }
+      (l.lid, m.map(_.rid).getOrElse(-1L))
+    }.toSet
+
+  property("null times: left-null matches nothing, right-null never matches") =
+    Prop.forAll(genLeftN, genRightN) { (lRaw, rRaw) =>
+      import spark.implicits._
+      val ls = lRaw.zipWithIndex.map { case ((k, t), i) => LN(i.toLong, k, t) }
+      val rs = rRaw.zipWithIndex.map { case ((k, t), i) => RN(i.toLong, k, t, i / 2.0) }
+      val lDf = ls.toDF()
+      val rDf = rs.toDF()
+      val out = AsOfJoin.asof(
+        lDf, rDf,
+        leftKey = lDf("k"), rightKey = rDf("k"),
+        leftTime = lDf("t"), rightTime = rDf("t"),
+        rightTieBreak = Seq(rDf("rid")))
+      val got = out.select(
+        lDf("lid"), org.apache.spark.sql.functions.coalesce(
+          rDf("rid"), org.apache.spark.sql.functions.lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expectedN(ls, rs)
+    }
 
   property("native as-of equals reference model") =
     Prop.forAll(genLeft, genRight) { (lRaw, rRaw) =>

@@ -47,7 +47,7 @@ class LayoutWriterSpec extends SharedSparkSpec {
 
   test("bucketed tables join with no shuffle exchange (co-located SMJ)") {
     val t = new Tables(spark, sf001)
-    spark.conf.set("spark.sql.warehouse.dir", tmpDir("warehouse"))
+    // warehouse dir is preset at session build (static conf, SharedSparkSpec)
     LayoutWriter.writeBucketed(t.lineitem, "li_bkt", "l_orderkey", 8)
     LayoutWriter.writeBucketed(t.orders, "ord_bkt", "o_orderkey", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -67,8 +67,15 @@ class LayoutWriterSpec extends SharedSparkSpec {
     val dir = tmpDir("dpp")
     LayoutWriter.writePartitioned(t.events, dir, Seq("event_type"))
     val fact = spark.read.parquet(dir)
-    // tiny dim: one selected event type
-    val dim = spark.createDataFrame(Seq(("purchase", 1))).toDF("et", "flag")
+    // DPP requires a *selective filter* on a file-backed dim side: Spark only
+    // inserts the dynamicpruning subquery when the other join side is filtered
+    // (and, under reuseBroadcastOnly, will be broadcast). A bare 1-row
+    // LocalTableScan dim never qualifies.
+    val dimDir = tmpDir("dppdim")
+    t.events.select(col("event_type").as("et")).distinct()
+      .withColumn("flag", when(col("et") === "purchase", 1).otherwise(0))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("flag") === 1)
     val joined = fact.join(dim, col("event_type") === col("et"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))

@@ -13,13 +13,9 @@ object RoundtripProps extends Properties("ParquetRoundtrip") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-props")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Shared JVM-wide test session (static confs are decided by the first
+  // builder to run — see SharedSparkSpec scaladoc).
+  private lazy val spark: SparkSession = graft.SharedSparkSpec.session
 
   final case class PRow(k: Long, s: String, d: Double, tags: Seq[Long])
 
