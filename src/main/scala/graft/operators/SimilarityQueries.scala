@@ -209,5 +209,56 @@ object SimilarityQueries {
         .select(col("vec_a"), col("vec_b"), col("cos_sim")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38)
+  /** Random-hyperplane LSH parameters for q49. 32 signed projections → 8
+    * bands × 4 bits. Seeded Gaussian planes: fully deterministic output.
+    * At this corpus size 4-bit bands (16 buckets/band) keep recall high
+    * (P[candidate | cos=0.4] ≈ 0.75); at 10⁹ vectors the same code runs
+    * with 12–16-bit bands (more, narrower buckets → fewer candidate pairs
+    * per band at the cost of more bands for the same recall). */
+  private val HyperPlanes = 32
+  private val HpBandBits = 4
+  private val HpBands = HyperPlanes / HpBandBits
+  private lazy val planes: IndexedSeq[Seq[Double]] = {
+    val rng = new scala.util.Random(20260812L)
+    IndexedSeq.fill(HyperPlanes)(Seq.fill(64)(rng.nextGaussian()))
+  }
+
+  /** q49: embedding near-dup via hyperplane LSH — the UNBLOCKED scale path
+    * q38's scaladoc promises (q38 blocks by `label`, which is a stand-in:
+    * block size is unbounded in the number of same-label vectors). Here the
+    * blocking key is data-derived: sign of the dot product against 32 seeded
+    * Gaussian hyperplanes, banded 8×4 bits; near-identical vectors agree on
+    * most signs, so they collide in ≥1 band with high probability. Exact
+    * cosine verification runs on candidates only — precision is exact, only
+    * recall is approximate (so no SQL oracle; recall vs the brute-force pair
+    * set is asserted in ScalaTest, like q37 vs q25).
+    */
+  val q49 = EngineQuery("q49_embed_neardup_lsh", None) { t =>
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    // 32 sign bits, one per hyperplane, from a double-precision dot product.
+    val bits = planes.map(p => dsl.dot(col("embedding"), typedlit(p)) > 0)
+    // Pack each 4-bit run into a band-local bucket id.
+    val bandCols = (0 until HpBands).map { b =>
+      val bh = (0 until HpBandBits)
+        .map(i => when(bits(b * HpBandBits + i), lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
+    val bands = e
+      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("x"))
+      .select(col("vec_id"), col("embedding"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.as("l")
+      .join(bands.as("r"), Seq("band", "bh"))
+      .filter(col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("l.embedding").as("ea"),
+        col("r.vec_id").as("vec_b"), col("r.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+    orderedByAll(
+      cand
+        .withColumn("cos_sim", round4(cosine(col("ea"), col("eb"))))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49)
 }

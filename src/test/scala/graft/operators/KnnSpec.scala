@@ -25,6 +25,35 @@ class KnnSpec extends SharedSparkSpec {
     }
   }
 
+  test("q49 hyperplane-LSH near-dup: exact precision, recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val lsh = SimilarityQueries.q49.run(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Brute-force truth: every unblocked pair with round4(cos) >= 0.4.
+    val t = new graft.Tables(spark, sf001)
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val brute = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4))
+      .filter(col("cos_sim") >= 0.4)
+      .select("vec_a", "vec_b", "cos_sim")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Precision is exact by construction (candidates are verified with the
+    // same cosine + rounding as the truth set).
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (k, v) => assert(brute(k) == v) }
+    assert(brute.nonEmpty, "fixture has no cos>=0.4 pairs; recall undefined")
+    val recall = lsh.size.toDouble / brute.size
+    info(f"hyperplane-LSH recall vs brute force (cos>=0.4, n=${brute.size}): $recall%.2f")
+    // 8 bands x 4 bits gives P[collide | cos=0.4] ~ 0.75, higher above it.
+    assert(recall >= 0.5)
+    // Determinism: seeded planes, same result on a second run.
+    val again = SimilarityQueries.q49.run(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(again == lsh)
+  }
+
   test("q37 IVF: same shape, deterministic, reports recall vs brute force") {
     val ivf = topk(SimilarityQueries.q37.run(spark, sf001))
     val ivf2 = topk(SimilarityQueries.q37.run(spark, sf001))

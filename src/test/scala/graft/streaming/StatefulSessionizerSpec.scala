@@ -56,5 +56,8 @@ class StatefulSessionizerSpec extends SharedSparkSpec {
     val got = asSet(spark.table("sessions_out").as[StatefulSessionizer.Sess])
       .filter(_._1 >= 0) // drop the sentinel user
     assert(got == expectedSessions(events))
+    // and directly against the oracled q46 batch path (end-to-end twin,
+    // mirroring q21's streaming-equivalence test)
+    assert(got == asSet(StatefulSessionizer.sessionizeBatch(events, 30)))
   }
 }
