@@ -18,9 +18,10 @@ import scala.jdk.CollectionConverters._
   *  - `get_rows(columns)` projection + lazy row-dict iteration
   *    (reader.py:90-97)                              → [[ParquetRowReader.getRows]]
   *  - `get_rows_with_args(**kwargs)` expert knobs (reader.py:47-49):
-  *    batch_size ↔ spark.sql.parquet.columnarReaderBatchSize, readahead ↔
-  *    Spark task pipelining, use_threads ↔ master threads — session-level
-  *    concerns in Spark, documented here rather than re-surfaced per-call.
+  *    batch_size ↔ spark.sql.parquet.columnarReaderBatchSize,
+  *    fragment_readahead ↔ spark.sql.files.openCostInBytes/maxPartitionNum,
+  *    use_threads ↔ master threads. [[ParquetRowReader.tuned]] scopes them
+  *    per reader (child session), matching the reference's per-call scoping.
   *
   * Semantics note (SURVEY.md §0.1): the reference's generator yields one
   * shared, repeatedly-overwritten dict per batch (`records = [{}] * n`,
@@ -57,30 +58,43 @@ final class ParquetRowReader private (val df: DataFrame) {
 object ParquetRowReader {
 
   /** The reference's `get_rows_with_args` resource knobs (reader.py:47-49,
-    * README.md:76-83), mapped to their Spark scan controls. Arrow scopes
-    * these per call; Spark scopes them per session, so [[tuned]] applies
-    * them to the session before building a reader.
+    * README.md:76-83), mapped to their Spark scan controls.
     *
     *  - `batchSize` ↔ Arrow `batch_size` (rows per columnar batch) ↔
     *    `spark.sql.parquet.columnarReaderBatchSize` (default 4096)
     *  - `maxPartitionBytes` ↔ the scan's per-task input split — the knob
     *    that bounds executor memory per task at 100 TB
-    *  - readahead (`batch_readahead`/`fragment_readahead`) has no direct
-    *    equivalent: Spark pipelines batches inside whole-stage codegen and
-    *    schedules fragment parallelism via tasks
+    *  - `openCostInBytes` ↔ `fragment_readahead` (reader.py:95): how
+    *    aggressively small files pack into one task — a LOWER open cost
+    *    packs more fragments per task (more effective readahead), a higher
+    *    one spreads them across tasks
+    *  - `maxPartitionNum` bounds the total split count (the global
+    *    fragment-parallelism ceiling); `batch_readahead` itself has no
+    *    analogue — Spark pipelines batches inside whole-stage codegen
     *  - `use_threads=False` ↔ `master("local[1]")` — a session-level choice
     */
   final case class ScanTuning(
       batchSize: Int = 4096,
       maxPartitionBytes: String = "128m",
-      ignoreCorruptFiles: Boolean = false)
+      ignoreCorruptFiles: Boolean = false,
+      openCostInBytes: Option[String] = None,
+      maxPartitionNum: Option[Int] = None)
 
-  /** Apply scan tuning to the session, then build a reader (A5 parity). */
+  /** Build a reader with `tuning` scoped to THAT READER ONLY (A5 parity).
+    * The reference scopes knobs per `get_rows_with_args` call; a shared
+    * SQLConf mutation would leak them into every other reader on the
+    * session. `newSession()` is Spark's isolation mechanism for exactly
+    * this: a child session with its own SQLConf over the same SparkContext
+    * (same executors, same cached blocks), so the tuned confs die with the
+    * reader and the caller's session is never touched. */
   def tuned(spark: SparkSession, tuning: ScanTuning, path: String*): ParquetRowReader = {
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", tuning.batchSize.toString)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", tuning.maxPartitionBytes)
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", tuning.ignoreCorruptFiles.toString)
-    fromPath(spark, path: _*)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.parquet.columnarReaderBatchSize", tuning.batchSize.toString)
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", tuning.maxPartitionBytes)
+    scoped.conf.set("spark.sql.files.ignoreCorruptFiles", tuning.ignoreCorruptFiles.toString)
+    tuning.openCostInBytes.foreach(scoped.conf.set("spark.sql.files.openCostInBytes", _))
+    tuning.maxPartitionNum.foreach(n => scoped.conf.set("spark.sql.files.maxPartitionNum", n.toString))
+    fromPath(scoped, path: _*)
   }
 
   /** Reference `from_path`: file, directory, or list — one logical table. */

@@ -88,11 +88,21 @@ class ParquetRowReaderSpec extends SharedSparkSpec {
     assert(reader.getRows().size == expected.size)
   }
 
-  test("row reader: A5 scan-tuning knobs apply and read correctly") {
+  test("row reader: A5 scan-tuning knobs apply per reader, not per session") {
     val (paths, expected) = writeDataset(Seq(10, 10, 7))
+    val before = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
     val reader = ParquetRowReader.tuned(
-      spark, ParquetRowReader.ScanTuning(batchSize = 1000, ignoreCorruptFiles = true), paths: _*)
-    assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1000")
+      spark,
+      ParquetRowReader.ScanTuning(
+        batchSize = 1000, ignoreCorruptFiles = true,
+        openCostInBytes = Some("1m"), maxPartitionNum = Some(16)),
+      paths: _*)
+    // knobs hit the reader's scoped session...
+    val scoped = reader.df.sparkSession
+    assert(scoped.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1000")
+    assert(scoped.conf.get("spark.sql.files.openCostInBytes") == "1m")
+    // ...and do NOT leak into the caller's session (reference scopes per call)
+    assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == before)
     assert(reader.getRows(Seq("field_2")).size == expected.size)
   }
 
