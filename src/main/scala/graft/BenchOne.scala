@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local micro-bench: time ONE query N times in a single JVM/session.
+  * Usage: graft.BenchOne <queryName> <sfDir> [n=3]. Complements Bench (the
+  * driver's whole-suite run) for per-query plan iteration — run-to-run
+  * variance on a busy box makes single whole-suite timings unreliable.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val rows = fn(spark, sfDir).count()
+      println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($rows rows)")
+    }
+    spark.stop()
+  }
+}

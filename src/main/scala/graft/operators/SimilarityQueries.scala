@@ -33,12 +33,11 @@ object SimilarityQueries {
       .select(col("doc_id"), shingles(col("tk"), 5).as("sh"))
 
   val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
-    // The shingle table feeds three plan branches (signatures + two
-    // verification joins). Deliberately NOT cached: pinning the exploded
-    // shingle set of a 100 TB corpus is not viable, and recomputing it from
-    // the parquet scan per branch is cheap relative to the joins. The
-    // verification joins see only the candidate pairs (a tiny fraction of
-    // the corpus after LSH banding), so the re-shingle cost is bounded.
+    // The shingle table feeds the signature branch and the verification
+    // fetch. Deliberately NOT cached: pinning the shingle set of a 100 TB
+    // corpus is not viable. What IS persisted below is bounded by the LSH
+    // candidate set (id pairs + candidate docs' shingles) — a tiny fraction
+    // of the corpus by construction.
     val base = shingled(t.documents)
     // 64 seeded min-hashes per doc in ONE pass: two base hashes per shingle
     // feed the double-hashing family g_i = h1 + i*h2 inside a typed
@@ -57,15 +56,34 @@ object SimilarityQueries {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val cand = bands.as("l")
+    // Candidate id pairs are persisted: they feed the doc-id fetch AND the
+    // final verification join, and re-deriving them would re-run the band
+    // self-join. Bounded by the candidate count, never the corpus.
+    // hint("merge"): a broadcast self-join would compute the signature
+    // pipeline TWICE (no exchange reuse under BroadcastExchange, confirmed
+    // in PLANS.md) and could not broadcast a 10⁹-doc signature table anyway;
+    // sort-merge makes both sides' shuffles identical → ReusedExchange runs
+    // the sig aggregation once.
+    val cand = bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .persist()
+    // ONE more corpus pass fetches the shingle sets of just the docs that
+    // appear in a candidate pair; persisted because both verification join
+    // sides read it. (The previous formulation joined the full corpus
+    // shingle table twice — two corpus-wide shuffles of document-sized
+    // arrays, or a corpus-wide cache. Persisting the candidate-restricted
+    // slice is the 100 TB-safe middle: memory bounded by |candidates|.)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val candSh = base.join(candDocs, Seq("doc_id")).persist()
     // Exact Jaccard verification on candidates only.
     val verified = cand
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double"))
@@ -134,7 +152,9 @@ object SimilarityQueries {
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
     val bands = sh.select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("sim"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val pairs = bands.as("l")
+    // merge hint: identical shuffle on both sides → the SimHash signature
+    // aggregation is computed once and reused (see q24 comment).
+    val pairs = bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
@@ -218,9 +238,9 @@ object SimilarityQueries {
   private val HyperPlanes = 32
   private val HpBandBits = 4
   private val HpBands = HyperPlanes / HpBandBits
-  private lazy val planes: IndexedSeq[Seq[Double]] = {
+  private lazy val planes: IndexedSeq[Double] = {
     val rng = new scala.util.Random(20260812L)
-    IndexedSeq.fill(HyperPlanes)(Seq.fill(64)(rng.nextGaussian()))
+    IndexedSeq.fill(HyperPlanes * 64)(rng.nextGaussian())
   }
 
   /** q49: embedding near-dup via hyperplane LSH — the UNBLOCKED scale path
@@ -235,26 +255,33 @@ object SimilarityQueries {
     */
   val q49 = EngineQuery("q49_embed_neardup_lsh", None) { t =>
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
-    // 32 sign bits, one per hyperplane, from a double-precision dot product.
-    val bits = planes.map(p => dsl.dot(col("embedding"), typedlit(p)) > 0)
-    // Pack each 4-bit run into a band-local bucket id.
-    val bandCols = (0 until HpBands).map { b =>
-      val bh = (0 until HpBandBits)
-        .map(i => when(bits(b * HpBandBits + i), lit(1 << i)).otherwise(lit(0)))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), bh.as("bh"))
-    }
-    val bands = e
-      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("x"))
-      .select(col("vec_id"), col("embedding"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val cand = bands.as("l")
+    // All 32 sign bits in ONE codegen'd pass, packed into a long.
+    val sigs = e.select(col("vec_id"),
+      graft.functions.HyperplaneSignature(col("embedding"), planes, 64).as("sig"))
+    // Band b's bucket id = bits [4b, 4b+4) of the signature.
+    val bandCols = (0 until HpBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * HpBandBits).bitwiseAND(lit((1 << HpBandBits) - 1)).as("bh")))
+    val bands = sigs
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    // Candidates are deduped as BARE id pairs — the band self-join and the
+    // duplicate-elimination shuffle move two longs per row, never the
+    // embedding payload (at 10⁹ vectors the payload through this shuffle is
+    // what kills the naive formulation). Embeddings re-join only for the
+    // deduped candidates (AQE broadcasts the corpus side at small scale; at
+    // 100 TB both are shuffle joins keyed on vec_id, which is correct).
+    // merge hint: identical shuffle on both sides → the signature scan is
+    // computed once and reused (see q24 comment).
+    val cand = bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
       .filter(col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("l.embedding").as("ea"),
-        col("r.vec_id").as("vec_b"), col("r.embedding").as("eb"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
     orderedByAll(
       cand
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
         .withColumn("cos_sim", round4(cosine(col("ea"), col("eb"))))
         .filter(col("cos_sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos_sim")))
