@@ -338,5 +338,71 @@ object TextQueries {
       .orderBy(col("lang"), col("rn"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47)
+  /** Benchmark decontamination: drop/flag training documents that share any
+    * 8-token shingle with the held-out eval set (here: `source = 'src0'`
+    * stands in for the benchmark corpus). The eval shingle set is BOUNDED BY
+    * THE BENCHMARK SIZE — tiny relative to the training corpus — so the
+    * explicit broadcast is the correct 100 TB plan: the training corpus
+    * streams map-side through a broadcast hash join, no corpus shuffle.
+    * Output: contaminated doc + how many 8-gram shingles it shares.
+    */
+  val q50 = EngineQuery(
+    "q50_decontaminate",
+    Some("""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+           |           FROM documents),
+           |s AS (SELECT doc_id, lang, source, array_to_string(tk[i:i+7], ' ') AS sh
+           |      FROM t, unnest(generate_series(1, len(tk)-7)) AS u(i)
+           |      WHERE len(tk) >= 8),
+           |sd AS (SELECT DISTINCT doc_id, lang, source, sh FROM s),
+           |ev AS (SELECT DISTINCT sh FROM sd WHERE source = 'src0')
+           |SELECT sd.doc_id, sd.lang, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM sd JOIN ev USING (sh) WHERE sd.source <> 'src0'
+           |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    val sh = t.documents
+      .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(shingles(col("tk"), 8)).as("sh"))
+    val ev = sh.filter(col("source") === "src0").select("sh").distinct()
+    orderedByAll(
+      sh.filter(col("source") =!= "src0")
+        .join(broadcast(ev), "sh")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_hits")))
+  }
+
+  /** Gopher/C4-style repetitiousness signal: per-document bigram counts —
+    * total vs distinct. Reported as integers (n_bigrams, n_repeated) rather
+    * than a rounded ratio: ratios with power-of-two denominators land
+    * exactly on the .xxxx5 boundary where Spark and DuckDB round() diverge
+    * (SURVEY §7.4.2), while counts are exact on both engines. Map-only: one
+    * scan, per-row array ops, one aggregation-free projection.
+    */
+  val q51 = EngineQuery(
+    "q51_repetition",
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+           |           FROM documents),
+           |g AS (SELECT doc_id, lang,
+           |        len(tk) - 1 AS n_bigrams,
+           |        len(list_distinct(list_transform(generate_series(1, len(tk)-1),
+           |          i -> array_to_string(tk[i:i+1], ' ')))) AS n_distinct
+           |      FROM t WHERE len(tk) >= 2)
+           |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |       CAST(n_bigrams - n_distinct AS BIGINT) AS n_repeated
+           |FROM g ORDER BY ALL""".stripMargin)) { t =>
+    val g = t.documents
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("n_bigrams", (size(col("tk")) - 1).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", slice(col("tk"), i, lit(2)))))).cast("long"))
+    orderedByAll(
+      g.select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (col("n_bigrams") - col("n_distinct")).as("n_repeated")))
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51)
 }
