@@ -78,5 +78,61 @@ object StreamingQueries {
     orderedByAll(StatefulSessionizer.sessionizeBatch(t.events, 30).toDF())
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46)
+  /** Interval join: each purchase paired with the same user's views in the
+    * preceding hour. Batch form is the DuckDB-oracled contract; the
+    * Structured Streaming twin ([[intervalJoinStream]]) runs the same join
+    * stream-stream and is equivalence-tested. Scale design: an equi-join on
+    * user_id with a time-range residual — one shuffle per side on the join
+    * key; in streaming, the watermark + both-sided time bound let Spark
+    * evict join state older than watermark − 1h, so state is bounded by the
+    * per-hour event volume, which is what makes the join run forever.
+    */
+  val q52 = EngineQuery(
+    "q52_interval_join",
+    Some("""SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+           |FROM events p JOIN events v ON p.user_id = v.user_id
+           |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+           |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+           |ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(intervalJoinShape(t.events))
+  }
+
+  private def intervalJoinShape(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("v_id"))
+  }
+
+  /** Stream-stream twin of q52 over a staged file source: both sides
+    * watermarked, inner join with a two-sided event-time bound — the shape
+    * whose join state Spark can evict by watermark. */
+  def intervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    def side = Tables.nanosToMicros(
+      spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
+    val p = side.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = side.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("v_id"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46, q52)
 }

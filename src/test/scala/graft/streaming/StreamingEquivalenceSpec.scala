@@ -27,6 +27,24 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q52 stream-stream interval join equals batch result") {
+    val batch = StreamingQueries.q52.run(spark, sf001)
+      .collect().map(_.toSeq).toSet
+
+    val q = StreamingQueries.intervalJoinStream(spark, sf001)
+      .writeStream
+      .format("memory")
+      .queryName("q52_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("q52_stream_test").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops re-sent events") {
     val t = new graft.Tables(spark, sf001)
     val dir = tmpDir("streamdedup")
