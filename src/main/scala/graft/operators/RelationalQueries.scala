@@ -298,6 +298,55 @@ object RelationalQueries {
           when(col("bk").isNull, 0).otherwise(1).as("in_big")))
   }
 
+  /** CUBE over (lang, source): all four grouping sets in one pass via the
+    * same Expand + partial-aggregate execution as q12's ROLLUP. Single-table
+    * cube, so the DataFrame API is safe here (q12's analyzer quirk needs a
+    * join); `grouping_id` disambiguates the NULL-vs-'ALL' collapse exactly
+    * like the rollup. Shuffle volume is bounded by Σ|grouping-set groups|,
+    * not by 4× the input — the Expand happens before the partial agg. */
+  val q53 = EngineQuery(
+    "q53_cube",
+    Some("""SELECT coalesce(lang, 'ALL') AS lang,
+           |       coalesce(source, 'ALL') AS source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           |       CAST(grouping_id(lang, source) AS INT) AS gid
+           |FROM documents
+           |GROUP BY CUBE(lang, source) ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+          grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("chars_sum"), col("gid")))
+  }
+
+  /** Pivot via conditional aggregation — `count(when(...))` ≡ SQL
+    * `count(*) FILTER (...)`, one scan and one shuffle regardless of the
+    * number of pivot columns (Spark's `.pivot()` resolves to the same
+    * conditional-agg plan once the pivot values are known; spelling them
+    * out keeps the column set static, which the fixed-schema oracle compare
+    * needs anyway). */
+  val q54 = EngineQuery(
+    "q54_pivot",
+    Some("""SELECT source,
+           |       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+           |       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+           |       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+           |       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+           |       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh,
+           |       CAST(sum(n_chars) FILTER (lang = 'en') AS BIGINT) AS chars_en
+           |FROM documents GROUP BY source ORDER BY ALL""".stripMargin)) { t =>
+    def cnt(l: String) = count(when(col("lang") === l, 1)).as(s"n_$l")
+    orderedByAll(
+      t.documents.groupBy("source").agg(
+        cnt("en"), cnt("de"), cnt("es"), cnt("fr"), cnt("zh"),
+        sum(when(col("lang") === "en", col("n_chars"))).as("chars_en")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17, q48)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
+      q48, q53, q54)
 }

@@ -403,6 +403,41 @@ object TextQueries {
         (col("n_bigrams") - col("n_distinct")).as("n_repeated")))
   }
 
+  /** Fuzzy near-dup via edit distance, blocked: candidate pairs share
+    * (lang, first-2-token prefix), then levenshtein ≤ 25% of the shorter
+    * text confirms. Blocking is what makes this scale — the equi-join on
+    * the block key shuffles once and never goes all-pairs; edit distance
+    * (O(n·m) per pair) runs only inside blocks. The prefix block is the
+    * demo key; at 100 TB swap in a MinHash band or [[q34]]'s fingerprint
+    * as the block key — same join shape. Distances are exact ints on both
+    * engines (classic Levenshtein), so the oracle hash-matches.
+    */
+  val q55 = EngineQuery(
+    "q55_dedup_fuzzy",
+    Some("""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+           |           FROM documents),
+           |b AS (SELECT doc_id, lang, text,
+           |        array_to_string(tk[1:2], ' ') AS pfx FROM d),
+           |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang,
+           |        CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
+           |        least(len(a.text), len(c.text)) AS mn
+           |      FROM b a JOIN b c ON a.lang = c.lang AND a.pfx = c.pfx
+           |                       AND a.doc_id < c.doc_id)
+           |SELECT doc_a, doc_b, lang, dist FROM p
+           |WHERE dist * 4 <= mn ORDER BY ALL""".stripMargin)) { t =>
+    val b = t.documents.select(
+      col("doc_id"), col("lang"), col("text"),
+      concat_ws(" ", slice(toks(col("text")), 1, 2)).as("pfx"))
+    val a = b.select(col("doc_id").as("doc_a"), col("lang"), col("pfx"), col("text").as("ta"))
+    val c = b.select(col("doc_id").as("doc_b"), col("lang"), col("pfx"), col("text").as("tc"))
+    orderedByAll(
+      a.join(c, Seq("lang", "pfx"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tc")).cast("long"))
+        .filter(col("dist") * 4 <= least(length(col("ta")), length(col("tc"))))
+        .select(col("doc_a"), col("doc_b"), col("lang"), col("dist")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51)
+    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55)
 }
