@@ -346,7 +346,27 @@ object RelationalQueries {
         sum(when(col("lang") === "en", col("n_chars"))).as("chars_en")))
   }
 
+  /** Statistical aggregates per group — corr / sample covariance / sample
+    * stddev, all single-pass mergeable moments (partial aggregation
+    * map-side, like any sum): the shuffle carries O(|groups|) moment
+    * tuples, never rows. */
+  val q56 = EngineQuery(
+    "q56_stats_agg",
+    Some("""SELECT l_returnflag,
+           |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           |       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+           |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           |       round(avg(l_extendedprice), 4) AS avg_price
+           |FROM lineitem GROUP BY l_returnflag ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.lineitem.groupBy("l_returnflag").agg(
+        round4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        round4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"),
+        round4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        round4(avg(col("l_extendedprice"))).as("avg_price")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54)
+      q48, q53, q54, q56)
 }
