@@ -438,6 +438,29 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("lang"), col("dist")))
   }
 
+  /** Content-hash sampling (~20%): keep a document iff the first byte of
+    * md5(text) ≤ 0x32 (51/256 ≈ 19.9%). This — not rand() — is how a
+    * training mix is subsampled at scale: the decision is a pure function
+    * of content, so it is reproducible across reruns, repartitions, and
+    * engines, composable with other filters, and needs no seed plumbing.
+    * Map-only: the predicate evaluates inside the scan, nothing shuffles
+    * but the per-language report. Both engines produce identical lowercase
+    * md5 hex, so the sample set hash-matches exactly.
+    */
+  val q57 = EngineQuery(
+    "q57_hash_sample",
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents
+           |WHERE substr(md5(text), 1, 2) <= '32'
+           |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .filter(substring(md5(col("text").cast("binary")), 1, 2) <= "32")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55)
+    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55, q57)
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join — the whole-operator Catalyst extension path
   * (SURVEY.md §4.2 / §7.5.1 "performance option"): a custom LogicalPlan +
-  * Strategy + SparkPlan, injected via the public
-  * `spark.experimental.extraStrategies` hook.
+  * Strategy + SparkPlan. Production registration is
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (every session at
+  * build time); `AsOfJoin.register` wires the same strategy onto an
+  * existing session via `experimental.extraStrategies` for ad-hoc use.
   *
   * Semantics (identical to q09's union+window formulation and the DuckDB
   * LATERAL oracle): for each left row, the LAST right row of the same key

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{
+  Abs, And, Expression, Length, LessThanOrEqual, Levenshtein, Literal, Subtract}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Production registration path for the engine's Catalyst extensions —
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) wires them into EVERY
+  * session of the application at build time, where
+  * `AsOfJoin.register` / `experimental.extraOptimizations` are the
+  * per-session dev hooks the tests and ad-hoc sessions use. Same objects
+  * are injected either way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
+  }
+}
+
+/** Optimizer rule: in front of `levenshtein(a, b) <= k` (literal k) in a
+  * Filter, conjoin the cheap necessary condition
+  * `abs(length(a) - length(b)) <= k` — the length difference lower-bounds
+  * edit distance, and `And` short-circuits in both interpreted and
+  * generated code, so the O(|a|·|b|) dynamic program runs only on rows the
+  * guard cannot reject. On a blocked fuzzy-dedup join (q55's shape) most
+  * candidate pairs differ wildly in length; at 100 TB this turns the edit
+  * distance from the per-row cost into the per-survivor cost.
+  *
+  * Explicit recursion instead of `transformUp`: the rewrite leaves the
+  * original comparison in place, so a naive transform would re-match it on
+  * the optimizer's next fixed-point pass and stack guards forever. The
+  * already-guarded case is matched FIRST and left untouched, making the
+  * rule idempotent.
+  */
+object LevenshteinLengthGuard extends Rule[LogicalPlan] {
+
+  private def guard(a: Expression, b: Expression, k: Expression): Expression =
+    LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k)
+
+  private def rewrite(e: Expression): Expression = e match {
+    case And(g, cmp @ LessThanOrEqual(Levenshtein(a, b, None), k: Literal))
+        if g.semanticEquals(guard(a, b, k)) =>
+      And(g, cmp) // already guarded — do not descend, do not re-guard
+    case cmp @ LessThanOrEqual(Levenshtein(a, b, None), k: Literal) =>
+      And(guard(a, b, k), cmp)
+    case _ => e.mapChildren(rewrite)
+  }
+
+  // Both homes of a predicate: Filter, and Join conditions (the optimizer
+  // pushes filters into the join they apply across — q55's blocked
+  // fuzzy-join lands there).
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val rewritten = rewrite(cond)
+      if (rewritten.fastEquals(cond)) f else f.copy(condition = rewritten)
+    case j: Join if j.condition.isDefined =>
+      val cond = j.condition.get
+      val rewritten = rewrite(cond)
+      if (rewritten.fastEquals(cond)) j else j.copy(condition = Some(rewritten))
+  }
+}
