@@ -32,6 +32,62 @@ object LayoutWriter {
       .parquet(path)
   }
 
+  /** Z-order clustered write: globally sort by the Morton interleave of two
+    * key columns, with small-enough row groups that min/max statistics on
+    * BOTH columns prune. `ORDER BY a` gives perfect pruning on `a` and none
+    * on `b`; the Z-order layout trades a little of `a`'s locality for tight
+    * ranges on both — the right layout when a 100 TB fact table is filtered
+    * by either of two keys. The global sort is one range-partitioned
+    * shuffle, same cost class as any sorted write. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      maxRecordsPerFile: Long = 1000000L,
+      parquetBlockSize: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    // Normalize BOTH dimensions to 16-bit [0, 65535] before interleaving:
+    // raw interleave is dominated by whichever key spans more bits (a 32-bit
+    // orderkey's high bits all outrank a 16-bit partkey's), and the narrow
+    // key would never reach the top of the sort — observed as full-range
+    // min/max per row group, i.e. zero pruning. The min/max pass is one
+    // cheap aggregation (production Z-ORDER does the same with per-column
+    // range ids).
+    val b = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      ((col(c).cast("long") - lit(lo)) * lit(65535L)) / lit(span)
+    }
+    df.withColumn("__z", graft.functions.MortonCode(
+        norm(colA, b.getLong(0), b.getLong(1)).cast("long"),
+        norm(colB, b.getLong(2), b.getLong(3)).cast("long")))
+      .orderBy(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("parquet.block.size", parquetBlockSize)
+      .parquet(path)
+  }
+
+  /** Upsert by partition: with dynamic partition overwrite, an `overwrite`
+    * write replaces ONLY the directory partitions present in `df`, leaving
+    * every other partition untouched — the idiomatic parquet "merge" for
+    * partition-grained corrections (late data, reprocessed days) without a
+    * table format. The replace set is declared by the data itself, so the
+    * job is idempotent and retry-safe. */
+  def upsertPartitions(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed table write: pre-shuffle the data into `buckets` hash buckets
     * on the join key, sorted within buckets. Two tables bucketed the same
     * way join with NO exchange and NO sort — the co-located-join layout for

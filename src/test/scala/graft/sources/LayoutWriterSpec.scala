@@ -82,4 +82,72 @@ class LayoutWriterSpec extends SharedSparkSpec {
     val expected = t.events.filter(col("event_type") === "purchase").count()
     assert(joined.count() == expected)
   }
+
+  /** Rows a scan emits AFTER parquet row-group statistics pruning.
+    * collect(), not count(): count() builds a NEW QueryExecution (agg plan),
+    * leaving this Dataset's own scan metrics untouched. */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // populate THIS queryExecution's metrics
+    df.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value }
+      .sum
+  }
+
+  test("z-order layout prunes row groups on BOTH key columns") {
+    val li = new Tables(spark, sf001).lineitem
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = tmpDir("zorder")
+    val aDir = tmpDir("asort")
+    // tiny row groups so the 6k-row fixture yields many prunable groups
+    LayoutWriter.writeZOrdered(li, zDir, "l_orderkey", "l_partkey",
+      parquetBlockSize = 16 * 1024)
+    li.orderBy("l_orderkey").write.mode("overwrite")
+      .option("parquet.block.size", 16 * 1024).parquet(aDir)
+
+    val z = spark.read.parquet(zDir)
+    val a = spark.read.parquet(aDir)
+    assert(z.count() == li.count())
+
+    // a range filter on the SECONDARY key: the orderkey-sorted layout has no
+    // l_partkey locality, so stats prune (almost) nothing; the z-ordered
+    // layout keeps l_partkey ranges tight per row group.
+    val lo = 10L; val hi = 30L
+    def pred(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("l_partkey") >= lo && col("l_partkey") <= hi)
+    val expected = pred(li).count()
+    assert(pred(z).count() == expected)
+    assert(pred(a).count() == expected)
+    val zScanned = scannedRows(pred(z))
+    val aScanned = scannedRows(pred(a))
+    info(s"scanned rows after row-group pruning: z-order=$zScanned, single-col sort=$aScanned")
+    assert(zScanned < aScanned,
+      s"z-order should prune secondary-key scans (z=$zScanned, a=$aScanned)")
+    // and the primary key still prunes fine on the z-ordered layout
+    val zPrimary = scannedRows(z.filter(col("l_orderkey") <= 100))
+    assert(zPrimary < li.count())
+  }
+
+  test("dynamic partition overwrite upserts only the partitions present") {
+    val t = new Tables(spark, sf001)
+    val dir = tmpDir("upsert")
+    val base = t.events.select("event_id", "user_id", "event_type", "value")
+    LayoutWriter.writePartitioned(base, dir, Seq("event_type"))
+
+    // "reprocess" ONLY the purchase partition with corrected values
+    val corrected = base.filter(col("event_type") === "purchase")
+      .withColumn("value", lit(0.0))
+    LayoutWriter.upsertPartitions(corrected, dir, Seq("event_type"))
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == base.count()) // nothing lost, nothing duplicated
+    // purchases replaced...
+    assert(back.filter(col("event_type") === "purchase" && col("value") =!= 0.0).count() == 0)
+    // ...every other partition byte-identical in content
+    val others = back.filter(col("event_type") =!= "purchase")
+      .agg(sum("value")).collect().head.getDouble(0)
+    val expected = base.filter(col("event_type") =!= "purchase")
+      .agg(sum("value")).collect().head.getDouble(0)
+    assert(math.abs(others - expected) < 1e-9)
+  }
 }
