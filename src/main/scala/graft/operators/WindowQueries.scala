@@ -162,5 +162,75 @@ object WindowQueries {
         coalesce(col("value"), lit(0.0)).as("last_value")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22, q43)
+  /** Cohort retention: users grouped by first-activity week, counted as
+    * active per (cohort, week offset). Two aggregations on user_id — the
+    * cohort assignment and the weekly-active dedup — then one count-distinct
+    * per cell; all shuffles key on user_id so AQE reuses the exchange. Week
+    * offsets are exact integer arithmetic on epoch seconds (both engines
+    * truncate weeks to Monday), so the oracle hash-matches.
+    */
+  val q58 = EngineQuery(
+    "q58_cohort_retention",
+    Some("""WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+           |           FROM events GROUP BY 1),
+           |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+           |SELECT CAST(epoch_us(cohort)//1000000 AS BIGINT) AS cohort_sec,
+           |       CAST((epoch_us(wk)//1000000 - epoch_us(cohort)//1000000)//604800 AS INT)
+           |         AS week_offset,
+           |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+           |FROM a JOIN f USING (user_id)
+           |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    val f = t.events.groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+    val a = t.events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    orderedByAll(
+      a.join(f, "user_id")
+        .select(col("user_id"),
+          epochSec(col("cohort")).as("cohort_sec"),
+          expr("CAST((CAST(wk AS LONG) - CAST(cohort AS LONG)) DIV 604800 AS INT)")
+            .as("week_offset"))
+        .groupBy("cohort_sec", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users")))
+  }
+
+  /** Ordered funnel: signup → first click at-or-after it → first purchase
+    * at-or-after that. Each stage is a groupBy(user) min-timestamp plus one
+    * equi-join on user_id with a time residual — stages chain but every
+    * shuffle keys on user_id, so the funnel depth adds joins, not new
+    * partitionings. Single-row output (stage conversion counts).
+    */
+  val q59 = EngineQuery(
+    "q59_funnel",
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+           |       WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           |       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+           |       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after""".stripMargin)) { t =>
+    val ev = t.events
+    def stage(typ: String, prev: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts"))
+      val gated = prev match {
+        case None => base
+        case Some(p) => base.join(p, Seq("user_id")).filter(col("ts") >= col("t"))
+      }
+      gated.groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val s1 = stage("signup", None)
+    val s2 = stage("click", Some(s1))
+    val s3 = stage("purchase", Some(s2))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22, q43, q58, q59)
 }
