@@ -9,6 +9,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's own Catalyst extensions (as-of strategy + rules)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // Let AQE size reduce-side tasks by bytes, not by default parallelism:
       // tiny shuffles coalesce to few full tasks (same knob that avoids
