@@ -30,7 +30,7 @@ object Bench {
     }
     // (time, error): a failing query must be VISIBLE in the bench JSON, not
     // silently contribute a bogus duration.
-    val results: Seq[(String, Double, Option[String])] =
+    def pass(): Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
@@ -40,13 +40,23 @@ object Bench {
           }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
+    // Pass 1 (headline `value`/`queries`): first execution — includes each
+    // query's one-time plan+codegen compile, the honest single-shot number.
+    // Pass 2 (`queries_warm`/`total_warm`): steady-state latency once plans
+    // are compiled — the per-query cost a long-lived service actually pays,
+    // reported alongside because at this toy SF the ~0.3-0.7s compile floor
+    // dominates pass 1 and would otherwise be unreadable from one number.
+    val results = pass()
+    val warm = pass()
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val totalWarm = warm.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"total_warm":$totalWarm,"queries_warm":${qmap(warm)},"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
