@@ -39,15 +39,15 @@ object SimilarityQueries {
     // candidate set (id pairs + candidate docs' shingles) — a tiny fraction
     // of the corpus by construction.
     val base = shingled(t.documents)
-    // 64 seeded min-hashes per doc in ONE pass: two base hashes per shingle
-    // feed the double-hashing family g_i = h1 + i*h2 inside a typed
-    // Aggregator whose Array[Long] buffer partial-merges map-side.
-    val minhash = udaf(graft.functions.SketchAggregators.MinHashSigAgg)
+    // 64 seeded min-hashes per doc, MAP-ONLY: the shingle set is a bounded
+    // array column, so the signature is a pure per-row function — one fused
+    // codegen loop (double-hashing family g_i = h1 + i*h2), no explode
+    // (|corpus|×|shingles| intermediate rows), no groupBy shuffle. The
+    // typed-Aggregator formulation (SketchAggregators.MinHashSigAgg, parity
+    // -tested against this expression) remains for inputs that arrive as
+    // rows rather than arrays.
     val sigs = base
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
-      .groupBy("doc_id")
-      .agg(minhash(col("h1"), col("h2")).as("sig"))
+      .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
     // 16 bands × 4 rows: band hash = xxhash64 over the band's signature slice.
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -140,13 +140,11 @@ object SimilarityQueries {
     * covered by ScalaTest against brute-force hamming pairs.
     */
   val q35 = EngineQuery("q35_dedup_simhash", None) { t =>
-    val tok = t.documents
-      .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
-      .withColumn("h", xxhash64(lit(99), col("tk")))
-    // Bit-majority vote in one pass per doc (typed Aggregator, Array[Int]
-    // vote buffer) instead of 64 separate sum() expressions.
-    val simhashAgg = udaf(graft.functions.SketchAggregators.SimHashAgg)
-    val sh = tok.groupBy("doc_id").agg(simhashAgg(col("h")).as("sim"))
+    // Bit-majority SimHash, MAP-ONLY: per-row fused loop over the token
+    // array (see q24's note — same explode/shuffle elimination; the
+    // SimHashAgg Aggregator remains for row-shaped inputs).
+    val sh = t.documents
+      .select(col("doc_id"), graft.functions.SimHashSignature(toks(col("text"))).as("sim"))
     val bandCols = (0 until 4).map(i =>
       struct(lit(i).as("band"),
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
