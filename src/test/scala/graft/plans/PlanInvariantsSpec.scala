@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.SharedSparkSpec
+
+/** Physical-plan invariants the scale design depends on, enforced as tests —
+  * a silent regression (a lost broadcast, a crossJoin sneaking in, a dead
+  * pushdown, the as-of exec gaining an exchange) should fail CI, not wait
+  * for a human to re-read PLANS.md. String assertions run on the initial
+  * executedPlan at sf0.001 (pre-AQE — strategy choices, pushdown metadata
+  * and operator shapes are all visible there).
+  */
+class PlanInvariantsSpec extends SharedSparkSpec {
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q01: projection pruning reaches the scan (no unprojected columns)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"), p.take(800))
+  }
+
+  test("q02: filter conjuncts are pushed to the parquet reader") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual") || p.contains("LessThanOrEqual"), p.take(800))
+  }
+
+  test("q03/q04: dimension sides broadcast, fact never shuffles for the join") {
+    assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
+    val p4 = plan("q04_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p4).length >= 3, p4.take(1500))
+  }
+
+  test("q10: aggregation is two-phase (map-side partials)") {
+    assert(plan("q10_agg_groupby").contains("partial_"))
+  }
+
+  test("q16: top-k is TakeOrderedAndProject, never a global sort") {
+    assert(plan("q16_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q24: LSH pipeline is map-only sigs + SMJ banding; no cartesian, no agg shuffle for sigs") {
+    val p = plan("q24_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), "crossJoin snuck into the LSH pipeline")
+    assert(!p.contains("ObjectHashAggregate"), "signature fell back to the aggregator shuffle")
+    assert(p.contains("graft_minhash_sig"), p.take(800))
+    assert(p.contains("SortMergeJoin"), "band self-join lost its merge hint")
+  }
+
+  test("q25: broadcast queries stream the corpus map-side with partial top-k") {
+    val p = plan("q25_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"), "partial top-k before the shuffle is gone")
+  }
+
+  test("q43: native as-of exec with exactly one exchange per side") {
+    val p = plan("q43_join_asof_native")
+    assert(p.contains("AsOfJoin "), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(1500))
+  }
+
+  test("q49: signature is the fused expression; candidates dedup as bare ids") {
+    val p = plan("q49_embed_neardup_lsh")
+    assert(p.contains("graft_hyperplane_sig"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin"), "band self-join lost its merge hint")
+  }
+
+  test("q55: join condition evaluates id test and length guard BEFORE the DP") {
+    val p = plan("q55_dedup_fuzzy")
+    val cond = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("levenshtein")).getOrElse("")
+    val idIdx = cond.indexOf("doc_a")
+    val guardIdx = cond.indexOf("abs(")
+    val levIdx = cond.indexOf("levenshtein")
+    assert(idIdx >= 0 && guardIdx >= 0 && levIdx >= 0, cond)
+    assert(idIdx < guardIdx && guardIdx < levIdx,
+      s"conjunct order regressed (id@$idIdx guard@$guardIdx lev@$levIdx): $cond")
+  }
+}
