@@ -228,7 +228,11 @@ object TextQueries {
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = inv.as("a")
+    // merge hint: identical shingle-keyed shuffles on both sides → AQE
+    // ReusedExchange computes the inverted index once (a broadcast
+    // self-join would build it twice and can't broadcast a corpus-sized
+    // index anyway — same reasoning as q24's band join).
+    val common = inv.as("a").hint("merge")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
