@@ -78,6 +78,39 @@ object Multimodal {
       it.map { f => f.copy(frame_bytes = java.util.Arrays.copyOf(f.frame_bytes, n)) }
     }
   }
+
+  /** One media embedding (unit-norm float vector). */
+  final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Media → embedding, the encoder-model boundary: iterator-in/iterator-out
+    * per partition (one model load per partition, batched inference in a
+    * real deployment — here a deterministic STUB that hashes byte windows
+    * into a unit-norm vector, so downstream geometry is well-defined). The
+    * output column is the same `Array[Float]` shape as the embeddings
+    * table, so the ANN operators (q25 brute-force, q37 IVF, q49
+    * hyperplane-LSH) run on media-derived vectors unchanged — that
+    * composition is the multimodal near-dup path at 100 TB.
+    */
+  def embedFeatures(ds: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaEmbedding] = {
+    require(dim > 0)
+    implicit val enc = Encoders.product[MediaEmbedding]
+    ds.mapPartitions { it =>
+      // STUB encoder: a real implementation loads the model here, once per
+      // partition. The fake folds each byte into a hash-chosen dimension.
+      it.map { m =>
+        val v = new Array[Float](dim)
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < m.media.length) {
+          h = (h ^ (m.media(i) & 0xffL)) * 0x100000001b3L
+          v(((h % dim).toInt + dim) % dim) += (if ((h & 1L) == 0L) 1f else -1f)
+          i += 1
+        }
+        val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+        MediaEmbedding(m.doc_id, if (norm == 0f) v else v.map(_ / norm))
+      }
+    }
+  }
 }
 
 object MultimodalQueries {

@@ -38,4 +38,28 @@ class MultimodalSpec extends SharedSparkSpec {
     assert(resized.forall(_.frame_bytes.length == 32))
     assert(resized.length == frames.count())
   }
+
+  test("media embeddings are unit-norm, deterministic, and feed the ANN path") {
+    import org.apache.spark.sql.functions._
+    val docs = new Tables(spark, sf001).documents
+    val media = Multimodal.mediaTable(docs)
+    val emb = Multimodal.embedFeatures(media, 64)
+    val rows = emb.collect().sortBy(_.doc_id)
+    assert(rows.length == docs.count())
+    rows.foreach { e =>
+      val n = math.sqrt(e.embedding.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      assert(math.abs(n - 1.0) < 1e-4, s"not unit norm: $n")
+    }
+    val rows2 = emb.collect().sortBy(_.doc_id)
+    assert(rows.map(_.embedding.toSeq).toSeq == rows2.map(_.embedding.toSeq).toSeq)
+    // composition: the same Array[Float] column shape the similarity
+    // operators consume — bucket media-derived vectors via hyperplane LSH
+    val planes = {
+      val rng = new scala.util.Random(7L)
+      IndexedSeq.fill(32 * 64)(rng.nextGaussian())
+    }
+    val sigs = emb.toDF().select(col("doc_id"),
+      graft.functions.HyperplaneSignature(col("embedding"), planes, 64).as("sig"))
+    assert(sigs.select(countDistinct(col("sig"))).collect().head.getLong(0) > 1)
+  }
 }
