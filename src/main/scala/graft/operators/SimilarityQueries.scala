@@ -261,21 +261,25 @@ object SimilarityQueries {
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * HpBandBits).bitwiseAND(lit((1 << HpBandBits) - 1)).as("bh")))
     val bands = sigs
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("x"))
-      .select(col("vec_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    // Candidates are deduped as BARE id pairs — the band self-join and the
-    // duplicate-elimination shuffle move two longs per row, never the
-    // embedding payload (at 10⁹ vectors the payload through this shuffle is
-    // what kills the naive formulation). Embeddings re-join only for the
-    // deduped candidates (AQE broadcasts the corpus side at small scale; at
-    // 100 TB both are shuffle joins keyed on vec_id, which is correct).
+      .select(col("vec_id"), col("sig"), explode(array(bandCols: _*)).as("x"))
+      .select(col("vec_id"), col("sig"), col("x.band").as("band"), col("x.bh").as("bh"))
+    // CANONICAL-BAND dedup, no shuffle: a pair colliding in k bands would be
+    // emitted k times; keep it only where `band` is the FIRST band whose
+    // signature nibbles agree (computable map-side from sig XOR — nibble b
+    // of the XOR is zero iff band b collides). Uniqueness is algebraic, so
+    // the |candidates|-sized distinct/groupBy shuffle disappears entirely;
+    // the join still moves only (id, sig, band) longs, never embeddings.
     // merge hint: identical shuffle on both sides → the signature scan is
     // computed once and reused (see q24 comment).
+    val xorSig = col("l.sig").bitwiseXOR(col("r.sig"))
+    val firstBand = (0 until HpBands).foldRight(lit(-1): Column) { (b, els) =>
+      when(shiftright(xorSig, b * HpBandBits)
+        .bitwiseAND(lit((1 << HpBandBits) - 1)) === 0, lit(b)).otherwise(els)
+    }
     val cand = bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
-      .filter(col("l.vec_id") < col("r.vec_id"))
+      .filter(col("l.vec_id") < col("r.vec_id") && col("band") === firstBand)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
-      .distinct()
     orderedByAll(
       cand
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
