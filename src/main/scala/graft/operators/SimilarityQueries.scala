@@ -48,14 +48,19 @@ object SimilarityQueries {
     // rows rather than arrays.
     val sigs = base
       .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
-    // 16 bands × 4 rows: band hash = xxhash64 over the band's signature slice.
+    // 16 bands × 4 rows: band hash = xxhash64 over the band's signature
+    // slice. The full band-hash ARRAY rides along (16 longs per exploded
+    // row) so the canonical-band test below can see every band at the join.
+    val bhArr = array((0 until Bands).map { b =>
+      xxhash64((b * 4 + 1 to b * 4 + 4).map(j => element_at(col("sig"), j)): _*)
+    }: _*)
     val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * 4 + 1 to b * 4 + 4).map(j => element_at(col("sig"), j)): _*).as("bh"))
+      struct(lit(b).as("band"), element_at(col("bhs"), b + 1).as("bh"))
     }
     val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+      .withColumn("bhs", bhArr)
+      .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("bhs"), col("x.band").as("band"), col("x.bh").as("bh"))
     // Candidate id pairs are persisted: they feed the doc-id fetch AND the
     // final verification join, and re-deriving them would re-run the band
     // self-join. Bounded by the candidate count, never the corpus.
@@ -63,12 +68,17 @@ object SimilarityQueries {
     // pipeline TWICE (no exchange reuse under BroadcastExchange, confirmed
     // in PLANS.md) and could not broadcast a 10⁹-doc signature table anyway;
     // sort-merge makes both sides' shuffles identical → ReusedExchange runs
-    // the sig aggregation once.
+    // the sig scan once. Canonical-band dedup (see q49): keep a pair only
+    // in the FIRST band where the band hashes agree — algebraic uniqueness,
+    // no distinct shuffle over the candidate pairs.
+    val firstBand = (0 until Bands).foldRight(lit(-1): Column) { (b, els) =>
+      when(element_at(col("l.bhs"), b + 1) === element_at(col("r.bhs"), b + 1), lit(b))
+        .otherwise(els)
+    }
     val cand = bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
+      .filter(col("l.doc_id") < col("r.doc_id") && col("band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
       .persist()
     // ONE more corpus pass fetches the shingle sets of just the docs that
     // appear in a candidate pair; persisted because both verification join
@@ -151,13 +161,19 @@ object SimilarityQueries {
     val bands = sh.select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("sim"), col("x.band").as("band"), col("x.bh").as("bh"))
     // merge hint: identical shuffle on both sides → the SimHash signature
-    // aggregation is computed once and reused (see q24 comment).
+    // scan is computed once and reused. Canonical-band dedup (see q49): a
+    // pair is kept only in the FIRST band whose 16-bit signature segments
+    // agree — map-side bit math on the sig XOR, no distinct shuffle.
+    val xorSim = col("l.sim").bitwiseXOR(col("r.sim"))
+    val firstBand = (0 until 4).foldRight(lit(-1): Column) { (b, els) =>
+      when(shiftright(xorSim, b * 16).bitwiseAND(lit(0xFFFFL)) === 0, lit(b))
+        .otherwise(els)
+    }
     val pairs = bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
+      .filter(col("l.doc_id") < col("r.doc_id") && col("band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 8)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
