@@ -221,29 +221,36 @@ object TextQueries {
            |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    // One pass computes the inverted index; set sizes derive from it with a
-    // reusable aggregation instead of re-shingling the corpus per branch.
-    val inv = t.documents
+    orderedByAll(
+      ngramJaccardPairs(t.documents)
+        .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard")))
+  }
+
+  /** Shared by q36 (pair list) and q60 (transitive clusters): 5-gram
+    * inverted-index self-join, Jaccard >= 0.5. One pass computes the
+    * inverted index; set sizes derive from it with a reusable aggregation
+    * instead of re-shingling the corpus per branch. The merge hint makes
+    * both sides' shingle-keyed shuffles identical → AQE ReusedExchange
+    * computes the index once (a broadcast self-join would build it twice
+    * and can't broadcast a corpus-sized index anyway).
+    */
+  private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val inv = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // merge hint: identical shingle-keyed shuffles on both sides → AQE
-    // ReusedExchange computes the inverted index once (a broadcast
-    // self-join would build it twice and can't broadcast a corpus-sized
-    // index anyway — same reasoning as q24's band join).
     val common = inv.as("a").hint("merge")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common")).cast("double")
-    orderedByAll(
-      common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
   }
 
   /** Redaction / scrubbing (the PII-scrub shape of a training pipeline):
@@ -483,6 +490,71 @@ object TextQueries {
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars")))
   }
 
+  /** Transitive dedup clusters: connected components over the q36 near-dup
+    * pair graph, by iterative min-label propagation — near-duplicate is not
+    * transitive, but dedup GROUPS must be (A≈B, B≈C ⇒ one cluster), so real
+    * pipelines cluster the pair graph before electing survivors. Each
+    * superstep is one distributed join + min-aggregation; convergence takes
+    * O(component diameter) supersteps (near-dup clusters are shallow — at
+    * web scale with adversarial chains, swap in large-star/small-star, same
+    * loop shape). Per-iteration persist + unpersist of the previous labels
+    * keeps lineage and storage bounded; the label sum is monotonically
+    * decreasing, so it doubles as the fixpoint detector (one cheap agg per
+    * superstep, no expensive set comparison).
+    */
+  val q60 = EngineQuery(
+    "q60_dedup_components",
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+           |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM lab GROUP BY cluster ORDER BY ALL""".stripMargin)) { t =>
+    val pairs = ngramJaccardPairs(t.documents)
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, edges("a") === labels("doc_id"))
+        .select(col("b").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .persist()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    orderedByAll(
+      labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("n_docs")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55, q57)
+    Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
+      q57, q60)
 }
