@@ -232,5 +232,66 @@ object WindowQueries {
       .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22, q43, q58, q59)
+  /** Window distribution functions — ntile / percent_rank / cume_dist over
+    * a unique total order (price, key): one shuffle on the partition key,
+    * one per-partition sort, same distributed-window shape as q14/q15. */
+  val q61 = EngineQuery(
+    "q61_window_dist",
+    Some("""SELECT o_orderkey,
+           |       CAST(ntile(4) OVER w AS INT) AS quartile,
+           |       round(percent_rank() OVER w, 4) AS pr,
+           |       round(cume_dist() OVER w, 4) AS cd
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orderedByAll(
+      t.orders.select(
+        col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round4(percent_rank().over(w)).as("pr"),
+        round4(cume_dist().over(w)).as("cd")))
+  }
+
+  /** Time-series gap fill + forward fill: a dense hourly grid per user
+    * (sequence + explode — generated distributed, never on the driver),
+    * left-joined to the hourly aggregate, missing hours forward-filled with
+    * `last(ignoreNulls)` over an unbounded-preceding window. Shuffles once
+    * on user_id for the grid join and once for the fill window; the fill
+    * copies the already-rounded value, so no new float ops can diverge
+    * between engines. */
+  val q62 = EngineQuery(
+    "q62_gapfill",
+    Some("""WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+           |                  date_trunc('hour', max(ts)) AS hi
+           |           FROM events WHERE user_id < 5 GROUP BY 1),
+           |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+           |         FROM b),
+           |agg AS (SELECT user_id, date_trunc('hour', ts) AS hr, round(sum(value), 4) AS v
+           |        FROM events WHERE user_id < 5 GROUP BY 1, 2),
+           |j AS (SELECT g.user_id, g.hr, a.v FROM grid g
+           |      LEFT JOIN agg a ON g.user_id = a.user_id AND g.hr = a.hr)
+           |SELECT user_id, CAST(epoch_us(hr)//1000000 AS BIGINT) AS hr_sec,
+           |       coalesce(last_value(v IGNORE NULLS) OVER (
+           |         PARTITION BY user_id ORDER BY hr
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
+           |FROM j ORDER BY ALL""".stripMargin)) { t =>
+    val ev = t.events.filter(col("user_id") < 5)
+    val b = ev.groupBy("user_id").agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = b.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+    val agg = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round4(sum(col("value"))).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedByAll(
+      grid.join(agg, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), epochSec(col("hr")).as("hr_sec"),
+          coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)).as("v_filled")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62)
 }
