@@ -366,7 +366,53 @@ object RelationalQueries {
         round4(avg(col("l_extendedprice"))).as("avg_price")))
   }
 
+  /** UNPIVOT (wide → long): Dataset.unpivot lowers to one Expand — a
+    * map-only row expansion, no shuffle beyond the upstream aggregate. */
+  val q63 = EngineQuery(
+    "q63_unpivot",
+    Some("""WITH wide AS (
+           |  SELECT source,
+           |         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+           |         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+           |         CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es
+           |  FROM documents GROUP BY source)
+           |SELECT source, lang, n FROM wide
+           |UNPIVOT (n FOR lang IN (n_en, n_de, n_es))
+           |ORDER BY ALL""".stripMargin)) { t =>
+    def cnt(l: String) = count(when(col("lang") === l, 1)).as(s"n_$l")
+    val wide = t.documents.groupBy("source").agg(cnt("en"), cnt("de"), cnt("es"))
+    orderedByAll(
+      wide.unpivot(
+        ids = Array(col("source")),
+        values = Array(col("n_en"), col("n_de"), col("n_es")),
+        variableColumnName = "lang",
+        valueColumnName = "n"))
+  }
+
+  /** Correlated scalar subquery — deviation of each order from its priority
+    * class mean. Catalyst de-correlates this into an aggregate + join (one
+    * shuffle on the correlation key), the same plan the window formulation
+    * gets — the subquery is planner surface, not a per-row probe. SQL front
+    * end with per-invocation view names (same pattern as q12). */
+  val q64 = EngineQuery(
+    "q64_scalar_subquery",
+    Some("""SELECT o_orderkey,
+           |       round(o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2
+           |                             WHERE o2.o_orderpriority = o.o_orderpriority), 4) AS dev
+           |FROM orders o ORDER BY ALL""".stripMargin)) { t =>
+    val v = s"g_orders_${RelationalQueries.viewSeq.incrementAndGet()}"
+    t.orders.createOrReplaceTempView(v)
+    try {
+      orderedByAll(
+        t.spark.sql(
+          s"""SELECT o_orderkey,
+             |       round(o_totalprice - (SELECT avg(o2.o_totalprice) FROM $v o2
+             |                             WHERE o2.o_orderpriority = o.o_orderpriority), 4) AS dev
+             |FROM $v o""".stripMargin))
+    } finally t.spark.catalog.dropTempView(v)
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56)
+      q48, q53, q54, q56, q63, q64)
 }
