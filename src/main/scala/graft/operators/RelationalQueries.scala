@@ -412,7 +412,30 @@ object RelationalQueries {
     } finally t.spark.catalog.dropTempView(v)
   }
 
+  /** Pure range join (no equi key) via graft.plans.RangeJoin: suppliers
+    * whose balance falls in each part's ±1000 price window. Spark plans the
+    * raw BETWEEN join as a broadcast nested-loop (O(|L|·|R|), broadcast
+    * ceiling); the binned formulation is an equi-join on fixed-width value
+    * bins — one shuffle per side at any scale — with the exact predicate
+    * as residual filter. Same rows, same oracle.
+    */
+  val q65 = EngineQuery(
+    "q65_range_join",
+    Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+           |FROM part p JOIN supplier s
+           |  ON s.s_acctbal >= p.p_retailprice - 1000
+           | AND s.s_acctbal <= p.p_retailprice + 1000
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val joined = graft.plans.RangeJoin.binned(
+      t.supplier.select(col("s_suppkey"), col("s_acctbal")),
+      col("s_acctbal"),
+      t.part.select(col("p_brand"), col("p_retailprice")),
+      col("p_retailprice") - 1000, col("p_retailprice") + 1000,
+      binWidth = 1000.0)
+    orderedByAll(joined.groupBy("p_brand").agg(count(lit(1)).as("n")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64)
+      q48, q53, q54, q56, q63, q64, q65)
 }
