@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  Abs, And, Expression, Length, LessThanOrEqual, Levenshtein, Literal, Subtract}
+  Abs, And, Cast, Expression, Length, LessThanOrEqual, Levenshtein, Subtract}
+import org.apache.spark.sql.types.NumericType
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -21,14 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Optimizer rule: in front of `levenshtein(a, b) <= k` (literal k) in a
-  * Filter, conjoin the cheap necessary condition
+/** Optimizer rule: in front of `levenshtein(a, b) <= k` in a Filter or
+  * Join condition, conjoin the cheap necessary condition
   * `abs(length(a) - length(b)) <= k` — the length difference lower-bounds
-  * edit distance, and `And` short-circuits in both interpreted and
-  * generated code, so the O(|a|·|b|) dynamic program runs only on rows the
-  * guard cannot reject. On a blocked fuzzy-dedup join (q55's shape) most
-  * candidate pairs differ wildly in length; at 100 TB this turns the edit
-  * distance from the per-row cost into the per-survivor cost.
+  * edit distance FOR ANY bound expression k (not just literals), and `And`
+  * short-circuits in both interpreted and generated code, so the O(|a|·|b|)
+  * dynamic program runs only on rows the guard cannot reject. On a blocked
+  * fuzzy-dedup join (q55's shape, where k is min(length)/4) most candidate
+  * pairs differ wildly in length; at 100 TB this turns the edit distance
+  * from the per-row cost into the per-survivor cost. k must be
+  * deterministic (it is evaluated a second time in the guard).
   *
   * Explicit recursion instead of `transformUp`: the rewrite leaves the
   * original comparison in place, so a naive transform would re-match it on
@@ -38,14 +41,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object LevenshteinLengthGuard extends Rule[LogicalPlan] {
 
-  private def guard(a: Expression, b: Expression, k: Expression): Expression =
-    LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k)
+  /** `levenshtein(a,b) <= k`, possibly with an analyzer-inserted Cast
+    * around the levenshtein (int → k's wider numeric type). */
+  private object LevCmp {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression)] = e match {
+      case LessThanOrEqual(l, k) =>
+        val lev = l match {
+          case Levenshtein(a, b, None) => Some((a, b))
+          case c: Cast =>
+            c.child match {
+              case Levenshtein(a, b, None) => Some((a, b))
+              case _ => None
+            }
+          case _ => None
+        }
+        lev.map { case (a, b) => (a, b, k) }
+      case _ => None
+    }
+  }
+
+  private def guard(a: Expression, b: Expression, k: Expression): Expression = {
+    val diff = Abs(Subtract(Length(a), Length(b)))
+    val lhs = if (k.dataType == diff.dataType) diff else Cast(diff, k.dataType)
+    LessThanOrEqual(lhs, k)
+  }
+
+  private def guardable(k: Expression): Boolean =
+    k.dataType.isInstanceOf[NumericType] && k.deterministic &&
+      !k.exists(_.isInstanceOf[Levenshtein])
 
   private def rewrite(e: Expression): Expression = e match {
-    case And(g, cmp @ LessThanOrEqual(Levenshtein(a, b, None), k: Literal))
-        if g.semanticEquals(guard(a, b, k)) =>
+    case And(g, cmp @ LevCmp(a, b, k)) if g.semanticEquals(guard(a, b, k)) =>
       And(g, cmp) // already guarded — do not descend, do not re-guard
-    case cmp @ LessThanOrEqual(Levenshtein(a, b, None), k: Literal) =>
+    case cmp @ LevCmp(a, b, k) if guardable(k) =>
       And(guard(a, b, k), cmp)
     case _ => e.mapChildren(rewrite)
   }

@@ -39,6 +39,16 @@ class GraftExtensionsSpec extends SharedSparkSpec {
       val guarded = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(guarded == baseline)
       assert(baseline.nonEmpty)
+      // non-literal bound: the guard is a necessary condition for ANY
+      // deterministic k, e.g. k = length(ta)/4 (q55's real shape)
+      val qDyn = pairs.filter(
+        levenshtein(col("ta"), col("tb")) <= length(col("ta")) / 4)
+        .select("da", "db")
+      val dynPlan = qDyn.queryExecution.optimizedPlan.toString
+      assert(dynPlan.contains("abs((length("), dynPlan.take(1500))
+      val dynBase = pairs.filter(
+        levenshtein(col("ta"), col("tb")) <= length(col("ta")) / 4)
+      assert(qDyn.count() == dynBase.count())
     } finally spark.experimental.extraOptimizations = prev
   }
 
