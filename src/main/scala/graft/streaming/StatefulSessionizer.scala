@@ -58,8 +58,54 @@ object StatefulSessionizer {
     events.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
   }
 
+  /** Batch mode via SECONDARY SORT — the scale path: repartition by user,
+    * sort each partition by (user, ts, event_id), then fold runs of the
+    * same user with O(1) state in one streaming pass. Unlike
+    * [[sessionizeBatch]] (which must materialize a user's events to sort
+    * them — a hot-key memory hazard), per-key cost here is constant no
+    * matter how many events one user has; the sort is Spark's spillable
+    * external sort. */
+  def sessionizeBatchSorted(events: DataFrame, gapMinutes: Int): Dataset[Sess] = {
+    implicit val enc = Encoders.product[Sess]
+    val gapUs = gapMinutes * 60L * 1000000L
+    import org.apache.spark.sql.functions.col
+    asEvents(events)
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[Sess] {
+          private var pending: List[Sess] = Nil
+          private var curUser = 0L
+          private var cur: Acc = null
+          private def step(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (cur == null) { curUser = e.user_id; cur = Acc(e.us, e.us, 1) }
+              else if (e.user_id != curUser) {
+                pending = toSess(curUser, cur) :: Nil
+                curUser = e.user_id; cur = Acc(e.us, e.us, 1)
+              } else if (e.us - cur.lastUs >= gapUs) {
+                pending = toSess(curUser, cur) :: Nil
+                cur = Acc(e.us, e.us, 1)
+              } else cur = Acc(cur.startUs, e.us, cur.n + 1)
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null) {
+              pending = toSess(curUser, cur) :: Nil
+              cur = null
+            }
+          }
+          override def hasNext: Boolean = { step(); pending.nonEmpty }
+          override def next(): Sess = {
+            step(); val h = pending.head; pending = pending.tail; h
+          }
+        }
+      }
+  }
+
   /** Batch mode: each group is complete, so the trailing session is emitted
-    * too. Exercises the same flatMapGroupsWithState machinery (NoTimeout). */
+    * too. Exercises the same flatMapGroupsWithState machinery (NoTimeout).
+    * NOTE: materializes one user's events to sort them — fine for bounded
+    * per-user volumes; [[sessionizeBatchSorted]] is the unbounded-key path. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): Dataset[Sess] = {
     implicit val enc = Encoders.product[Sess]
     implicit val accEnc = Encoders.product[Acc]

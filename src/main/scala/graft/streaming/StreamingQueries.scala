@@ -75,7 +75,10 @@ object StreamingQueries {
            |  CAST(epoch_us(mx)//1000000 AS BIGINT) AS end_sec,
            |  CAST(n AS BIGINT) AS n_events
            |FROM s ORDER BY ALL""".stripMargin)) { t =>
-    orderedByAll(StatefulSessionizer.sessionizeBatch(t.events, 30).toDF())
+    // secondary-sort formulation: O(1) per-key state, no per-user
+    // materialization (hot-key safe); asserted equal to the
+    // flatMapGroupsWithState path in StatefulSessionizerSpec
+    orderedByAll(StatefulSessionizer.sessionizeBatchSorted(t.events, 30).toDF())
   }
 
   /** Interval join: each purchase paired with the same user's views in the

@@ -29,6 +29,13 @@ class StatefulSessionizerSpec extends SharedSparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("secondary-sort batch sessionizer == flatMapGroupsWithState path") {
+    val events = new Tables(spark, sf001).events
+    val sorted = asSet(StatefulSessionizer.sessionizeBatchSorted(events, 30))
+    assert(sorted == asSet(StatefulSessionizer.sessionizeBatch(events, 30)))
+    assert(sorted == expectedSessions(events))
+  }
+
   test("streaming with event-time timeout emits the same sessions") {
     val t = new Tables(spark, sf001)
     val events = t.events
