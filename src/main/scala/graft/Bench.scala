@@ -50,13 +50,27 @@ object Bench {
     val warm = pass()
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
-    def qmap(rs: Seq[(String, Double, Option[String])]): String =
-      rs.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def jnum(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def qmap(rs: Seq[(String, Double, Option[String])], key: String => String): String =
+      rs.map { case (k, v, _) => jstr(key(k)) + ":" + jnum(v) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"total_warm":$totalWarm,"queries_warm":${qmap(warm)},"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    // Full per-query detail (cold + warm + errors, full query names) goes to a
+    // sidecar file; the stdout line stays compact because the driver keeps only
+    // the LAST 2000 chars of output and parses the JSON line out of that tail —
+    // a 64-query map with full names and 9-decimal times overflows it.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results, identity)},"total_warm":$totalWarm,"queries_warm":${qmap(warm, identity)},"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Compact keys: "q36_dedup_ngram_jaccard" -> "q36".
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val line =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${qmap(results, short)},"total_warm":${jnum(totalWarm)},"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench line too long for driver tail: ${line.length}")
+    println(line)
     spark.stop()
   }
 }
