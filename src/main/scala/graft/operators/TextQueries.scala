@@ -229,10 +229,13 @@ object TextQueries {
   /** Shared by q36 (pair list) and q60 (transitive clusters): 5-gram
     * inverted-index self-join, Jaccard >= 0.5. One pass computes the
     * inverted index; set sizes derive from it with a reusable aggregation
-    * instead of re-shingling the corpus per branch. The merge hint makes
-    * both sides' shingle-keyed shuffles identical → AQE ReusedExchange
-    * computes the index once (a broadcast self-join would build it twice
-    * and can't broadcast a corpus-sized index anyway).
+    * instead of re-shingling the corpus per branch. The shuffle_hash hint
+    * makes both sides' shingle-keyed shuffles identical → AQE
+    * ReusedExchange computes the index once (a broadcast self-join would
+    * build it twice and can't broadcast a corpus-sized index anyway), and
+    * unlike a merge hint it skips sorting the exploded index on the wide
+    * string shingle key — the sort dominated first-run latency (8.3s vs
+    * 1.9s unhinted at sf0.1).
     */
   private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val inv = docs
@@ -240,7 +243,7 @@ object TextQueries {
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = inv.as("a").hint("merge")
+    val common = inv.as("a").hint("shuffle_hash")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
