@@ -19,7 +19,8 @@ object SparkEntry {
       functions.UdfQueries.all ++
       functions.SketchQueries.all ++
       operators.SinkQueries.all ++
-      operators.MultimodalQueries.all
+      operators.MultimodalQueries.all ++
+      operators.AdvancedQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

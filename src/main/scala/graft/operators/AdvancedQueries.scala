@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+
+/** Round-3 engine extensions (SURVEY.md §2 Part B, q66–q72): the relational
+  * long tail (grouping sets, correlated existence predicates) plus the
+  * scale-robustness operators a 100 TB pipeline leans on — explicit skew
+  * salting, explicit bloom-filtered joins, deterministic stratified
+  * sampling — and two event-analytics staples (quantile bucketing, Markov
+  * transition counts).
+  *
+  * Scale notes (100 TB north star):
+  *  - q68 demonstrates MANUAL key salting: the replicated (smaller) side is
+  *    exploded ×SALTS so the hot fact key's rows spread over SALTS reducer
+  *    partitions. AQE skew-join splits oversized partitions adaptively, but
+  *    salting is the deterministic pre-plan fix when one key alone exceeds
+  *    an executor (AQE can split a partition, not a single key's sort run
+  *    feeding a sort-merge join — salting splits the KEY itself).
+  *  - q69 makes the runtime-filter pattern explicit: build a bloom filter
+  *    over the selective dim's keys (driver-side, like a broadcast), push
+  *    `might_contain` into the fact scan as a cheap pre-filter, then take
+  *    the exact semi-join on the survivors. Spark's InjectRuntimeFilter does
+  *    this automatically between shuffle stages; the explicit form survives
+  *    sources that rule the automatic path out and documents the plan shape.
+  *  - q72 samples by content hash, not rand(): reproducible across runs,
+  *    engines and retries — the only sampling that is audit-stable in a
+  *    training-data pipeline.
+  */
+object AdvancedQueries {
+
+  /** Per-invocation temp-view suffix (same concurrency-safety rule as q12). */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Explicit GROUPING SETS — finer than rollup (q12) / cube (q53): exactly
+    * the four declared aggregation granularities over orders, one Expand +
+    * one shuffle, partial aggregation map-side. SQL front end for the same
+    * analyzer reason as q12 (Expand's duplicated grouping attributes trip
+    * the DataFrame self-join check). */
+  val q66 = EngineQuery(
+    "q66_grouping_sets",
+    Some("""SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+           |       coalesce(o_orderstatus, 'ALL') AS status,
+           |       CAST(count(*) AS BIGINT) AS cnt,
+           |       round(sum(o_totalprice), 4) AS total,
+           |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+           |                        (o_orderpriority), (o_orderstatus), ())
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val v = s"g_orders_${viewSeq.incrementAndGet()}"
+    t.orders.createOrReplaceTempView(v)
+    try {
+      orderedByAll(
+        t.spark.sql(
+          s"""SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+             |       coalesce(o_orderstatus, 'ALL') AS status,
+             |       count(*) AS cnt,
+             |       round(sum(o_totalprice), 4) AS total,
+             |       CAST(grouping_id() AS INT) AS gid
+             |FROM $v
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+             |                        (o_orderpriority), (o_orderstatus), ())""".stripMargin))
+    } finally t.spark.catalog.dropTempView(v)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS — Catalyst de-correlates to a left-semi
+    * ⨝ left-anti chain on c_custkey (RewritePredicateSubquery): one shuffle
+    * per side, no per-row subquery execution anywhere. */
+  val q67 = EngineQuery(
+    "q67_exists_subquery",
+    Some("""SELECT c_custkey, c_name
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val id = viewSeq.incrementAndGet()
+    val (vc, vo) = (s"g_customer_$id", s"g_orders_$id")
+    t.customer.createOrReplaceTempView(vc)
+    t.orders.createOrReplaceTempView(vo)
+    try {
+      orderedByAll(
+        t.spark.sql(
+          s"""SELECT c_custkey, c_name
+             |FROM $vc c
+             |WHERE EXISTS (SELECT 1 FROM $vo o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+             |  AND NOT EXISTS (SELECT 1 FROM $vo o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin))
+    } finally Seq(vc, vo).foreach(t.spark.catalog.dropTempView)
+  }
+
+  /** Manual skew salting: fact rows carry a deterministic salt derived from
+    * a non-join column; the other side is exploded ×SALTS and the join runs
+    * on (key, salt) — a hot orderkey's lineitems now land on SALTS reducers
+    * instead of one. The aggregate is salt-invariant, so the oracle is the
+    * plain unsalted join. */
+  val q68 = EngineQuery(
+    "q68_salted_join",
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+           |       round(sum(l_extendedprice), 4) AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY ALL""".stripMargin)) { t =>
+    val SALTS = 8
+    val fact = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_linenumber"), lit(SALTS)).as("salt"))
+    val dim = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    orderedByAll(
+      fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round4(sum(col("l_extendedprice"))).as("revenue")))
+  }
+
+  /** Explicit bloom-filtered semi-join: the selective dim's keys become a
+    * driver-built bloom filter (~1.2 MB at 1M keys / 1% fpp — broadcast
+    * scale, whatever the fact size); `might_contain` (the native Catalyst
+    * probe expression, codegen'd) pre-filters the fact BEFORE its shuffle,
+    * and the exact semi-join on survivors removes the false positives. At
+    * 100 TB this is the difference between shuffling the full fact and
+    * shuffling the ~matching slice of it. */
+  val q69 = EngineQuery(
+    "q69_bloom_join",
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+           |FROM lineitem
+           |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val dim = t.part.filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val fact = t.lineitem
+    // Driver-side build, same cost class as a broadcast of the dim keys.
+    // stat.bloomFilter NPEs on an empty input (its aggregate returns null);
+    // an empty dim means an empty semi-join, short-circuited here.
+    val filtered =
+      if (dim.isEmpty) fact.limit(0)
+      else {
+        val bloom = dim.stat.bloomFilter("p_partkey", 100000, 0.01)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        val mightContain = GraftShims.column(BloomFilterMightContain(
+          Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+          GraftShims.expression(col("l_partkey").cast("long"))))
+        fact.filter(mightContain) // cheap pre-filter ahead of the join shuffle
+      }
+    orderedByAll(
+      filtered
+        .join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+  }
+
+  /** Quantile bucketing (feature binning): ntile(10) over a TOTAL order —
+    * the tiebreak on c_custkey is what makes the bucket assignment, and so
+    * the oracle hash, deterministic on both engines. Single window over one
+    * global sort: at scale, swap ntile for width_bucket over approx
+    * percentile bounds (q40/q41) to avoid the single-partition window. */
+  val q70 = EngineQuery(
+    "q70_ntile_bucket",
+    Some("""WITH b AS (SELECT c_acctbal,
+           |             CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bucket
+           |           FROM customer)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           |       round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
+           |FROM b GROUP BY bucket ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    orderedByAll(
+      t.customer
+        .select(col("c_acctbal"), ntile(10).over(w).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round4(min(col("c_acctbal"))).as("lo"),
+          round4(max(col("c_acctbal"))).as("hi")))
+  }
+
+  /** Event-type transition counts (first-order Markov statistics over each
+    * user's clickstream): lead() within the per-user time order, then one
+    * global (from, to) aggregation — the feature-engineering shape behind
+    * next-event models. Window partitioned by user_id: no global sort, one
+    * shuffle on user_id, then one on (from, to). */
+  val q71 = EngineQuery(
+    "q71_transitions",
+    Some("""WITH s AS (SELECT user_id, event_type,
+           |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           |           FROM events)
+           |SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS cnt
+           |FROM s WHERE nxt IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    orderedByAll(
+      t.events
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Stratified deterministic sampling: per-stratum rates (here: keep ~1/8
+    * of 'en', ~1/2 of everything else) via a content-hash threshold — the
+    * per-language rebalancing pass of a corpus mix, reproducible run to run
+    * (contrast q57's single global rate). Map-only except the final count. */
+  val q72 = EngineQuery(
+    "q72_stratified_sample",
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents
+           |WHERE substring(md5(text), 1, 2)
+           |      <= CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+           |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .filter(substring(md5(col("text").cast("binary")), 1, 2)
+          <= when(col("lang") === "en", "20").otherwise("80"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q66, q67, q68, q69, q70, q71, q72)
+}

@@ -25,5 +25,21 @@ object SinkQueries {
     orderedByAll(t.spark.read.parquet(out))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30)
+  /** ORC write/read parity: the same q10 result round-trips through ORC —
+    * Spark's other first-class columnar format (vectorized reader, predicate
+    * pushdown, maxRecordsPerFile all apply as with parquet). The oracle is
+    * still q10's SQL: DuckDB never sees the ORC files, it re-derives the
+    * expected rows from the parquet source, so the check proves the ORC
+    * round-trip lossless. */
+  val q75 = EngineQuery("q75_orc_roundtrip", Some(RelationalQueries.q10Sql)) { t =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q75_orc").toString
+    RelationalQueries.q10Body(t)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000)
+      .orc(out)
+    orderedByAll(t.spark.read.orc(out))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30, q75)
 }

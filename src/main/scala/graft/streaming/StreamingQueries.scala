@@ -137,5 +137,63 @@ object StreamingQueries {
       .select(col("user_id"), col("p_id"), col("v_id"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46, q52)
+  /** Sliding 1-hour window, 30-minute slide: each event lands in exactly two
+    * overlapping windows. Spark's window(ts, "1 hour", "30 minutes") aligns
+    * slides to the epoch origin; the oracle derives the same two window
+    * starts per event (its 30-min bucket and the one before). Same
+    * streaming story as q21 — [[slidingStream]] is the watermarked twin. */
+  val q73 = EngineQuery(
+    "q73_stream_sliding",
+    Some("""WITH w AS (SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts))//1000000 AS b,
+           |                  event_type, value
+           |           FROM events),
+           |e AS (SELECT b AS ws, event_type, value FROM w
+           |      UNION ALL
+           |      SELECT b - 1800 AS ws, event_type, value FROM w)
+           |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sum_v
+           |FROM e GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(slidingShape(t.events))
+  }
+
+  private def slidingShape(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round4(sum(col("value"))).as("sum_v"))
+      .select(epochSec(col("w.start")).as("ws"), col("event_type"), col("cnt"), col("sum_v"))
+
+  /** Structured Streaming twin of q73 (file source, availableNow, watermark
+    * bounding the overlapping-window state). */
+  def slidingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = Tables.nanosToMicros(
+      spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
+      .withWatermark("ts", "2 hours")
+    slidingShape(stream)
+  }
+
+  /** Replay-safe dedup, batch contract: a re-delivered subset (every 10th
+    * event) unioned back in must vanish under dropDuplicates on the event
+    * key — so the oracle is simply the original stream's per-type counts.
+    * The duplicate rows are bit-identical, so the arbitrary-survivor
+    * semantics of dropDuplicates cannot leak nondeterminism. The streaming
+    * side of the same contract is dropDuplicatesWithinWatermark
+    * (StreamingEquivalenceSpec: two overlapping file batches, each event
+    * exactly once downstream, state bounded by the watermark). */
+  val q74 = EngineQuery(
+    "q74_dedup_replay",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+           |FROM events GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val ev = t.events.select(col("event_id"), col("event_type"))
+    val replayed = ev.unionByName(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    orderedByAll(
+      replayed.dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74)
 }
