@@ -67,6 +67,35 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(p.contains("SortMergeJoin"), "band self-join lost its merge hint")
   }
 
+  test("q36: shingle self-join is shuffled-hash (no sort of the exploded index)") {
+    val p = plan("q36_dedup_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q68: salted join replicates the dim and joins on (key, salt)") {
+    val p = plan("q68_salted_join")
+    assert(p.contains("Generate explode"), "dim-side salt replication is gone")
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("salt"), s"join no longer keyed on salt: $joinLine")
+  }
+
+  test("q69: bloom probe filters the fact before the semi-join") {
+    val p = plan("q69_bloom_join")
+    assert(p.contains("might_contain"), p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("q71: transition window shuffles by user_id (partitioned, not global)") {
+    val p = plan("q71_transitions")
+    // the lead() window must sit on a user_id hash exchange; a lost
+    // partitionBy would surface as a single-partition global-sort window
+    // (the final output ORDER BY is a separate, legitimate range exchange)
+    assert(p.contains("hashpartitioning(user_id"), p.take(1200))
+    val windowLine = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(windowLine.contains("user_id"), s"window lost its partition spec: $windowLine")
+  }
+
   test("q55: join condition evaluates id test and length guard BEFORE the DP") {
     val p = plan("q55_dedup_fuzzy")
     val cond = p.linesIterator
