@@ -225,5 +225,100 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q66, q67, q68, q69, q70, q71, q72)
+  /** Latest record per key — the CDC/SCD "current view" materialization
+    * (dedup a changelog to each key's newest row). One window over a
+    * user_id hash partition; rank-1 filter. At scale this beats
+    * groupBy+max+self-join: one shuffle, no join. Tiebreak on event_id
+    * makes the survivor — and the oracle hash — deterministic. */
+  val q76 = EngineQuery(
+    "q76_latest_by_key",
+    Some("""WITH r AS (SELECT user_id, event_id, ts, event_type,
+           |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |           FROM events)
+           |SELECT user_id, event_id, CAST(epoch_us(ts)//1000000 AS BIGINT) AS ts_sec, event_type
+           |FROM r WHERE rn = 1 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    orderedByAll(
+      t.events
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("ts_sec"),
+          col("event_type")))
+  }
+
+  /** Time-RANGE window frame: per user, the rolling 1-hour sum/count of
+    * `value` at each event — frames defined by event-TIME distance, not row
+    * count (rowsBetween ≠ rangeBetween under irregular event spacing).
+    * Both engines order by epoch seconds with a [-3600, 0] range frame. */
+  val q77 = EngineQuery(
+    "q77_range_frame",
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS sec, value FROM events)
+           |SELECT user_id, event_id,
+           |       round(sum(value) OVER w, 4) AS roll_sum,
+           |       CAST(count(*) OVER w AS BIGINT) AS roll_n
+           |FROM e
+           |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+           |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           |ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-3600, 0)
+    orderedByAll(
+      t.events
+        .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("sec"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          round4(sum(col("value")).over(w)).as("roll_sum"),
+          count(lit(1)).over(w).as("roll_n")))
+  }
+
+  /** Z-score outlier detection per group: two-phase agg for (mean, stddev),
+    * broadcast back onto the stream (groupBy + re-join, not a global
+    * window), count |z| > 2. The per-type stats table is tiny → broadcast;
+    * the fact passes once. */
+  val q78 = EngineQuery(
+    "q78_zscore_outliers",
+    Some("""WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+           |           FROM events GROUP BY 1)
+           |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+           |       round(max(abs((e.value - s.mu) / s.sd)), 4) AS max_z
+           |FROM events e JOIN s USING (event_type)
+           |WHERE abs((e.value - s.mu) / s.sd) > 2
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val stats = t.events.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    val z = abs((col("value") - col("mu")) / col("sd"))
+    orderedByAll(
+      t.events
+        .join(broadcast(stats), "event_type")
+        .filter(z > 2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"), round4(max(z)).as("max_z")))
+  }
+
+  /** Per-user event-sequence assembly (the trajectory/session-text shape
+    * that feeds sequence models): collect each user's event types in time
+    * order into one string. collect_list carries (ts, event_id, type)
+    * structs so array_sort imposes the SAME total order the oracle's
+    * ORDER BY does — collect_list order alone is partition-arbitrary. */
+  val q79 = EngineQuery(
+    "q79_event_sequence",
+    Some("""SELECT user_id,
+           |       string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM events GROUP BY user_id ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.events
+        .groupBy("user_id")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            " ").as("seq"),
+          count(lit(1)).as("n")))
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79)
 }
