@@ -300,7 +300,13 @@ object AdvancedQueries {
     * that feeds sequence models): collect each user's event types in time
     * order into one string. collect_list carries (ts, event_id, type)
     * structs so array_sort imposes the SAME total order the oracle's
-    * ORDER BY does — collect_list order alone is partition-arbitrary. */
+    * ORDER BY does — collect_list order alone is partition-arbitrary.
+    * Hot-key note: per-key state is the user's full event list — bounded by
+    * per-user activity, which is the operator's OUTPUT size, so unavoidable
+    * for sequence assembly; for hot keys cap with slice() after sort, or
+    * switch to the secondary-sort pattern (repartition + sortWithinPartitions
+    * + streaming fold, see graft.streaming.StatefulSessionizer) that never
+    * materializes a key's rows except in its output row. */
   val q79 = EngineQuery(
     "q79_event_sequence",
     Some("""SELECT user_id,
