@@ -325,6 +325,51 @@ object AdvancedQueries {
           count(lit(1)).as("n")))
   }
 
+  /** Fixed-width histogram via width_bucket — the scale-safe sibling of
+    * q70's ntile: bucket bounds are CONSTANTS, so binning is map-only (no
+    * global sort, no per-partition window), then one tiny aggregation.
+    * This is how you bucket 100 TB; ntile is how you bucket a sample.
+    * DuckDB 1.0 has no width_bucket, so the oracle states the same
+    * arithmetic (floor(v/width)+1) explicitly. */
+  val q81 = EngineQuery(
+    "q81_histogram",
+    Some("""SELECT CAST(floor(value/50)+1 AS BIGINT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(value), 4) AS sum_v
+           |FROM events GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.events
+        .select(width_bucket(col("value"), lit(0d), lit(600d), lit(12)).as("bucket"),
+          col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round4(sum(col("value"))).as("sum_v")))
+  }
+
+  /** arg-min/arg-max aggregates: first and last event per type by event
+    * time. The ordering key is the COMPOSITE (ts, event_id) struct — Spark's
+    * max_by/min_by order structs lexicographically, so ties on ts cannot
+    * make the survivor (or the oracle hash) nondeterministic. DuckDB's
+    * max_by takes only scalar ordering keys, so the oracle states the same
+    * arg-max via rank-1 windows over the identical (ts, event_id) order. */
+  val q82 = EngineQuery(
+    "q82_argminmax",
+    Some("""WITH r AS (SELECT event_type, event_id,
+           |             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ra,
+           |             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rd
+           |           FROM events)
+           |SELECT event_type,
+           |       CAST(max(CASE WHEN ra = 1 THEN event_id END) AS BIGINT) AS first_event,
+           |       CAST(max(CASE WHEN rd = 1 THEN event_id END) AS BIGINT) AS last_event
+           |FROM r GROUP BY event_type ORDER BY ALL""".stripMargin)) { t =>
+    val ord = struct(col("ts"), col("event_id"))
+    orderedByAll(
+      t.events
+        .groupBy("event_type")
+        .agg(
+          min_by(col("event_id"), ord).as("first_event"),
+          max_by(col("event_id"), ord).as("last_event")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79)
+    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82)
 }

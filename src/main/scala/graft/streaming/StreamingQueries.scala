@@ -195,5 +195,43 @@ object StreamingQueries {
         .groupBy("event_type").agg(count(lit(1)).as("cnt")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74)
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension (customer) that Spark re-resolves per micro-batch — the
+    * canonical "enrich the firehose with a slowly-refreshed dim" shape. The
+    * dim is broadcast (never shuffles the stream); the post-join agg is the
+    * batch contract, the streaming twin runs the same join + agg in
+    * complete mode. */
+  val q80 = EngineQuery(
+    "q80_stream_static_join",
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           |       round(sum(value), 4) AS sum_v
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(streamStaticShape(t.events, t.customer))
+  }
+
+  private def streamStaticShape(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round4(sum(col("value"))).as("sum_v"))
+
+  /** Streaming twin of q80: stream side from files, static side a plain
+    * DataFrame — exactly how Spark executes stream-static joins (static
+    * side re-read per micro-batch). */
+  def streamStaticStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sstatic")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = Tables.nanosToMicros(
+      spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    streamStaticShape(stream, customer)
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80)
 }

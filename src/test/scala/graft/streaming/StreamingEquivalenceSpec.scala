@@ -63,6 +63,24 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q80 stream-static join twin equals batch result") {
+    val batch = StreamingQueries.q80.run(spark, sf001)
+      .collect().map(_.toSeq).toSet
+
+    val q = StreamingQueries.streamStaticStream(spark, sf001)
+      .writeStream
+      .format("memory")
+      .queryName("q80_stream_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("q80_stream_test").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops re-sent events") {
     val t = new graft.Tables(spark, sf001)
     val dir = tmpDir("streamdedup")
