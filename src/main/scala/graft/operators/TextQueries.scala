@@ -534,14 +534,23 @@ object TextQueries {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+    // Init folds the first propagation in: label(u) = min(u, min neighbor).
+    var labels = edges
+      .groupBy(col("a").as("doc_id"))
+      .agg(least(col("doc_id"), min(col("b"))).as("label"))
+      .persist()
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
       val prop = edges.join(labels, edges("a") === labels("doc_id"))
         .select(col("b").as("doc_id"), col("label"))
+      // (A pointer-doubling variant — label(label(u)) per superstep, halving
+      // superstep count to O(log diameter) — was measured here and LOST:
+      // near-dup clusters are shallow (diameter ≲ 3 after the min-neighbor
+      // init), so the extra self-join per round cost more than the rounds it
+      // saved. For adversarially deep graphs, that or large-star/small-star
+      // is the upgrade path; the loop shape is unchanged.)
       val next = labels.unionByName(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .persist()
