@@ -110,9 +110,13 @@ object AdvancedQueries {
     val fact = t.lineitem
       .select(col("l_orderkey"), col("l_extendedprice"),
         pmod(col("l_linenumber"), lit(SALTS)).as("salt"))
+    // shuffle_hash: broadcasting the ×SALTS-replicated dim would both defeat
+    // the demonstration (no shuffle to de-skew) and pay the replication in
+    // every executor; the salted exchange is the point.
     val dim = t.orders
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+      .hint("shuffle_hash")
     orderedByAll(
       fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
         .groupBy("o_orderpriority")
