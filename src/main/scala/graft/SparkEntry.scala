@@ -20,7 +20,8 @@ object SparkEntry {
       functions.SketchQueries.all ++
       operators.SinkQueries.all ++
       operators.MultimodalQueries.all ++
-      operators.AdvancedQueries.all
+      operators.AdvancedQueries.all ++
+      operators.TrainingDataQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

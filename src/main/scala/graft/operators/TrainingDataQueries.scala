@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{EngineQuery, dsl}
+import graft.dsl._
+import org.apache.spark.sql.functions._
+
+/** The tokenize-adjacent tail of a pre-training data pipeline (SURVEY.md §2
+  * Part B extension, q83–q85): once documents are deduped/filtered/sampled
+  * (q23/q24/q45/q50/q57/q72), they get CHUNKED into model-window-sized
+  * pieces, PACKED into fixed-token-budget sequences, and the corpus mix is
+  * REBALANCED to a target per-source composition. All three are pure
+  * column/window arithmetic — map-only or single-shuffle — because at
+  * 100 TB the chunker runs once over every byte of the corpus.
+  */
+object TrainingDataQueries {
+
+  /** Overlapping-window document chunking: 64-token windows, stride 48
+    * (16-token overlap) — posexplode of the window-start sequence, slice per
+    * start. Map-only (Generate + Project over one scan, no shuffle until
+    * the output sort); each chunk is emitted as its md5 signature, not its
+    * text, so output volume stays bounded in the oracle compare. */
+  val q83 = EngineQuery(
+    "q83_chunk",
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 1),
+           |c AS (SELECT doc_id, len(tk) AS n, unnest(generate_series(1, len(tk), 48)) AS s, tk
+           |      FROM t)
+           |SELECT doc_id,
+           |       CAST((s - 1) // 48 AS INT) AS chunk_idx,
+           |       CAST(least(64, n - s + 1) AS INT) AS chunk_len,
+           |       substring(md5(array_to_string(tk[s:s+63], ' ')), 1, 8) AS sig
+           |FROM c ORDER BY ALL""".stripMargin)) { t =>
+    val docs = t.documents
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+    orderedByAll(
+      docs
+        .select(col("doc_id"), col("tk"), size(col("tk")).as("n"),
+          explode(sequence(lit(1), size(col("tk")), lit(48))).as("s"))
+        .select(
+          col("doc_id"),
+          ((col("s") - 1) / 48).cast("int").as("chunk_idx"),
+          least(lit(64), col("n") - col("s") + 1).cast("int").as("chunk_len"),
+          substring(md5(concat_ws(" ", slice(col("tk"), col("s"), lit(64))).cast("binary")), 1, 8)
+            .as("sig")))
+  }
+
+  /** Greedy sequential sequence packing: per lang, docs in doc_id order
+    * fill 2048-token bins; a doc's bin is its START offset's bin
+    * (floor((cumsum − ntok)/2048)). One window over a lang hash partition +
+    * one aggregation — the packing plan that holds when "lang" is a
+    * partition-sized shard key. */
+  val q84 = EngineQuery(
+    "q84_pack",
+    Some("""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok FROM documents),
+           |c AS (SELECT lang, ntok,
+           |        sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+           |                        ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM t)
+           |SELECT lang, CAST((cum - ntok) // 2048 AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(ntok) AS BIGINT) AS tokens
+           |FROM c GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    orderedByAll(
+      t.documents
+        .select(col("doc_id"), col("lang"), size(toks(col("text"))).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .select(col("lang"), expr("(cum - ntok) div 2048").as("bin"), col("ntok"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens")))
+  }
+
+  /** Corpus-mix rebalancing to an equal per-source target: each source's
+    * keep-rate is min(1, fair_share / its_count), applied as a
+    * content-hash threshold (first 4 md5 hex digits vs floor(rate·65536)) —
+    * the deterministic, engine-portable form of weighted sampling. The
+    * rate table is per-source (tiny) → broadcast; the corpus passes once
+    * map-side. */
+  val q85 = EngineQuery(
+    "q85_mix_rebalance",
+    Some("""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+           |tot AS (SELECT sum(cnt) AS total, count(*) AS ns FROM c),
+           |r AS (SELECT source, least(1.0, (CAST(total AS DOUBLE) / CAST(ns AS DOUBLE))
+           |                                 / CAST(cnt AS DOUBLE)) AS rate
+           |      FROM c, tot)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+           |       round(max(rate), 4) AS rate
+           |FROM documents d JOIN r USING (source)
+           |WHERE CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER)
+           |      < CAST(floor(rate * 65536) AS INTEGER)
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val counts = t.documents.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("ns"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0), (col("total") / col("ns")) / col("cnt").cast("double")).as("rate"))
+    orderedByAll(
+      t.documents
+        .join(broadcast(rates), "source")
+        .filter(conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("int")
+          < floor(col("rate") * 65536).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), round4(max(col("rate"))).as("rate")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q83, q84, q85)
+}
