@@ -16,9 +16,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * are injected either way.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
+    // The engine's fixed-arity codegen expressions, SQL-callable — the same
+    // objects the DataFrame helpers wrap, so `spark.sql("... graft_cosine
+    // (a, b) ...")` and `CosineSimilarity(a, b)` are one implementation.
+    // (HyperplaneSignature carries a config payload — plane matrix + dim —
+    // and stays DataFrame-only.)
+    def fn(name: String, arity: Int)(build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(build.getClass.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+          build(args)
+        }))
+    fn("graft_cosine", 2)(a => graft.functions.CosineSimilarity(a(0), a(1)))
+    fn("graft_minhash_sig", 1)(a => graft.functions.MinHashSignature(a(0)))
+    fn("graft_simhash_sig", 1)(a => graft.functions.SimHashSignature(a(0)))
+    fn("graft_morton", 2)(a => graft.functions.MortonCode(a(0), a(1)))
   }
 }
 

@@ -28,6 +28,8 @@ object SharedSparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // production registration path — strategy, rule AND SQL functions
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
