@@ -51,7 +51,7 @@ object AdvancedQueries {
            |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
            |                        (o_orderpriority), (o_orderstatus), ())
            |ORDER BY ALL""".stripMargin)) { t =>
-    val v = s"g_orders_${viewSeq.incrementAndGet()}"
+    val v = s"adv_orders_${viewSeq.incrementAndGet()}"
     t.orders.createOrReplaceTempView(v)
     try {
       orderedByAll(
@@ -80,7 +80,7 @@ object AdvancedQueries {
            |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
            |ORDER BY ALL""".stripMargin)) { t =>
     val id = viewSeq.incrementAndGet()
-    val (vc, vo) = (s"g_customer_$id", s"g_orders_$id")
+    val (vc, vo) = (s"adv_customer_$id", s"adv_orders_$id")
     t.customer.createOrReplaceTempView(vc)
     t.orders.createOrReplaceTempView(vo)
     try {
@@ -103,7 +103,7 @@ object AdvancedQueries {
   val q68 = EngineQuery(
     "q68_salted_join",
     Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-           |       round(sum(l_extendedprice), 4) AS revenue
+           |       round(sum(l_extendedprice) / 1000000, 4) AS revenue_m
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY ALL""".stripMargin)) { t =>
     val SALTS = 8
@@ -120,7 +120,12 @@ object AdvancedQueries {
     orderedByAll(
       fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), round4(sum(col("l_extendedprice"))).as("revenue")))
+        // revenue reported in millions: a ~1e10 double sum rounds at 4dp
+        // inside its own summation-order noise (different add order on both
+        // engines ⇒ ~1e-3 ulp drift at that magnitude); scaling first keeps
+        // the rounding far above the noise floor (SURVEY §7.4.2)
+        .agg(count(lit(1)).as("cnt"),
+          round4(sum(col("l_extendedprice")) / 1000000).as("revenue_m")))
   }
 
   /** Explicit bloom-filtered semi-join: the selective dim's keys become a

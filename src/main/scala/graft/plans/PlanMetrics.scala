@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+
+/** Runtime plan-metrics evidence: execute a DataFrame's OWN physical plan
+  * (so its operator metrics populate — `df.count()` would build a separate
+  * QueryExecution and leave them at zero) and report what actually flowed:
+  * rows out of each scan, each filter, and bytes through each shuffle.
+  * This is the runtime counterpart of the string assertions in
+  * PlanInvariantsSpec: "the filter is pushed down" becomes "the scan
+  * emitted N ≪ total rows".
+  */
+object PlanMetrics {
+
+  final case class Report(
+      rows: Long,
+      scanOutputRows: Seq[Long],
+      filterOutputRows: Seq[Long],
+      shuffleBytesWritten: Seq[Long])
+
+  /** Execute `df` via its own executed plan (RDD count — no driver
+    * materialization of the result set) and collect operator metrics. */
+  def run(df: DataFrame): Report = {
+    val plan = df.queryExecution.executedPlan
+    val rows = plan.execute().count()
+    // AQE hides work behind leaf wrappers: AdaptiveSparkPlanExec carries the
+    // final tree in `executedPlan`, materialized stages sit behind
+    // QueryStageExec.plan, reused exchanges behind ReusedExchangeExec.child —
+    // none of which `SparkPlan.collect` descends into.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case other => other.children.flatMap(nodes)
+      }
+      (p +: below) ++ p.subqueries.flatMap(nodes)
+    }
+    val all = nodes(plan)
+    def metric(p: SparkPlan, name: String): Option[Long] =
+      p.metrics.get(name).map(_.value)
+    Report(
+      rows = rows,
+      scanOutputRows = all.collect { case s: FileSourceScanExec =>
+        metric(s, "numOutputRows").getOrElse(0L) },
+      filterOutputRows = all.collect { case f: FilterExec =>
+        metric(f, "numOutputRows").getOrElse(0L) },
+      shuffleBytesWritten = all.collect { case e: ShuffleExchangeExec =>
+        metric(e, "shuffleBytesWritten").getOrElse(0L) })
+  }
+}
