@@ -43,5 +43,30 @@ object SketchQueries {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q40, q41)
+  /** Count-min-sketch heavy-hitter estimation — the third classic mergeable
+    * sketch next to HLL (q41) and the quantile sketch: one pass over the
+    * exploded token stream builds a fixed-size CMS (ε=0.1%, δ=1%, seeded →
+    * deterministic), then the exact top-20 terms (q26's list) are estimated
+    * from it driver-side. Estimates are engine-specific → no SQL oracle;
+    * CmsSpec asserts the CMS guarantee exact ≤ est ≤ exact + ε·N. At 100 TB
+    * the sketch is ~KBs per partition and merges associatively — the only
+    * way to track term frequencies without a corpus-wide shuffle. */
+  val q86 = EngineQuery("q86_cms_freq", None) { t =>
+    import t.spark.implicits._
+    val tokens = t.documents.select(explode(toks(col("text"))).as("tok"))
+    val skBytes = tokens
+      .agg(count_min_sketch(col("tok"), lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = tokens.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok"))
+      .limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (tok, exact) => (tok, exact, cms.estimateCount(tok)) }
+      .toSeq.toDF("term", "exact_cnt", "est_cnt")
+      .orderBy(col("term"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q86)
 }
