@@ -21,6 +21,36 @@ class MultimodalSpec extends SharedSparkSpec {
     }
   }
 
+  test("PGM decode is REAL: synthesized P5 images round-trip exact dimensions and mean") {
+    import spark.implicits._
+    // deterministic gradient images, one per (w, h)
+    def pgm(w: Int, h: Int, comment: Boolean): Array[Byte] = {
+      val header = (if (comment) s"P5\n# synthetic\n$w $h\n255\n" else s"P5 $w $h 255\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val raster = Array.tabulate(w * h)(i => (i % 256).toByte)
+      header ++ raster
+    }
+    val dims = Seq((4, 3), (16, 16), (1, 1), (40, 7))
+    val rows = dims.zipWithIndex.map { case ((w, h), i) =>
+      Multimodal.MediaRecord(i.toLong, "img", pgm(w, h, comment = i % 2 == 0))
+    } :+ Multimodal.MediaRecord(99L, "txt", "not an image".getBytes)
+    val out = Multimodal.decodeImages(rows.toDS()).collect().sortBy(_.doc_id)
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val f = out(i)
+      assert(f.decoded && f.width == w && f.height == h && f.maxval == 255)
+      val expectMean = (0 until w * h).map(j => (j % 256)).sum.toDouble / (w * h)
+      assert(math.abs(f.mean_intensity - expectMean) < 1e-12,
+        s"${w}x$h mean ${f.mean_intensity} != $expectMean")
+    }
+    val bad = out.last
+    assert(!bad.decoded && bad.doc_id == 99L)
+    // truncated raster must degrade, not crash
+    val trunc = Multimodal.decodeImages(
+      Seq(Multimodal.MediaRecord(7L, "img", pgm(8, 8, comment = false).dropRight(5))).toDS())
+      .head()
+    assert(!trunc.decoded)
+  }
+
   test("frame sampling explodes 1->N with stride; resize fixes output shape") {
     val docs = new Tables(spark, sf001).documents
     val media = Multimodal.mediaTable(docs)
