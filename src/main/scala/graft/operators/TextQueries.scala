@@ -530,7 +530,15 @@ object TextQueries {
            |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
            |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
            |FROM lab GROUP BY cluster ORDER BY ALL""".stripMargin)) { t =>
-    val pairs = ngramJaccardPairs(t.documents)
+    orderedByAll(
+      dedupClusterLabels(t.documents)
+        .groupBy(col("label").as("cluster")).agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** (doc_id, label) cluster assignment over the q36 near-dup pair graph —
+    * the shared core of q60 (cluster sizes) and q87 (corpus purge). */
+  private def dedupClusterLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = ngramJaccardPairs(docs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist()
@@ -562,11 +570,55 @@ object TextQueries {
       iter += 1
     }
     edges.unpersist()
+    labels
+  }
+
+  /** Near-dup corpus purge — the OUTPUT side of dedup clustering: from each
+    * q60 cluster keep only the min-doc_id representative, leave unclustered
+    * docs untouched, report per-lang before/after. One anti-join of the
+    * corpus against the cluster "losers" (doc_id ≠ its cluster label):
+    * the purge never shuffles the corpus — losers are a broadcast-scale
+    * id set bounded by the duplicate population. */
+  val q87 = EngineQuery(
+    "q87_dedup_purge",
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+           |            AS BIGINT) AS n_survivors
+           |FROM documents GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val losers = dedupClusterLabels(t.documents)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"))
     orderedByAll(
-      labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("n_docs")))
+      t.documents
+        .join(losers.withColumn("lose", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lose").isNull, 1L).otherwise(0L)).as("n_survivors")))
   }
 
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60)
+      q57, q60, q87)
 }
