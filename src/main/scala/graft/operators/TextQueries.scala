@@ -551,14 +551,16 @@ object TextQueries {
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
+      // One superstep per materialization. Two batching variants were
+      // measured here and both LOST to this plain loop on the shallow
+      // near-dup graph (diameter ≲ 3 after the min-neighbor init):
+      // pointer doubling (label(label(u)) per round) and two-supersteps-per-
+      // convergence-check — each deepens the per-materialization plan by a
+      // join, and the added codegen/execution cost exceeded the saved
+      // coordinator rounds. For adversarially deep graphs those (or
+      // large-star/small-star) are the upgrade path; the loop shape holds.
       val prop = edges.join(labels, edges("a") === labels("doc_id"))
         .select(col("b").as("doc_id"), col("label"))
-      // (A pointer-doubling variant — label(label(u)) per superstep, halving
-      // superstep count to O(log diameter) — was measured here and LOST:
-      // near-dup clusters are shallow (diameter ≲ 3 after the min-neighbor
-      // init), so the extra self-join per round cost more than the rounds it
-      // saved. For adversarially deep graphs, that or large-star/small-star
-      // is the upgrade path; the loop shape is unchanged.)
       val next = labels.unionByName(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .persist()
