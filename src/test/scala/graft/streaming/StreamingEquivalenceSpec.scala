@@ -103,4 +103,32 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == (0L until 1000L).toSeq) // each event exactly once
   }
+
+  test("q74 batch replay-dedup equals the streaming dedup of the same replay") {
+    val t = new graft.Tables(spark, sf001)
+    val dir = tmpDir("streamdedup74")
+    import org.apache.spark.sql.functions._
+    // the same replay q74 constructs in batch: full stream + every 10th event
+    val ev = t.events.select("event_id", "ts", "event_type")
+    ev.coalesce(1).write.parquet(s"$dir/in/b1")
+    ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .coalesce(1).write.parquet(s"$dir/in/b2")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", "10 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup74_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup74_out")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = StreamingQueries.q74.run(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
