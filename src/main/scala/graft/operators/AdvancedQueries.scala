@@ -379,6 +379,37 @@ object AdvancedQueries {
           max_by(col("event_id"), ord).as("last_event")))
   }
 
+  /** Correlated LATERAL join — per outer row, a dependent subquery with its
+    * own aggregation, ORDER BY and LIMIT (top-2 nations by customer balance
+    * per region). Catalyst de-correlates the lateral (DecorrelateInnerQuery
+    * rewrites the per-row LIMIT into a rank window over the join key), so
+    * execution is joins + one window — never a per-row subquery. */
+  val q88 = EngineQuery(
+    "q88_lateral_topn",
+    Some("""SELECT r_name, n_name, acct
+           |FROM region r,
+           |LATERAL (SELECT n_name, round(sum(c_acctbal), 4) AS acct
+           |         FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+           |         WHERE n.n_regionkey = r.r_regionkey
+           |         GROUP BY n_name ORDER BY acct DESC, n_name LIMIT 2) t
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val id = viewSeq.incrementAndGet()
+    val (vr, vn, vc) = (s"adv_region_$id", s"adv_nation_$id", s"adv_cust_$id")
+    t.region.createOrReplaceTempView(vr)
+    t.nation.createOrReplaceTempView(vn)
+    t.customer.createOrReplaceTempView(vc)
+    try {
+      orderedByAll(
+        t.spark.sql(
+          s"""SELECT r_name, n_name, acct
+             |FROM $vr r,
+             |LATERAL (SELECT n_name, round(sum(c_acctbal), 4) AS acct
+             |         FROM $vn n JOIN $vc c ON c_nationkey = n_nationkey
+             |         WHERE n.n_regionkey = r.r_regionkey
+             |         GROUP BY n_name ORDER BY acct DESC, n_name LIMIT 2) t""".stripMargin))
+    } finally Seq(vr, vn, vc).foreach(t.spark.catalog.dropTempView)
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82)
+    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88)
 }
