@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver launches `sbt "runMain graft.Bench"` and machine-parses the
+// bench JSON from the LAST 2000 chars of output. Two sbt behaviors broke
+// that for three rounds (`parsed: null` in BENCH_r{1,2,3}.json):
+//  1. default outputStrategy = LoggedOutput re-prefixes the forked JVM's
+//     stdout with "[info] " → the JSON line never parses;
+//  2. sbt appends "[success] Total time: ..." AFTER the program's output →
+//     the JSON line is never the last line.
+// StdoutOutput passes the forked process's stdout through verbatim, and
+// showSuccess := false drops the trailer, so the bench line reaches the
+// driver bare and last.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by another setting — the
+// unused-key lint can't see that.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

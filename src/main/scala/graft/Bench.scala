@@ -29,9 +29,12 @@ object Bench {
         .count()
     }
     // (time, error): a failing query must be VISIBLE in the bench JSON, not
-    // silently contribute a bogus duration.
+    // silently contribute a bogus duration. Sorted name order: Map iteration
+    // order is per-JVM nondeterministic, which made cross-round per-query
+    // deltas ride on execution-order luck (cache/contention state differs by
+    // position in the pass).
     def pass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
@@ -42,12 +45,18 @@ object Bench {
       }
     // Pass 1 (headline `value`/`queries`): first execution — includes each
     // query's one-time plan+codegen compile, the honest single-shot number.
-    // Pass 2 (`queries_warm`/`total_warm`): steady-state latency once plans
-    // are compiled — the per-query cost a long-lived service actually pays,
-    // reported alongside because at this toy SF the ~0.3-0.7s compile floor
-    // dominates pass 1 and would otherwise be unreadable from one number.
+    // Passes 2+3 (`queries_warm`/`total_warm`, per-query MIN of the two):
+    // steady-state latency once plans are compiled — the per-query cost a
+    // long-lived service actually pays. Min-of-2 because a single warm sample
+    // on a shared box rides run-to-run contention noise (round-3 saw warm >
+    // cold inversions of 3-5x on queries whose plans hadn't changed).
     val results = pass()
-    val warm = pass()
+    val warm = {
+      val (w1, w2) = (pass(), pass())
+      w1.zip(w2).map { case ((n, t1, e1), (_, t2, e2)) =>
+        (n, math.min(t1, t2), e1.orElse(e2))
+      }
+    }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
     def jnum(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -70,7 +79,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${qmap(results, short)},"total_warm":${jnum(totalWarm)},"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     require(line.length < 1800, s"bench line too long for driver tail: ${line.length}")
-    println(line)
+    // Stop Spark BEFORE printing: the driver parses the JSON from the tail of
+    // captured output, so nothing (executor shutdown logs included) may print
+    // after this line.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
