@@ -27,18 +27,15 @@ object SimilarityQueries {
 
   /** doc_id + distinct 5-token shingle set, docs with >= 5 tokens. Tokens
     * are materialized as a column first — see dsl.shingles. */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[graft] def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), shingles(col("tk"), 5).as("sh"))
 
-  val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
-    // The shingle table feeds the signature branch and the verification
-    // fetch. Deliberately NOT cached: pinning the shingle set of a 100 TB
-    // corpus is not viable. What IS persisted below is bounded by the LSH
-    // candidate set (id pairs + candidate docs' shingles) — a tiny fraction
-    // of the corpus by construction.
-    val base = shingled(t.documents)
+  /** LSH candidate id pairs from the shingled corpus — the pre-checkpoint
+    * q24 pipeline, exposed so PlanInvariantsSpec can assert its shape (the
+    * checkpoint boundary in q24 hides it behind a Scan ExistingRDD). */
+  private[graft] def minhashCandidatePairs(base: DataFrame): DataFrame = {
     // 64 seeded min-hashes per doc, MAP-ONLY: the shingle set is a bounded
     // array column, so the signature is a pure per-row function — one fused
     // codegen loop (double-hashing family g_i = h1 + i*h2), no explode
@@ -61,9 +58,6 @@ object SimilarityQueries {
       .withColumn("bhs", bhArr)
       .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("bhs"), col("x.band").as("band"), col("x.bh").as("bh"))
-    // Candidate id pairs are persisted: they feed the doc-id fetch AND the
-    // final verification join, and re-deriving them would re-run the band
-    // self-join. Bounded by the candidate count, never the corpus.
     // hint("merge"): a broadcast self-join would compute the signature
     // pipeline TWICE (no exchange reuse under BroadcastExchange, confirmed
     // in PLANS.md) and could not broadcast a 10⁹-doc signature table anyway;
@@ -75,21 +69,42 @@ object SimilarityQueries {
       when(element_at(col("l.bhs"), b + 1) === element_at(col("r.bhs"), b + 1), lit(b))
         .otherwise(els)
     }
-    val cand = bands.as("l").hint("merge")
+    bands.as("l").hint("merge")
       .join(bands.as("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id") && col("band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .persist()
+  }
+
+  val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
+    // The shingle table feeds the signature branch and the verification
+    // fetch. Deliberately NOT cached: pinning the shingle set of a 100 TB
+    // corpus is not viable. What IS materialized below is bounded by the LSH
+    // candidate set (id pairs + candidate docs' shingles) — a tiny fraction
+    // of the corpus by construction.
+    val base = shingled(t.documents)
+    // Candidate id pairs are materialized once (lazy localCheckpoint): they
+    // feed the doc-id fetch AND the final verification join, and re-deriving
+    // them would re-run the band self-join. localCheckpoint over persist():
+    // storage lives at the RDD layer, so the ContextCleaner releases it as
+    // soon as this query's DataFrame is unreachable — a plain persist() pins
+    // a CacheManager entry forever unless someone calls unpersist(), which
+    // no caller of a lazily-returned query CAN call (the leak the round-3
+    // bench logged as `Asked to cache already cached data`). On a cluster
+    // with executor churn the trade-off reverses (truncated lineage can't
+    // recompute lost blocks) — there, persist + an after-action release hook
+    // is the knob.
+    val cand = minhashCandidatePairs(base).localCheckpoint(eager = false)
     // ONE more corpus pass fetches the shingle sets of just the docs that
-    // appear in a candidate pair; persisted because both verification join
-    // sides read it. (The previous formulation joined the full corpus
-    // shingle table twice — two corpus-wide shuffles of document-sized
-    // arrays, or a corpus-wide cache. Persisting the candidate-restricted
-    // slice is the 100 TB-safe middle: memory bounded by |candidates|.)
+    // appear in a candidate pair; materialized once because both
+    // verification join sides read it. (The previous formulation joined the
+    // full corpus shingle table twice — two corpus-wide shuffles of
+    // document-sized arrays, or a corpus-wide cache. The candidate-
+    // restricted slice is the 100 TB-safe middle: memory bounded by
+    // |candidates|.)
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val candSh = base.join(candDocs, Seq("doc_id")).persist()
+    val candSh = base.join(candDocs, Seq("doc_id")).localCheckpoint(eager = false)
     // Exact Jaccard verification on candidates only.
     val verified = cand
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")

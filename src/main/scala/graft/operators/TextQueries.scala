@@ -18,16 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Exact dedup by normalized full text `lower(trim(text))` (SURVEY §2 key).
-    * Survivor per duplicate group = min doc_id — deterministic, unlike
-    * dropDuplicates' arbitrary row pick. Reported as surviving-doc count per
-    * language of the survivor. At 100 TB the groupBy key would be
-    * sha2(normalized_text) to shuffle 32-byte digests instead of documents;
-    * the semantics are identical, so the readable form is kept here.
+  /** Exact dedup by normalized full text `lower(trim(text))` (SURVEY §2 key),
+    * keyed on the content DIGEST `sha2(normalized, 256)`: both the groupBy
+    * and the survivor semi-join shuffle 64-hex-char digests instead of the
+    * corpus's own bytes — at 100 TB that is the difference between moving
+    * ~10 TB of text through two exchanges and moving ~6 GB of digests.
+    * SHA-256 collisions are cryptographically negligible, so group structure
+    * is identical to grouping by the text itself (DuckDB oracle mirrors with
+    * its sha256()). Survivor per duplicate group = min doc_id —
+    * deterministic, unlike dropDuplicates' arbitrary row pick. Reported as
+    * surviving-doc count per language of the survivor.
     */
   val q23 = EngineQuery(
     "q23_dedup_exact",
-    Some("""WITH k AS (SELECT doc_id, lang, lower(trim(text)) AS key
+    Some("""WITH k AS (SELECT doc_id, lang, sha256(lower(trim(text))) AS key
            |           FROM documents),
            |     s AS (SELECT min(doc_id) AS keep_id FROM k GROUP BY key)
            |SELECT lang, CAST(count(*) AS BIGINT) AS survivors
@@ -35,7 +39,7 @@ object TextQueries {
            |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
     val keyed = t.documents.select(
       col("doc_id"), col("lang"),
-      lower(trim(col("text"))).as("key"))
+      sha2(lower(trim(col("text"))), 256).as("key"))
     val keep = keyed.groupBy("key").agg(min(col("doc_id")).as("keep_id"))
     orderedByAll(
       keyed
@@ -572,7 +576,15 @@ object TextQueries {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Hand the caller a self-releasing result: eagerly localCheckpoint the
+    // converged labels (one cheap job off the still-cached plan), then drop
+    // the CacheManager entry. The checkpointed blocks live at the RDD layer,
+    // so the ContextCleaner frees them once the caller's DataFrame goes out
+    // of scope — callers of a returned DataFrame have no hook to unpersist a
+    // CacheManager pin themselves (the round-3 leak in q60/q87).
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** Near-dup corpus purge — the OUTPUT side of dedup clustering: from each

@@ -41,11 +41,21 @@ class PlanInvariantsSpec extends SharedSparkSpec {
   }
 
   test("q24: LSH pipeline is map-only sigs + SMJ banding; no cartesian, no agg shuffle for sigs") {
-    val p = plan("q24_dedup_minhash")
+    // The candidate pipeline sits behind a localCheckpoint boundary in q24
+    // (self-releasing materialization), so its shape is asserted on the
+    // pre-checkpoint plan it is built from.
+    import graft.operators.SimilarityQueries.{minhashCandidatePairs, shingled}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val p = minhashCandidatePairs(shingled(docs)).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "crossJoin snuck into the LSH pipeline")
     assert(!p.contains("ObjectHashAggregate"), "signature fell back to the aggregator shuffle")
     assert(p.contains("graft_minhash_sig"), p.take(800))
     assert(p.contains("SortMergeJoin"), "band self-join lost its merge hint")
+    // And the full query consumes it through the checkpoint boundary (the
+    // ExistingRDD scan), still cartesian-free.
+    val full = plan("q24_dedup_minhash")
+    assert(full.contains("ExistingRDD"), full.take(800))
+    assert(!full.contains("CartesianProduct"), "crossJoin snuck into q24 verification")
   }
 
   test("q25: broadcast queries stream the corpus map-side with partial top-k") {
