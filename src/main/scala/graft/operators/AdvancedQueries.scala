@@ -166,11 +166,28 @@ object AdvancedQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
   }
 
-  /** Quantile bucketing (feature binning): ntile(10) over a TOTAL order —
-    * the tiebreak on c_custkey is what makes the bucket assignment, and so
-    * the oracle hash, deterministic on both engines. Single window over one
-    * global sort: at scale, swap ntile for width_bucket over approx
-    * percentile bounds (q40/q41) to avoid the single-partition window. */
+  /** Quantile bucketing (feature binning): EXACT ntile(10) over a TOTAL
+    * order — the tiebreak on c_custkey makes the bucket assignment, and so
+    * the oracle hash, deterministic on both engines — WITHOUT the
+    * single-partition global window a naive `ntile().over(Window.orderBy)`
+    * plans (the round-3 scale-killer: all rows through one task).
+    *
+    * Distributed exact ranking, all map/window-parallel:
+    *  1. range-repartition on the sort key — partition i holds keys strictly
+    *     below partition i+1 (RangePartitioning's contract), so
+    *     global_rank = local_rank + (rows in partitions < i);
+    *  2. local rank = row_number over a window PARTITIONED by
+    *     spark_partition_id() — every range partition ranks in parallel;
+    *  3. the per-partition counts (≤ a few hundred rows at any scale) get
+    *     cumulative offsets via a tiny triangular self-join (no driver
+    *     collect, no 1-partition window) and broadcast back;
+    *  4. the exact ntile bucket comes from the global rank in closed form:
+    *     with q = N div k, m = N mod k (first m buckets take q+1 rows —
+    *     ntile's big-buckets-first contract, NOT the interleaved
+    *     floor((r-1)·k/N) approximation), bucket(r) = ceil(r/(q+1)) while
+    *     r ≤ m·(q+1), else m + ceil((r − m·(q+1))/q).
+    * The range exchange is consumed by both the count and rank subtrees —
+    * identical subtrees, so AQE's ReusedExchange materializes it once. */
   val q70 = EngineQuery(
     "q70_ntile_bucket",
     Some("""WITH b AS (SELECT c_acctbal,
@@ -180,10 +197,31 @@ object AdvancedQueries {
            |       round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
            |FROM b GROUP BY bucket ORDER BY ALL""".stripMargin)) { t =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val k = 10
+    val parted = t.customer.select(col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
+    // start(pid) = rows in all lower partitions; total = N. Triangular
+    // self-join over |partitions| rows — distributed cumulative sum without
+    // a no-partition window.
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") <= col("a.pid"))
+      .groupBy(col("a.pid").as("pid"))
+      .agg((sum(col("b.pn")) - first(col("a.pn"))).as("start"))
+      .crossJoin(broadcast(counts.agg(sum(col("pn")).as("total"))))
+    val lw = Window.partitionBy("pid").orderBy(col("c_acctbal"), col("c_custkey"))
+    val qq = floor(col("total") / k).cast("long")
+    val m = col("total") % k
+    val grank = col("lr") + col("start")
+    val bucket = when(qq === 0L, grank) // N < k: one row per bucket
+      .when(grank <= m * (qq + 1L), ceil(grank / (qq + 1L).cast("double")))
+      .otherwise(m + ceil((grank - m * (qq + 1L)) / qq.cast("double")))
     orderedByAll(
-      t.customer
-        .select(col("c_acctbal"), ntile(10).over(w).as("bucket"))
+      parted
+        .withColumn("lr", row_number().over(lw).cast("long"))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           round4(min(col("c_acctbal"))).as("lo"),

@@ -58,6 +58,14 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(!full.contains("CartesianProduct"), "crossJoin snuck into q24 verification")
   }
 
+  test("q70: exact ntile ranks under a PARTITIONED window (no global single-partition window)") {
+    val p = plan("q70_ntile_bucket")
+    assert("windowspecdefinition\\(pid#".r.findFirstIn(p).isDefined, p.take(1200))
+    // every window in the plan carries a partition spec — a bare
+    // windowspecdefinition(<orderCol> ASC ...) is the single-partition form
+    assert("windowspecdefinition\\(c_acctbal".r.findFirstIn(p).isEmpty, p.take(1200))
+  }
+
   test("q25: broadcast queries stream the corpus map-side with partial top-k") {
     val p = plan("q25_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"))
