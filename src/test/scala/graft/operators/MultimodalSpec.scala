@@ -51,6 +51,69 @@ class MultimodalSpec extends SharedSparkSpec {
     assert(!trunc.decoded)
   }
 
+  test("PNG decode is REAL: ImageIO-encoded images round-trip dimensions and mean") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // Gray: mean = mean of gray bytes. ImageIO picks per-row filters
+    // adaptively, so a gradient exercises Sub/Up/Average/Paeth unfiltering.
+    val gw = 37; val gh = 23
+    val gray = new BufferedImage(gw, gh, BufferedImage.TYPE_BYTE_GRAY)
+    var gsum = 0.0
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val v = (x * 7 + y * 13) % 256
+      gray.getRaster.setSample(x, y, 0, v); gsum += v
+    }
+    val g = Multimodal.decodePng(png(gray))
+    assert(g.isDefined, "gray PNG failed to decode")
+    assert(g.get._1 == gw && g.get._2 == gh && g.get._3 == 255)
+    assert(math.abs(g.get._4 - gsum / (gw * gh)) < 1e-9, s"${g.get._4} vs ${gsum / (gw * gh)}")
+    // RGB: mean over the three color channels.
+    val cw = 19; val ch = 31
+    val rgb = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+    var csum = 0.0
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val (r, gg, b) = ((x * 11) % 256, (y * 17) % 256, ((x + y) * 5) % 256)
+      rgb.setRGB(x, y, (r << 16) | (gg << 8) | b); csum += r + gg + b
+    }
+    val c = Multimodal.decodePng(png(rgb))
+    assert(c.isDefined, "RGB PNG failed to decode")
+    assert(c.get._1 == cw && c.get._2 == ch)
+    assert(math.abs(c.get._4 - csum / (cw * ch * 3)) < 1e-9)
+    // RGBA: alpha bytes must NOT contaminate the intensity mean.
+    val argb = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
+    var asum = 0.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (r, gg, b) = (x * 20 % 256, y * 30 % 256, 77)
+      argb.setRGB(x, y, (128 << 24) | (r << 16) | (gg << 8) | b); asum += r + gg + b
+    }
+    val a = Multimodal.decodePng(png(argb))
+    assert(a.isDefined, "RGBA PNG failed to decode")
+    assert(math.abs(a.get._4 - asum / (8 * 8 * 3)) < 1e-9)
+    // Malformed payloads degrade to None, never throw:
+    val good = png(gray)
+    assert(Multimodal.decodePng(good.dropRight(40)).isEmpty, "truncated must fail")
+    val flipped = good.clone(); flipped(good.length - 5) = (flipped(good.length - 5) ^ 0x1).toByte
+    assert(Multimodal.decodePng(flipped).isEmpty, "CRC mismatch must fail")
+    assert(Multimodal.decodePng("not a png at all".getBytes).isEmpty)
+    // Palette PNGs are out of the supported profile — rejected, not mangled.
+    val pal = new BufferedImage(5, 5, BufferedImage.TYPE_BYTE_INDEXED)
+    assert(Multimodal.decodePng(png(pal)).isEmpty, "palette must be rejected")
+    // And the Dataset path dispatches PGM/PNG/other per record.
+    import spark.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRecord(1L, "png", good),
+      Multimodal.MediaRecord(2L, "pgm", s"P5 2 2 255\n".getBytes ++ Array[Byte](0, 50, 100, (150 & 0xff).toByte)),
+      Multimodal.MediaRecord(3L, "txt", "plain text".getBytes))
+    val feats = Multimodal.decodeImages(mixed.toDS()).collect().sortBy(_.doc_id)
+    assert(feats(0).decoded && feats(0).width == gw && feats(0).height == gh)
+    assert(feats(1).decoded && feats(1).width == 2 && feats(1).height == 2)
+    assert(!feats(2).decoded)
+  }
+
   test("frame sampling explodes 1->N with stride; resize fixes output shape") {
     val docs = new Tables(spark, sf001).documents
     val media = Multimodal.mediaTable(docs)
