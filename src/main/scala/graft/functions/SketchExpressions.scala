@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Per-ROW sketch signatures over an already-materialized token/shingle
   * array — the map-only siblings of the SketchAggregators. When the set is
@@ -142,4 +142,57 @@ case class SimHashSignature(child: Expression)
 object SimHashSignature {
   def apply(arr: Column): Column =
     GraftShims.column(SimHashSignature(GraftShims.expression(arr)))
+}
+
+/** Probe a serialized `count_min_sketch` (the bytes Spark's aggregate
+  * emits) for an item's estimated count — executor-side, so the whole
+  * heavy-hitter query runs as ONE job with the sketch riding a broadcast,
+  * instead of N driver-side estimateCount calls after a collect. String
+  * items hash identically to the aggregate's update path (both hash the
+  * UTF-8 bytes), so estimates match the driver-side formulation exactly. */
+case class CmsEstimateCount(sketch: Expression, item: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = sketch
+  override def right: Expression = item
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  override def nullSafeEval(sk: Any, it: Any): Any =
+    CmsEstimateCount.estimate(
+      sk.asInstanceOf[Array[Byte]],
+      it.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, it) =>
+      s"${ev.value} = graft.functions.CmsEstimateCount.estimate($sk, $it);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(sketch = newLeft, item = newRight)
+}
+
+object CmsEstimateCount {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  // Single-entry deserialization cache keyed on sketch content: every row at
+  // a probe site carries the same broadcast sketch bytes (row accessors copy
+  // the array, so identity can't key it). Probe sites are row-bounded
+  // (top-k), making even a miss-per-row acceptable; the cache just avoids
+  // re-parsing ~100 KB of sketch per row in the common same-sketch case.
+  @transient @volatile private var cached: (Int, Int, CountMinSketch) = null
+
+  def estimate(bytes: Array[Byte], item: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val key = (bytes.length, java.util.Arrays.hashCode(bytes))
+    var c = cached
+    if (c == null || c._1 != key._1 || c._2 != key._2) {
+      c = (key._1, key._2,
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      cached = c
+    }
+    c._3.estimateCount(item.toString)
+  }
+
+  def apply(sketch: Column, item: Column): Column =
+    GraftShims.column(CmsEstimateCount(GraftShims.expression(sketch), GraftShims.expression(item)))
 }

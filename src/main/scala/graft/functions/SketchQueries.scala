@@ -46,25 +46,24 @@ object SketchQueries {
   /** Count-min-sketch heavy-hitter estimation — the third classic mergeable
     * sketch next to HLL (q41) and the quantile sketch: one pass over the
     * exploded token stream builds a fixed-size CMS (ε=0.1%, δ=1%, seeded →
-    * deterministic), then the exact top-20 terms (q26's list) are estimated
-    * from it driver-side. Estimates are engine-specific → no SQL oracle;
+    * deterministic), and the exact top-20 terms (q26's list) are estimated
+    * from it EXECUTOR-side: the 1-row sketch broadcasts onto the top-k rows
+    * and `CmsEstimateCount` probes the serialized sketch bytes in-plan —
+    * the whole query is one declarative job, no driver-side collect or
+    * estimateCount loop. Estimates are engine-specific → no SQL oracle;
     * CmsSpec asserts the CMS guarantee exact ≤ est ≤ exact + ε·N. At 100 TB
     * the sketch is ~KBs per partition and merges associatively — the only
     * way to track term frequencies without a corpus-wide shuffle. */
   val q86 = EngineQuery("q86_cms_freq", None) { t =>
-    import t.spark.implicits._
     val tokens = t.documents.select(explode(toks(col("text"))).as("tok"))
-    val skBytes = tokens
+    val sk = tokens
       .agg(count_min_sketch(col("tok"), lit(0.001d), lit(0.99d), lit(42)).as("sk"))
-      .head.getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
     val top = tokens.groupBy("tok").agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("tok"))
       .limit(20)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    top.map { case (tok, exact) => (tok, exact, cms.estimateCount(tok)) }
-      .toSeq.toDF("term", "exact_cnt", "est_cnt")
+    top.crossJoin(broadcast(sk))
+      .select(col("tok").as("term"), col("exact").as("exact_cnt"),
+        CmsEstimateCount(col("sk"), col("tok")).as("est_cnt"))
       .orderBy(col("term"))
   }
 

@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_minhash_sig", 1)(a => graft.functions.MinHashSignature(a(0)))
     fn("graft_simhash_sig", 1)(a => graft.functions.SimHashSignature(a(0)))
     fn("graft_morton", 2)(a => graft.functions.MortonCode(a(0), a(1)))
+    fn("graft_cms_estimate", 2)(a => graft.functions.CmsEstimateCount(a(0), a(1)))
   }
 }
 
