@@ -37,9 +37,12 @@ object TextQueries {
            |SELECT lang, CAST(count(*) AS BIGINT) AS survivors
            |FROM k JOIN s ON doc_id = keep_id
            |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    // unhex: shuffle the 32 raw digest bytes, not 64 hex chars (the oracle
+    // can keep grouping on the hex form — group structure is identical and
+    // the key never reaches the output).
     val keyed = t.documents.select(
       col("doc_id"), col("lang"),
-      sha2(lower(trim(col("text"))), 256).as("key"))
+      unhex(sha2(lower(trim(col("text"))), 256)).as("key"))
     val keep = keyed.groupBy("key").agg(min(col("doc_id")).as("keep_id"))
     orderedByAll(
       keyed
@@ -238,14 +241,25 @@ object TextQueries {
     * ReusedExchange computes the index once (a broadcast self-join would
     * build it twice and can't broadcast a corpus-sized index anyway), and
     * unlike a merge hint it skips sorting the exploded index on the wide
-    * string shingle key — the sort dominated first-run latency (8.3s vs
-    * 1.9s unhinted at sf0.1).
-    */
+    * shingle key — the sort dominated first-run latency (8.3s vs 1.9s
+    * unhinted at sf0.1).
+    *
+    * The index is keyed on `xxhash64(shingle)`, not the shingle string: the
+    * exchange carries 16 bytes per posting instead of the shingle's ~30+
+    * (measured 5.6 MB → 3.2 MB at sf0.1 — the difference between shuffling
+    * the corpus ×5 and shuffling compact postings at 100 TB). A 64-bit
+    * collision would merge two shingle groups — P ≈ n²·2⁻⁶⁴, ~1e-9 at 10⁶
+    * distinct shingles, and the common-count it would perturb is
+    * oracle-checked at three SFs. The same trick cannot use a cheaper key:
+    * common-shingle COUNTS feed Jaccard, so the join key must distinguish
+    * shingles, not just bucket them (contrast q24's LSH bands, which only
+    * need candidate recall). */
   private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val inv = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.as("a").hint("shuffle_hash")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

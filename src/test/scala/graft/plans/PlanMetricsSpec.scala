@@ -35,6 +35,54 @@ class PlanMetricsSpec extends SharedSparkSpec {
     assert(r.rows > 0 && r.rows <= probe)
   }
 
+  // ---- dedup-stack shuffle-width guards (run at sf0.1 for stable ratios) --
+  // The dedup operators' scale story is "exchanges carry digests/hashes/ids,
+  // never document bytes". These assert the BYTES-PER-ROW of the widest
+  // exchange, so a future edit that reintroduces a text- or shingle-string-
+  // keyed shuffle (30-600+ B/row) fails regardless of corpus size.
+
+  private val sf1 = "/root/testdata/sf0.1"
+
+  test("q23: dedup exchanges carry digests, not document text") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet").count()
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q23_dedup_exact")(spark, sf1))
+    val widest = r.shuffleBytesWritten.max
+    // measured 204 KB for 5.9k docs ≈ 35 B/doc (32-byte digest + id +
+    // framing, lz4); the round-3 text-keyed form shipped whole documents
+    // (hundreds of B/doc)
+    assert(widest < docs * 60,
+      s"q23's widest exchange is $widest bytes for $docs docs (${widest / docs} B/doc) — text key regressed?")
+    // and total shuffle stays below the compressed input file itself
+    val input = new java.io.File(s"$sf1/documents.parquet").length()
+    assert(r.shuffleBytesWritten.sum < input,
+      s"q23 shuffles ${r.shuffleBytesWritten.sum} B > $input B input")
+  }
+
+  test("q36: the inverted-index exchange carries hashed postings, not shingle strings") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+    val postings = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(explode(graft.dsl.shingles(col("tk"), 5)))
+      .count()
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q36_dedup_ngram_jaccard")(spark, sf1))
+    val widest = r.shuffleBytesWritten.max
+    // measured 3.24 MB for ~145k postings ≈ 22 B/posting (8B hash + 8B id +
+    // framing); the string-keyed index measured 38+ B/posting (5.6 MB)
+    assert(widest < postings * 30,
+      s"q36's widest exchange is $widest bytes for $postings postings (${widest / postings} B/posting) — string key regressed?")
+  }
+
+  test("q60: post-clustering plan shuffles only id/label pairs") {
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q60_dedup_components")(spark, sf1))
+    // the label-propagation loop materializes behind a checkpoint; the final
+    // plan aggregates (doc_id, label) rows — its shuffles must be id-scale,
+    // nowhere near the corpus
+    val input = new java.io.File(s"$sf1/documents.parquet").length()
+    assert(r.shuffleBytesWritten.sum < input / 4,
+      s"q60 final-plan shuffles ${r.shuffleBytesWritten.sum} B vs $input B input")
+  }
+
   test("q10: map-side partial aggregation keeps the shuffle tiny") {
     val r = PlanMetrics.run(q("q10_agg_groupby"))
     assert(r.shuffleBytesWritten.nonEmpty)
