@@ -106,5 +106,34 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n_kept"), round4(max(col("rate"))).as("rate")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q83, q84, q85)
+  /** q84's pack accounting on REAL subword counts: sequence bins are
+    * budgeted in greedy-BPE tokens ([[graft.functions.GreedyBpeTokens]] —
+    * what a training job's tokenizer actually emits) instead of whitespace
+    * words, with the whitespace count kept as the comparison column. Same
+    * scale shape as q84: one map-only tokenize pass, one window on the lang
+    * hash partition, one aggregation — never a global sort. Greedy
+    * longest-match is not reasonably SQL-expressible → no DuckDB oracle;
+    * BpeSpec pins the expression to an independent reference implementation
+    * and this query's totals to a locally recomputed packing. */
+  val q89 = EngineQuery("q89_bpe_pack", None) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val counted = t.documents
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("ws_tok"),
+        size(graft.functions.GreedyBpeTokens(col("tk"))).cast("long").as("bpe_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    orderedByAll(
+      counted
+        .withColumn("cum", sum(col("bpe_tok")).over(w))
+        .select(col("lang"), expr("(cum - bpe_tok) div 2048").as("bin"),
+          col("bpe_tok"), col("ws_tok"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tok")).as("bpe_tokens"),
+          sum(col("ws_tok")).as("ws_tokens")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89)
 }
