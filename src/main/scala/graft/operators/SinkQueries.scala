@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.EngineQuery
 import graft.dsl._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** Write-path parity (SURVEY.md §2 q30 ↔ reference A8): the reference's only
   * write surface is its test harness's parquet-dataset write with
@@ -41,5 +41,33 @@ object SinkQueries {
     orderedByAll(t.spark.read.orc(out))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30, q75)
+  /** Hive-style partitioned layout + partition-pruned read — the lake
+    * layout every 100 TB corpus actually lives in: write documents
+    * partitioned by lang, read back with a lang predicate, aggregate. The
+    * predicate resolves at PLANNING time against the directory structure
+    * (`PartitionFilters` on the scan, asserted in PlanInvariantsSpec): a
+    * 2-language query over a 100-language corpus opens 2% of the files —
+    * pruning no row-level PushedFilter can match. The oracle re-derives the
+    * same aggregate from the ORIGINAL table, so it also proves the
+    * partitioned round-trip lossless. */
+  val q91 = EngineQuery(
+    "q91_partitioned_layout",
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents WHERE lang IN ('en', 'de')
+           |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q91_part").toString
+    t.documents
+      .write.mode("overwrite")
+      .partitionBy("lang")
+      .parquet(out)
+    orderedByAll(
+      t.spark.read.parquet(out)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30, q75, q91)
 }

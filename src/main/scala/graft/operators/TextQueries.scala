@@ -646,7 +646,48 @@ object TextQueries {
           sum(when(col("lose").isNull, 1L).otherwise(0L)).as("n_survivors")))
   }
 
+  /** Incremental (append-only) exact dedup — the daily-ingest shape of q23:
+    * a new BATCH (here doc_id % 10 == 0) is admitted only if its content
+    * digest is unseen in the standing CORPUS index (the rest), then deduped
+    * within itself (min-doc_id survivor). The 100 TB asymmetry drives the
+    * plan: the corpus digest index NEVER shuffles — the batch's digest set
+    * (bounded by the ingest, not the corpus) broadcasts onto a map-side
+    * corpus scan, only the matching digests (≤ |batch|) come back, and those
+    * broadcast again to anti-filter the batch. Two broadcasts of
+    * batch-bounded state, zero corpus movement; the within-batch dedup
+    * shuffles batch digests only. */
+  val q90 = EngineQuery(
+    "q90_dedup_incremental",
+    Some("""WITH k AS (SELECT doc_id, lang, sha256(lower(trim(text))) AS key
+           |           FROM documents),
+           |     b AS (SELECT * FROM k WHERE doc_id % 10 = 0),
+           |     c AS (SELECT key FROM k WHERE doc_id % 10 <> 0),
+           |     fresh AS (SELECT b.* FROM b
+           |               WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.key = b.key)),
+           |     keep AS (SELECT min(doc_id) AS keep_id FROM fresh GROUP BY key)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS admitted
+           |FROM fresh JOIN keep ON doc_id = keep_id
+           |GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val keyed = t.documents.select(
+      col("doc_id"), col("lang"),
+      unhex(sha2(lower(trim(col("text"))), 256)).as("key"))
+    val batch = keyed.filter(col("doc_id") % 10 === 0)
+    val corpus = keyed.filter(col("doc_id") % 10 =!= 0).select("key")
+    // digests present in BOTH: corpus streams map-side against the
+    // broadcast batch digest set; result is bounded by |batch|
+    val hits = corpus
+      .join(broadcast(batch.select("key").distinct()), Seq("key"), "left_semi")
+      .distinct()
+    val fresh = batch.join(broadcast(hits), Seq("key"), "left_anti")
+    val keep = fresh.groupBy("key").agg(min(col("doc_id")).as("keep_id"))
+    orderedByAll(
+      fresh
+        .join(keep, fresh("doc_id") === keep("keep_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("admitted")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87)
+      q57, q60, q87, q90)
 }

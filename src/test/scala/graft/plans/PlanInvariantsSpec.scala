@@ -66,6 +66,21 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert("windowspecdefinition\\(c_acctbal".r.findFirstIn(p).isEmpty, p.take(1200))
   }
 
+  test("q91: the lang predicate prunes PARTITIONS at planning time, not rows") {
+    val p = plan("q91_partitioned_layout")
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      "lang predicate did not reach PartitionFilters:\n" + p.take(1200))
+    // and the pruned scan reads no lang data column (it's a directory key)
+    assert(!p.contains("DataFilters: [isnotnull(lang"), p.take(1200))
+  }
+
+  test("q90: incremental dedup broadcasts batch state; corpus side never hash-shuffles") {
+    val p = plan("q90_dedup_incremental")
+    // both the batch-digest probe and the hit-set anti-filter are broadcasts
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("q25: broadcast queries stream the corpus map-side with partial top-k") {
     val p = plan("q25_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"))

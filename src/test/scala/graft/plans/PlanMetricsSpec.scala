@@ -73,6 +73,18 @@ class PlanMetricsSpec extends SharedSparkSpec {
       s"q36's widest exchange is $widest bytes for $postings postings (${widest / postings} B/posting) — string key regressed?")
   }
 
+  test("q90: incremental dedup shuffles batch-digest-scale bytes, corpus stays put") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet").count()
+    val batch = docs / 10 + 1
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q90_dedup_incremental")(spark, sf1))
+    val widest = r.shuffleBytesWritten.max
+    // only the within-batch survivor aggregation shuffles: 32-byte digest +
+    // id per BATCH row; the corpus index reaches its join as a map-side
+    // probe against broadcast state
+    assert(widest < batch * 80,
+      s"q90's widest exchange is $widest bytes for a $batch-doc batch — corpus shuffle snuck in?")
+  }
+
   test("q60: post-clustering plan shuffles only id/label pairs") {
     val r = PlanMetrics.run(graft.SparkEntry.queries("q60_dedup_components")(spark, sf1))
     // the label-propagation loop materializes behind a checkpoint; the final
