@@ -320,5 +320,64 @@ object SimilarityQueries {
         .select(col("vec_a"), col("vec_b"), col("cos_sim")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49)
+  /** One distributed Lloyd's (k-means) step over the embedding corpus — the
+    * training pass behind q37's IVF index: assign every vector to its
+    * nearest of k=8 seeded centroids (L2², fixed fold order → bit-identical
+    * across engines, ties broken by centroid id), then recompute the
+    * centroid means. Plan shape for 100 TB:
+    *  - the centroid table broadcasts (k vectors), assignment is map-side
+    *    scoring under a BroadcastNestedLoopJoin;
+    *  - the per-vector argmin is `min(struct(dist, cid))` — a partial-
+    *    aggregable reduction, so the only corpus-wide exchange carries ONE
+    *    row per vector, not k;
+    *  - the centroid recompute explodes positions AFTER assignment and
+    *    partial-aggregates map-side down to k×dim cells.
+    * Output per centroid: member count, mean squared distance, norm of the
+    * recomputed mean — the quantities a training loop monitors. */
+  val q92 = EngineQuery(
+    "q92_kmeans_step",
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           |           FROM embeddings WHERE vec_id < 8),
+           |d AS (SELECT e.vec_id, c.cid, e.embedding,
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(generate_series(1, 64),
+           |            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+           |               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))),
+           |          (a, b) -> a + b) AS d2
+           |      FROM embeddings e CROSS JOIN c),
+           |a AS (SELECT vec_id, cid, embedding, d2,
+           |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |      FROM d),
+           |asg AS (SELECT * FROM a WHERE rn = 1),
+           |m AS (SELECT cid, g.i AS pos, avg(CAST(embedding[g.i] AS DOUBLE)) AS mx
+           |      FROM asg CROSS JOIN generate_series(1, 64) g(i)
+           |      GROUP BY cid, g.i),
+           |nn AS (SELECT cid, round(sqrt(sum(mx * mx)), 4) AS new_norm FROM m GROUP BY cid),
+           |s AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           |             round(avg(d2), 4) AS mean_d2
+           |      FROM asg GROUP BY cid)
+           |SELECT s.cid, n_members, mean_d2, new_norm
+           |FROM s JOIN nn USING (cid) ORDER BY ALL""".stripMargin)) { t =>
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val d2 = dsl.foldSum(zip_with(col("embedding"), col("cvec"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+    val asg = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), struct(d2.as("d2"), col("cid")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).as("m"), first(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"), col("emb"))
+    val stats = asg.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), round4(avg(col("d2"))).as("mean_d2"))
+    val norms = asg
+      .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(avg(col("x").cast("double")).as("mx"))
+      .groupBy("cid")
+      .agg(round4(sqrt(sum(col("mx") * col("mx")))).as("new_norm"))
+    orderedByAll(stats.join(norms, "cid"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92)
 }

@@ -81,6 +81,14 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1500))
   }
 
+  test("q92: centroids broadcast; per-vector argmin partial-aggregates before its exchange") {
+    val p = plan("q92_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // min(struct(dist,cid)) reduces k candidate rows to 1 per vector
+    // map-side, so the corpus-wide exchange carries one row per vector
+    assert(p.contains("partial_min"), p.take(1200))
+  }
+
   test("q25: broadcast queries stream the corpus map-side with partial top-k") {
     val p = plan("q25_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"))
