@@ -69,5 +69,33 @@ object SinkQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30, q75, q91)
+  /** Partition-grained upsert through the oracle gate: write the corpus
+    * hive-partitioned with the 'en' partition deliberately corrupted
+    * (n_chars inflated), then `LayoutWriter.upsertPartitions` the CORRECT
+    * 'en' rows — dynamic partition overwrite replaces exactly the
+    * partitions present in the correction batch and leaves every other
+    * lang directory untouched. The oracle aggregates the ORIGINAL table,
+    * so it passes only if the upsert (a) fixed 'en' and (b) did not clobber
+    * any other partition — the late-data/reprocessed-day correction every
+    * partitioned 100 TB lake needs, without a table format. */
+  val q93 = EngineQuery(
+    "q93_upsert_layout",
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.functions.when
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q93_upsert").toString
+    val stale = t.documents.withColumn("n_chars",
+      when(col("lang") === "en", col("n_chars") + 1000).otherwise(col("n_chars")))
+    graft.sources.LayoutWriter.writePartitioned(stale, dir, Seq("lang"))
+    graft.sources.LayoutWriter.upsertPartitions(
+      t.documents.filter(col("lang") === "en"), dir, Seq("lang"))
+    orderedByAll(
+      t.spark.read.parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93)
 }
