@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.EngineQuery
 import graft.dsl._
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, round, sum}
 
 /** Write-path parity (SURVEY.md §2 q30 ↔ reference A8): the reference's only
   * write surface is its test harness's parquet-dataset write with
@@ -97,5 +97,38 @@ object SinkQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93)
+  /** Bucketed co-located join through the oracle gate: lineitem and orders
+    * are written bucketed (8 buckets, hash on the order key, sorted within
+    * buckets) and then joined — with matching bucketing on both sides the
+    * join needs NO exchange (PlanInvariantsSpec asserts the join keys never
+    * hash-shuffle; scans show `Bucketed: true`). This is the layout that
+    * amortizes a repeatedly-joined 100 TB fact table: pay the shuffle once
+    * at write time, join exchange-free forever after. Unique table names
+    * per invocation — the catalog is session-global and Verify runs
+    * queries concurrently. */
+  val q94 = EngineQuery(
+    "q94_bucketed_join",
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+           |       round(sum(l_extendedprice * (1 - l_discount)) / 1000000, 4) AS revenue_m
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus ORDER BY ALL""".stripMargin)) { t =>
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+    val liT = s"graft_bkt_li_$tag"
+    val ordT = s"graft_bkt_ord_$tag"
+    graft.sources.LayoutWriter.writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      liT, "l_orderkey", 8)
+    graft.sources.LayoutWriter.writeBucketed(
+      t.orders.select(col("o_orderkey"), col("o_orderstatus")),
+      ordT, "o_orderkey", 8)
+    orderedByAll(
+      t.spark.table(liT)
+        .join(t.spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1000000), 4)
+            .as("revenue_m")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93, q94)
 }

@@ -81,6 +81,14 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1500))
   }
 
+  test("q94: matching bucketed layouts join with no exchange on the join keys") {
+    val p = plan("q94_bucketed_join")
+    assert(p.contains("Bucketed: true"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join keys hash-shuffled:\n" + p.take(1500))
+  }
+
   test("q92: centroids broadcast; per-vector argmin partial-aggregates before its exchange") {
     val p = plan("q92_kmeans_step")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
