@@ -249,6 +249,85 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features from a REAL decoder (see [[decodeWav]]). */
+  final case class AudioFeatures(
+      doc_id: Long, source: String, sample_rate: Int, channels: Int,
+      n_samples: Long, mean_abs: Double, decoded: Boolean)
+
+  /** REAL audio decoder for WAV (RIFF / 16-bit signed PCM) — like PGM/PNG,
+    * a production format the JVM parses without codec libraries: RIFF/WAVE
+    * header walk, fmt chunk (PCM, 16-bit only), data chunk → sample rate,
+    * channel count, per-channel sample count, and mean absolute amplitude
+    * normalized to [0,1]. Chunk walk tolerates extra chunks (LIST, fact,
+    * cue) exactly like real files contain; anything malformed — wrong
+    * magic, non-PCM, odd bit depth, truncated data — degrades to None,
+    * never an exception. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length)
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var fmtSeen = false
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= bytes.length && dataOff < 0) {
+      val id = tag(pos)
+      val len = le32(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = le16(pos + 8)
+          channels = le16(pos + 10)
+          sampleRate = le32(pos + 12).toInt
+          bits = le16(pos + 22)
+          if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0)
+            return None
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) return None
+          dataOff = pos + 8; dataLen = len
+        case _ => () // LIST/fact/cue/... skippable
+      }
+      pos += (8L + len + (len % 2)).toInt // RIFF chunks are word-aligned
+    }
+    if (dataOff < 0 || dataLen % (2L * channels) != 0) return None
+    val frames = dataLen / (2L * channels)
+    var sum = 0.0
+    var i = dataOff
+    val end = dataOff + dataLen.toInt
+    while (i < end) {
+      val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+      sum += math.abs(s.toDouble) / 32768.0
+      i += 2
+    }
+    val nVals = dataLen / 2
+    Some((sampleRate, channels, frames, if (nVals == 0) 0.0 else sum / nVals))
+  }
+
+  /** Real audio decode path: WAV payloads decode to (rate, channels,
+    * frames, mean |amplitude|); everything else flags decoded=false. Same
+    * mapPartitions codec-boundary shape as [[decodeImages]]. */
+  def decodeAudio(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    ds.mapPartitions { it =>
+      it.map { m =>
+        decodeWav(m.media) match {
+          case Some((rate, ch, n, mean)) =>
+            AudioFeatures(m.doc_id, m.source, rate, ch, n, mean, decoded = true)
+          case None =>
+            AudioFeatures(m.doc_id, m.source, 0, 0, 0L, 0.0, decoded = false)
+        }
+      }
+    }
+  }
+
   /** One media embedding (unit-norm float vector). */
   final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 

@@ -114,6 +114,65 @@ class MultimodalSpec extends SharedSparkSpec {
     assert(!feats(2).decoded)
   }
 
+  test("WAV decode is REAL: AudioSystem-encoded and hand-rolled PCM round-trip") {
+    // independent encoder: javax.sound writes a 16-bit PCM WAV
+    def wavViaAudioSystem(samples: Array[Short], rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val sine = Array.tabulate(4410)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 44100.0) * 16384).toShort)
+    val w = Multimodal.decodeWav(wavViaAudioSystem(sine, 44100f, 1))
+    assert(w.isDefined, "AudioSystem WAV failed to decode")
+    val (rate, ch, n, mean) = w.get
+    assert(rate == 44100 && ch == 1 && n == 4410)
+    val expMean = sine.map(s => math.abs(s.toDouble) / 32768.0).sum / sine.length
+    assert(math.abs(mean - expMean) < 1e-12, s"$mean vs $expMean")
+    // stereo: frames = samples per channel
+    val stereo = Multimodal.decodeWav(wavViaAudioSystem(sine, 22050f, 2))
+    assert(stereo.isDefined && stereo.get._2 == 2 && stereo.get._3 == 2205)
+    // hand-rolled file with an extra LIST chunk before data (real files
+    // carry metadata chunks) and exactly known samples
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val data = Array[Short](16384, -16384, 16384, -16384)
+      .flatMap(s => le16(s & 0xffff))
+    val listBody = "INFOxtra".getBytes
+    val body = "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "LIST".getBytes ++ le32(listBody.length) ++ listBody ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val handRolled = "RIFF".getBytes ++ le32(body.length) ++ body
+    val h = Multimodal.decodeWav(handRolled)
+    assert(h.isDefined, "hand-rolled WAV failed")
+    assert(h.get == ((8000, 1, 4L, 0.5)), h.get.toString)
+    // malformed payloads degrade, never throw
+    assert(Multimodal.decodeWav(handRolled.dropRight(3)).isEmpty, "truncated data")
+    assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes).isEmpty, "bad magic")
+    val nonPcm = handRolled.clone(); nonPcm(20) = 3 // fmt.audioFormat = IEEE float
+    assert(Multimodal.decodeWav(nonPcm).isEmpty, "non-PCM must be rejected")
+    // Dataset path
+    import spark.implicits._
+    val feats = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRecord(1L, "wav", handRolled),
+      Multimodal.MediaRecord(2L, "txt", "not audio".getBytes)).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).decoded && feats(0).sample_rate == 8000 && feats(0).mean_abs == 0.5)
+    assert(!feats(1).decoded)
+  }
+
   test("frame sampling explodes 1->N with stride; resize fixes output shape") {
     val docs = new Tables(spark, sf001).documents
     val media = Multimodal.mediaTable(docs)
