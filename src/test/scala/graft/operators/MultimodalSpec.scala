@@ -114,6 +114,40 @@ class MultimodalSpec extends SharedSparkSpec {
     assert(!feats(2).decoded)
   }
 
+  test("PNG decode survives randomized dimensions and content (seeded)") {
+    import java.awt.image.BufferedImage
+    val rng = new scala.util.Random(20260812L)
+    for (_ <- 1 to 25) {
+      val w = 1 + rng.nextInt(48); val h = 1 + rng.nextInt(48)
+      val kind = rng.nextInt(3)
+      val imgType = kind match {
+        case 0 => BufferedImage.TYPE_BYTE_GRAY
+        case 1 => BufferedImage.TYPE_INT_RGB
+        case _ => BufferedImage.TYPE_INT_ARGB
+      }
+      val img = new BufferedImage(w, h, imgType)
+      var sum = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        if (kind == 0) {
+          val v = rng.nextInt(256); img.getRaster.setSample(x, y, 0, v); sum += v
+        } else {
+          val (r, g, b) = (rng.nextInt(256), rng.nextInt(256), rng.nextInt(256))
+          val a = if (kind == 2) rng.nextInt(256) else 0xff
+          img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+          sum += r + g + b
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val dec = Multimodal.decodePng(bos.toByteArray)
+      assert(dec.isDefined, s"${w}x$h kind=$kind failed to decode")
+      assert(dec.get._1 == w && dec.get._2 == h, s"${w}x$h kind=$kind dims ${dec.get}")
+      val ch = if (kind == 0) 1 else 3
+      val exp = sum / (w.toLong * h * ch)
+      assert(math.abs(dec.get._4 - exp) < 1e-9, s"${w}x$h kind=$kind mean ${dec.get._4} vs $exp")
+    }
+  }
+
   test("WAV decode is REAL: AudioSystem-encoded and hand-rolled PCM round-trip") {
     // independent encoder: javax.sound writes a 16-bit PCM WAV
     def wavViaAudioSystem(samples: Array[Short], rate: Float, channels: Int): Array[Byte] = {
