@@ -27,6 +27,13 @@ object Bench {
       w.groupBy("n_regionkey").count()
         .withColumn("r", row_number().over(Window.partitionBy("n_regionkey").orderBy("count")))
         .count()
+      // Force every table's file-listing + footer read through the memoized
+      // Tables instance OUTSIDE the timed region: otherwise the first query
+      // to touch each table absorbs its metadata cost, mis-attributing a
+      // fixed per-table setup to whichever query happens to run first.
+      val t = Tables.forPath(spark, sfDir)
+      Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
+        t.lineitem, t.events, t.documents, t.embeddings).foreach(_.schema)
     }
     // (time, error): a failing query must be VISIBLE in the bench JSON, not
     // silently contribute a bogus duration. Sorted name order: Map iteration
