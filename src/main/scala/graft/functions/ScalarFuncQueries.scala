@@ -83,5 +83,35 @@ object ScalarFuncQueries {
         round4(element_at(col("embedding"), 1).cast("double")).as("first_val")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q18, q19, q20)
+  /** Timestamp/calendar function surface over event time — date_trunc
+    * bucketing, day-of-week, hour-of-day — the time-dimension rollup every
+    * event pipeline starts with. Day-of-week alignment: Spark `dayofweek`
+    * is 1-based Sunday-start, DuckDB's is 0-based Sunday-start — the
+    * explicit `-1` makes both engines emit the same 0..6 codes. Both
+    * sessions run UTC, and events.ts is microsecond-lowered identically
+    * (see Tables), so truncation boundaries agree exactly. */
+  val q95 = EngineQuery(
+    "q95_datetime_funcs",
+    Some("""SELECT epoch_us(date_trunc('day', ts))//1000000 AS day_start,
+           |       CAST(dayofweek(ts) AS INT) AS dow,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           |       CAST(count(DISTINCT hour(ts)) AS BIGINT) AS active_hours,
+           |       CAST(min(hour(ts)) AS INT) AS first_hour,
+           |       CAST(max(hour(ts)) AS INT) AS last_hour
+           |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.events
+        .groupBy(
+          epochSec(date_trunc("day", col("ts"))).as("day_start"),
+          (dayofweek(col("ts")) - 1).as("dow"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("users"),
+          countDistinct(hour(col("ts"))).as("active_hours"),
+          min(hour(col("ts"))).as("first_hour"),
+          max(hour(col("ts"))).as("last_hour")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q18, q19, q20, q95)
 }
