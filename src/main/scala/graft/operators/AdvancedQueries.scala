@@ -178,9 +178,14 @@ object AdvancedQueries {
     *     global_rank = local_rank + (rows in partitions < i);
     *  2. local rank = row_number over a window PARTITIONED by
     *     spark_partition_id() — every range partition ranks in parallel;
-    *  3. the per-partition counts (≤ a few hundred rows at any scale) get
-    *     cumulative offsets via a tiny triangular self-join (no driver
-    *     collect, no 1-partition window) and broadcast back;
+    *  3. the per-partition counts (one row per range partition — cluster
+    *     parallelism, NOT data size, and AQE coalesces it) get cumulative
+    *     offsets via a tiny triangular self-join (no driver collect, no
+    *     1-partition window) and broadcast back. The triangle is O(P²)
+    *     filter evaluations: negligible through P ≈ 10⁴; a job ranging to
+    *     10⁵+ reduce partitions swaps in a two-level block-prefix (triangle
+    *     within √P-sized blocks, then across blocks), same declarative
+    *     shape;
     *  4. the exact ntile bucket comes from the global rank in closed form:
     *     with q = N div k, m = N mod k (first m buckets take q+1 rows —
     *     ntile's big-buckets-first contract, NOT the interleaved

@@ -650,12 +650,16 @@ object TextQueries {
     * a new BATCH (here doc_id % 10 == 0) is admitted only if its content
     * digest is unseen in the standing CORPUS index (the rest), then deduped
     * within itself (min-doc_id survivor). The 100 TB asymmetry drives the
-    * plan: the corpus digest index NEVER shuffles — the batch's digest set
-    * (bounded by the ingest, not the corpus) broadcasts onto a map-side
-    * corpus scan, only the matching digests (≤ |batch|) come back, and those
-    * broadcast again to anti-filter the batch. Two broadcasts of
-    * batch-bounded state, zero corpus movement; the within-batch dedup
-    * shuffles batch digests only. */
+    * plan: the corpus digest index NEVER shuffles as text — the batch's
+    * digest set (bounded by the ingest rate, not the corpus) joins onto a
+    * map-side corpus scan, only the matching digests (≤ |batch|) come back
+    * to anti-filter the batch. No explicit broadcast hints: for a normal
+    * ingest the batch digest set sits under the auto-broadcast threshold
+    * and the optimizer/AQE picks the broadcast plan (both joins broadcast
+    * at test SFs — asserted in PlanInvariantsSpec); for a bulk backfill
+    * where the batch rivals the corpus, the same plan degrades gracefully
+    * to a digest-keyed shuffle join — 32-byte keys, never document bytes.
+    * The within-batch dedup shuffles batch digests only. */
   val q90 = EngineQuery(
     "q90_dedup_incremental",
     Some("""WITH k AS (SELECT doc_id, lang, sha256(lower(trim(text))) AS key
@@ -676,9 +680,9 @@ object TextQueries {
     // digests present in BOTH: corpus streams map-side against the
     // broadcast batch digest set; result is bounded by |batch|
     val hits = corpus
-      .join(broadcast(batch.select("key").distinct()), Seq("key"), "left_semi")
+      .join(batch.select("key").distinct(), Seq("key"), "left_semi")
       .distinct()
-    val fresh = batch.join(broadcast(hits), Seq("key"), "left_anti")
+    val fresh = batch.join(hits, Seq("key"), "left_anti")
     val keep = fresh.groupBy("key").agg(min(col("doc_id")).as("keep_id"))
     orderedByAll(
       fresh
