@@ -453,6 +453,56 @@ object AdvancedQueries {
     } finally Seq(vr, vn, vc).foreach(t.spark.catalog.dropTempView)
   }
 
+  /** CDC merge-apply — MERGE INTO semantics without a table format: a
+    * deterministic change batch (updates for o_orderkey % 5 = 0 with bumped
+    * price and a marker priority; inserts at shifted keys for
+    * o_orderkey % 7 = 3) applies onto the base by full-outer join + row
+    * coalesce: change wins where both exist, inserts survive the right
+    * side, untouched base rows the left. The q76 latest-by-key operator is
+    * the upstream that produces such a batch from a raw CDC stream; this is
+    * the downstream apply. At 100 TB the full outer shuffles the base on
+    * the merge key once — full outer cannot broadcast — which is exactly
+    * the exchange a q94-style bucketed base layout eliminates (write the
+    * base bucketed on the key, and every daily merge is exchange-free on
+    * the base side). */
+  val q96 = EngineQuery(
+    "q96_cdc_merge",
+    Some("""WITH upd AS (SELECT o_orderkey, '5-UPDATED' AS o_orderpriority,
+           |                    o_totalprice + 1000 AS o_totalprice
+           |             FROM orders WHERE o_orderkey % 5 = 0),
+           |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority,
+           |               o_totalprice
+           |        FROM orders WHERE o_orderkey % 7 = 3),
+           |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+           |merged AS (
+           |  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS k,
+           |         coalesce(c.o_orderpriority, b.o_orderpriority) AS prio,
+           |         coalesce(c.o_totalprice, b.o_totalprice) AS total
+           |  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
+           |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(total) / 1000000, 4) AS total_m
+           |FROM merged GROUP BY prio ORDER BY ALL""".stripMargin)) { t =>
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val upd = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("5-UPDATED").as("o_orderpriority"),
+        (col("o_totalprice") + 1000).as("o_totalprice"))
+    val ins = base.filter(col("o_orderkey") % 7 === 3)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val ch = upd.unionByName(ins)
+      .select(col("o_orderkey").as("c_key"), col("o_orderpriority").as("c_prio"),
+        col("o_totalprice").as("c_total"))
+    orderedByAll(
+      base.join(ch, col("o_orderkey") === col("c_key"), "full_outer")
+        .select(
+          coalesce(col("c_prio"), col("o_orderpriority")).as("prio"),
+          coalesce(col("c_total"), col("o_totalprice")).as("total"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("total")) / 1000000, 4).as("total_m")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88)
+    Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
+      q96)
 }
