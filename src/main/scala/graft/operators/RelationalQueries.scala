@@ -435,7 +435,50 @@ object RelationalQueries {
     orderedByAll(joined.groupBy("p_brand").agg(count(lit(1)).as("n")))
   }
 
+  /** Referential-integrity audit — the data-quality gate a pipeline runs
+    * before trusting a snapshot: orphan counts for each foreign-key edge
+    * (child rows whose parent key is missing), as one unioned report. Each
+    * check is an anti-join; parent key sets broadcast when small, and the
+    * child tables stream map-side — the whole audit reads each table once
+    * and shuffles nothing child-sized. */
+  val q98 = EngineQuery(
+    "q98_integrity_audit",
+    Some("""SELECT 'customer->nation' AS fk, CAST(count(*) AS BIGINT) AS total,
+           |       CAST(count(*) FILTER (WHERE c_nationkey NOT IN
+           |            (SELECT n_nationkey FROM nation)) AS BIGINT) AS orphans
+           |FROM customer
+           |UNION ALL
+           |SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+           |       CAST(count(*) FILTER (WHERE l_orderkey NOT IN
+           |            (SELECT o_orderkey FROM orders)) AS BIGINT)
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           |       CAST(count(*) FILTER (WHERE o_custkey NOT IN
+           |            (SELECT c_custkey FROM customer)) AS BIGINT)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+           |       CAST(count(*) FILTER (WHERE s_nationkey NOT IN
+           |            (SELECT n_nationkey FROM nation)) AS BIGINT)
+           |FROM supplier
+           |ORDER BY ALL""".stripMargin)) { t =>
+    def audit(name: String, child: org.apache.spark.sql.DataFrame, childKey: String,
+        parent: org.apache.spark.sql.DataFrame, parentKey: String) = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      child.agg(count(lit(1)).as("total")).crossJoin(orphans)
+        .select(lit(name).as("fk"), col("total"), col("orphans"))
+    }
+    orderedByAll(
+      audit("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey")
+        .unionByName(audit("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+        .unionByName(audit("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"))
+        .unionByName(audit("supplier->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65)
+      q48, q53, q54, q56, q63, q64, q65, q98)
 }

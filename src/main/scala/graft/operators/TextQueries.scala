@@ -691,7 +691,41 @@ object TextQueries {
         .agg(count(lit(1)).as("admitted")))
   }
 
+  /** Quality-priority exact dedup — q23 with a real survivor policy: keep
+    * the LONGEST copy of each duplicate group (the most complete capture),
+    * doc_id as the deterministic tiebreak. Where q23's min-id policy needs
+    * a groupBy + semi-join (two passes), a value-bearing survivor collapses
+    * to ONE pass: `max_by(row-struct, (n_chars, -doc_id))` partial-
+    * aggregates map-side, so the single digest-keyed exchange carries one
+    * small struct per GROUP — for a mostly-unique 100 TB corpus that is the
+    * cheapest possible exact-dedup plan. */
+  val q97 = EngineQuery(
+    "q97_dedup_quality",
+    Some("""WITH k AS (SELECT doc_id, lang, n_chars,
+           |                  sha256(lower(trim(text))) AS key
+           |           FROM documents),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY key
+           |                 ORDER BY n_chars DESC, doc_id) AS rn
+           |      FROM k)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           |       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+           |FROM r WHERE rn = 1 GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val keyed = t.documents.select(
+      unhex(sha2(lower(trim(col("text"))), 256)).as("key"),
+      col("doc_id"), col("lang"), col("n_chars"))
+    val kept = keyed
+      .groupBy("key")
+      .agg(max_by(
+        struct(col("doc_id"), col("lang"), col("n_chars")),
+        struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("s"))
+      .select(col("s.lang").as("lang"), col("s.n_chars").as("n_chars"))
+    orderedByAll(
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          round4(avg(col("n_chars").cast("double"))).as("avg_chars")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90)
+      q57, q60, q87, q90, q97)
 }
