@@ -67,5 +67,40 @@ object SketchQueries {
       .orderBy(col("term"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q86)
+  /** Equi-depth (decile) histogram via broadcast bounds — the huge-scale
+    * sibling of q70's exact ntile: ONE aggregation computes the 9 decile
+    * cut points, they broadcast, and every row buckets map-only by
+    * counting bounds below it — no ranking, no per-row window, no second
+    * shuffle of the data. Exact-percentile parity with DuckDB's
+    * quantile_cont is established by q40; strict `>` comparisons against
+    * the RAW bounds are engine-stable because an interpolated bound never
+    * coincides with (or straddles within an ulp of) a 2-decimal data
+    * value, and non-interpolated bounds are exact data values identical in
+    * both engines. */
+  val q99 = EngineQuery(
+    "q99_equidepth_hist",
+    Some("""WITH b AS (SELECT quantile_cont(c_acctbal,
+           |             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+           |           FROM customer),
+           |a AS (SELECT c_acctbal,
+           |        1 + len(list_filter(bounds, x -> c_acctbal > x)) AS bucket
+           |      FROM customer CROSS JOIN b)
+           |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |       round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
+           |FROM a GROUP BY bucket ORDER BY ALL""".stripMargin)) { t =>
+    val pcts = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val bounds = t.customer.agg(percentile(col("c_acctbal"), pcts).as("bounds"))
+    orderedByAll(
+      t.customer.select(col("c_acctbal"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          aggregate(col("bounds"), lit(1),
+            (acc, x) => acc + when(col("c_acctbal") > x, 1).otherwise(0)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round4(min(col("c_acctbal"))).as("lo"),
+          round4(max(col("c_acctbal"))).as("hi")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99)
 }
