@@ -135,5 +135,42 @@ object TrainingDataQueries {
           sum(col("ws_tok")).as("ws_tokens")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89)
+  /** Token-budget sampling — "take ~50k whitespace tokens per source,
+    * reproducibly": docs order by their content hash within each source
+    * (a deterministic, engine-portable shuffle — same trick as q57/q85),
+    * and a running token sum admits docs while the budget lasts (the doc
+    * that crosses the line is kept, so every source lands just over
+    * budget — the usual convention). One window over a source hash
+    * partition + the final rollup; rerunning, or running on another
+    * engine, selects the IDENTICAL subset — which is what makes a training
+    * mix auditable. */
+  val q100 = EngineQuery(
+    "q100_token_budget",
+    Some("""WITH d AS (SELECT source, doc_id,
+           |             len(string_split(text, ' ')) AS ntok,
+           |             md5(text) AS h
+           |           FROM documents),
+           |c AS (SELECT source, ntok,
+           |        sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+           |                        ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM d)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(ntok) AS BIGINT) AS tokens
+           |FROM c WHERE cum - ntok < 50000
+           |GROUP BY source ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    orderedByAll(
+      t.documents
+        .select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("ntok"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .filter(col("cum") - col("ntok") < 50000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89, q100)
 }
