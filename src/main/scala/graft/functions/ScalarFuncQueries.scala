@@ -113,5 +113,36 @@ object ScalarFuncQueries {
           max(hour(col("ts"))).as("last_hour")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q18, q19, q20, q95)
+  /** MapType column surface — the one complex type q19 (JSON) and q20
+    * (arrays) don't touch: per market segment, an order-status→count map is
+    * BUILT (map_from_entries over collected structs), TRANSFORMED
+    * (transform_values doubles the counts), FILTERED (map_filter keeps
+    * entries ≥ 10), and EXPLODED back to rows — the full life cycle of a
+    * map column. The oracle never needs a map: the same result derives
+    * relationally (group → scale → HAVING), so the check proves Spark's
+    * map machinery preserves exactly the relational content. */
+  val q101 = EngineQuery(
+    "q101_map_funcs",
+    Some("""SELECT c_mktsegment, o_orderstatus,
+           |       CAST(2 * count(*) AS BIGINT) AS doubled
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment, o_orderstatus
+           |HAVING 2 * count(*) >= 10
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val counts = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+    val mapped = counts
+      .groupBy("c_mktsegment")
+      .agg(map_from_entries(
+        collect_list(struct(col("o_orderstatus"), col("cnt")))).as("m"))
+      .withColumn("m", transform_values(col("m"), (_, v) => v * 2))
+      .withColumn("m", map_filter(col("m"), (_, v) => v >= 10))
+    orderedByAll(
+      mapped
+        .select(col("c_mktsegment"), explode(col("m")).as(Seq("o_orderstatus", "doubled"))))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q18, q19, q20, q95, q101)
 }
