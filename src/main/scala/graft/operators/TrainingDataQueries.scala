@@ -143,7 +143,16 @@ object TrainingDataQueries {
     * budget — the usual convention). One window over a source hash
     * partition + the final rollup; rerunning, or running on another
     * engine, selects the IDENTICAL subset — which is what makes a training
-    * mix auditable. */
+    * mix auditable.
+    *
+    * 100 TB note: a window partitioned by a low-cardinality source key puts
+    * a corpus-fraction per task. The budget bounds the fix: since only
+    * ~budget tokens per source survive, first pre-filter each source to the
+    * docs whose hash falls below a threshold sized (from per-source token
+    * counts, one cheap agg) to cover ~2× the budget, then run this exact
+    * window on the surviving sliver — same selection (hash order is
+    * preserved by a hash-prefix filter), task size bounded by the budget,
+    * not the corpus. */
   val q100 = EngineQuery(
     "q100_token_budget",
     Some("""WITH d AS (SELECT source, doc_id,
