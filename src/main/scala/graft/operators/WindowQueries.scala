@@ -108,6 +108,40 @@ object WindowQueries {
     * gaps-and-islands formulation uses the same >= comparison. Both engines
     * read events.ts at microsecond precision, so boundary decisions agree.
     */
+  /** Time-weighted average over irregular samples — the telemetry/feature
+    * aggregation a plain avg() gets wrong: each observation holds until the
+    * next one (step-hold), so its weight is its holding DURATION, and
+    * twa = Σ(value·dur)/Σ(dur) per user. lead() within the per-user time
+    * order supplies the durations (the final open-ended sample carries no
+    * duration and drops out), then one aggregation; single-sample users
+    * have no held interval and are excluded by the Σdur > 0 gate on both
+    * engines. Same scale shape as q71: one shuffle on user_id for the
+    * window, one for the rollup. */
+  val q102 = EngineQuery(
+    "q102_time_weighted_avg",
+    Some("""WITH s AS (SELECT user_id, value, epoch_us(ts)//1000000 AS tsec,
+           |             epoch_us(lead(ts) OVER (PARTITION BY user_id
+           |                      ORDER BY ts, event_id))//1000000 AS nxt
+           |           FROM events),
+           |d AS (SELECT user_id, value, nxt - tsec AS dur FROM s
+           |      WHERE nxt IS NOT NULL)
+           |SELECT user_id, round(sum(value * dur) / sum(dur), 4) AS twa,
+           |       CAST(sum(dur) AS BIGINT) AS span_secs
+           |FROM d GROUP BY user_id HAVING sum(dur) > 0 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    orderedByAll(
+      t.events
+        .select(col("user_id"), col("value"), epochSec(col("ts")).as("tsec"),
+          epochSec(lead(col("ts"), 1).over(w)).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dur", col("nxt") - col("tsec"))
+        .groupBy("user_id")
+        .agg(round4(sum(col("value") * col("dur")) / sum(col("dur"))).as("twa"),
+          sum(col("dur")).as("span_secs"))
+        .filter(col("span_secs") > 0))
+  }
+
   val q22 = EngineQuery(
     "q22_sessionize",
     Some("""WITH x AS (
@@ -293,5 +327,6 @@ object WindowQueries {
           coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)).as("v_filled")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62)
+  val all: Seq[EngineQuery] =
+    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102)
 }
