@@ -502,7 +502,39 @@ object AdvancedQueries {
           round(sum(col("total")) / 1000000, 4).as("total_m")))
   }
 
+  /** Group-wise min-max feature scaling — the normalization pass feature
+    * pipelines run before training: per language, n_chars maps to
+    * (x − min)/(max − min); reported as the per-group mean and population
+    * stddev of the scaled value (degenerate single-valued groups gate on
+    * max > min on both engines). Two-phase group stats broadcast back onto
+    * a map-only rescale — one shuffle for the stats, one for the rollup,
+    * the corpus itself never reshuffles. */
+  val q103 = EngineQuery(
+    "q103_minmax_scale",
+    Some("""WITH s AS (SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+           |           FROM documents GROUP BY lang),
+           |n AS (SELECT d.lang,
+           |        CAST(d.n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS x
+           |      FROM documents d JOIN s USING (lang) WHERE mx > mn)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |       round(avg(x), 4) AS mean_scaled,
+           |       round(stddev_pop(x), 4) AS sd_scaled
+           |FROM n GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val stats = t.documents.groupBy("lang")
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    orderedByAll(
+      t.documents
+        .join(broadcast(stats.filter(col("mx") > col("mn"))), "lang")
+        .withColumn("x",
+          (col("n_chars") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round4(avg(col("x"))).as("mean_scaled"),
+          round4(stddev_pop(col("x"))).as("sd_scaled")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96)
+      q96, q103)
 }

@@ -725,7 +725,46 @@ object TextQueries {
           round4(avg(col("n_chars").cast("double"))).as("avg_chars")))
   }
 
+  /** Dedup observability — the profile a pipeline operator dashboards
+    * before purging: the DISTRIBUTION of near-dup cluster sizes (how many
+    * pairs, triples, ... did clustering find), from the same q60 label
+    * propagation, rolled up twice: labels → cluster sizes → size histogram.
+    * Both rollups are id-scale aggregations over the checkpointed label
+    * set; the corpus is never touched again. */
+  val q104 = EngineQuery(
+    "q104_cluster_profile",
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |cs AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY cluster)
+           |SELECT CAST(csize AS BIGINT) AS cluster_size,
+           |       CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM cs GROUP BY csize ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      dedupClusterLabels(t.documents)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97)
+      q57, q60, q87, q90, q97, q104)
 }
