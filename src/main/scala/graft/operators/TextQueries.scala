@@ -764,7 +764,44 @@ object TextQueries {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters")))
   }
 
+  /** Bigram collocations — the n-gram language-model prep step: consecutive
+    * token pairs explode from each document (map-only Generate over the
+    * materialized token array, same shape as q29's shingles), count per
+    * language, and a rank window keeps the top 3 per language (ties broken
+    * by bigram text — deterministic on both engines). WindowGroupLimit
+    * bounds the per-language rank before the shuffle, so the exchange
+    * carries candidates, not the full bigram vocabulary. */
+  val q105 = EngineQuery(
+    "q105_bigram_colloc",
+    Some("""WITH b AS (SELECT lang,
+           |             unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+           |               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+           |               AS bigram
+           |           FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 2),
+           |c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY lang, bigram),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+           |                 ORDER BY cnt DESC, bigram) AS rn
+           |      FROM c)
+           |SELECT lang, bigram, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INT) AS rn
+           |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin)) { t =>
+    val bigrams = t.documents
+      .select(col("lang"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+        .as("bigram"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+    orderedByAll(
+      bigrams
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104)
+      q57, q60, q87, q90, q97, q104, q105)
 }
