@@ -75,8 +75,13 @@ object GreedyBpe {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < words.numElements()) {
-      val w = words.getUTF8String(i).toString
-      tokenizeWord(w, vocab, maxLen).foreach(t => out += UTF8String.fromString(t))
+      val ws = words.getUTF8String(i)
+      // ArrayType(StringType) admits null elements; split() never produces
+      // them, but a direct SQL call over an array literal can — map to <unk>
+      // rather than NPE-ing the task.
+      if (ws == null) out += UTF8String.fromString(Unk)
+      else tokenizeWord(ws.toString, vocab, maxLen)
+        .foreach(t => out += UTF8String.fromString(t))
       i += 1
     }
     new GenericArrayData(out.toArray[Any])

@@ -175,22 +175,24 @@ case class CmsEstimateCount(sketch: Expression, item: Expression)
 object CmsEstimateCount {
   import org.apache.spark.util.sketch.CountMinSketch
 
-  // Single-entry deserialization cache keyed on sketch content: every row at
-  // a probe site carries the same broadcast sketch bytes (row accessors copy
-  // the array, so identity can't key it). Probe sites are row-bounded
-  // (top-k), making even a miss-per-row acceptable; the cache just avoids
-  // re-parsing ~100 KB of sketch per row in the common same-sketch case.
-  @transient @volatile private var cached: (Int, Int, CountMinSketch) = null
+  // Single-entry deserialization cache confirmed by a FULL byte compare:
+  // every row at a probe site carries the same sketch bytes (row accessors
+  // copy the array, so identity can't key it), and an O(len) Arrays.equals
+  // is far cheaper than re-parsing the sketch — while a hash-only key could
+  // silently serve estimates from the WRONG sketch on a 32-bit collision.
+  // Probe sites are row-bounded (top-k), so even a miss-per-row (two
+  // different sketches probed concurrently thrashing the slot) stays
+  // correct and acceptably cheap.
+  @transient @volatile private var cached: (Array[Byte], CountMinSketch) = null
 
   def estimate(bytes: Array[Byte], item: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val key = (bytes.length, java.util.Arrays.hashCode(bytes))
     var c = cached
-    if (c == null || c._1 != key._1 || c._2 != key._2) {
-      c = (key._1, key._2,
+    if (c == null || !java.util.Arrays.equals(c._1, bytes)) {
+      c = (bytes.clone(),
         CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes)))
       cached = c
     }
-    c._3.estimateCount(item.toString)
+    c._2.estimateCount(item.toString)
   }
 
   def apply(sketch: Column, item: Column): Column =

@@ -184,7 +184,13 @@ object Multimodal {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated IDAT stream
+        // Zero progress without completion is ALWAYS malformed here:
+        // truncated stream (needsInput), preset-dictionary request (FDICT —
+        // illegal in PNG but constructible in a crafted IDAT, and inflate()
+        // then returns 0 with needsInput()==false forever), or any other
+        // stall. Bail instead of spinning — malformed media must flag,
+        // never hang the task.
+        if (n == 0 && !inf.finished()) return None
         got += n
       }
     } catch {

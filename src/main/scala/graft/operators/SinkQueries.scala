@@ -113,11 +113,10 @@ object SinkQueries {
     * warm calls measure the exchange-free join itself. Unique table names
     * per layout — the catalog is session-global and Verify runs queries
     * concurrently. */
-  private val bucketedLayouts =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, String)]()
+  private val bucketedLayouts = new graft.SessionCache[(String, String)]
 
   private def bucketedTables(t: graft.Tables): (String, String) =
-    bucketedLayouts.computeIfAbsent((t.spark, t.dir), { _ =>
+    bucketedLayouts.get(t.spark, t.dir)({
       val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
       val liT = s"graft_bkt_li_$tag"
       val ordT = s"graft_bkt_ord_$tag"

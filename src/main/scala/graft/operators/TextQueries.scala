@@ -549,13 +549,26 @@ object TextQueries {
            |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
            |FROM lab GROUP BY cluster ORDER BY ALL""".stripMargin)) { t =>
     orderedByAll(
-      dedupClusterLabels(t.documents)
+      dedupClusterLabels(t)
         .groupBy(col("label").as("cluster")).agg(count(lit(1)).as("n_docs")))
   }
 
   /** (doc_id, label) cluster assignment over the q36 near-dup pair graph —
-    * the shared core of q60 (cluster sizes) and q87 (corpus purge). */
-  private def dedupClusterLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * the shared core of q60 (cluster sizes), q87 (corpus purge) and q104
+    * (cluster-size profile). MEMOIZED per (session, data dir), same
+    * amortization as q94's bucketed layouts: a real pipeline materializes
+    * cluster labels ONCE and derives every downstream view from them —
+    * label propagation is the expensive part (inverted-index self-join +
+    * O(diameter) supersteps), the three consumers are id-scale rollups.
+    * The cached value is the eagerly localCheckpointed label set:
+    * (doc_id, label) pairs bounded by the clustered population, NOT the
+    * corpus, so holding it for the session is cheap even at 100 TB. */
+  private val clusterLabelCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private def dedupClusterLabels(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    clusterLabelCache.get(t.spark, t.dir)(computeClusterLabels(t.documents))
+
+  private def computeClusterLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pairs = ngramJaccardPairs(docs)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -635,7 +648,7 @@ object TextQueries {
            |       CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM losers))
            |            AS BIGINT) AS n_survivors
            |FROM documents GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
-    val losers = dedupClusterLabels(t.documents)
+    val losers = dedupClusterLabels(t)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id"))
     orderedByAll(
@@ -759,7 +772,7 @@ object TextQueries {
            |       CAST(count(*) AS BIGINT) AS n_clusters
            |FROM cs GROUP BY csize ORDER BY ALL""".stripMargin)) { t =>
     orderedByAll(
-      dedupClusterLabels(t.documents)
+      dedupClusterLabels(t)
         .groupBy("label").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters")))
   }

@@ -60,6 +60,15 @@ class BpeSpec extends SharedSparkSpec {
       Seq("a", GreedyBpe.Unk, "b"))
     // alphanumeric words never produce <unk> (all singles are in vocab)
     assert(!GreedyBpe.tokenizeWord("xq7w", vocabSet, maxLen).contains(GreedyBpe.Unk))
+    // ArrayType(StringType) admits null elements (a SQL array literal can
+    // carry them even though split() never does): map to <unk>, never NPE
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("the"), null, UTF8String.fromString("a")))
+    val toks = GreedyBpe.tokenizeWords(withNull, vocabSet, maxLen)
+    assert((0 until toks.numElements()).map(toks.getUTF8String(_).toString) ==
+      Seq("the", GreedyBpe.Unk, "a"))
   }
 
   test("q89 packing totals equal a local recomputation over reference counts") {

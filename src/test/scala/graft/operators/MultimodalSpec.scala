@@ -114,6 +114,29 @@ class MultimodalSpec extends SharedSparkSpec {
     assert(!feats(2).decoded)
   }
 
+  test("PNG decode bails on a preset-dictionary (FDICT) zlib stream instead of hanging") {
+    // A crafted IDAT whose zlib header sets FDICT makes Inflater.inflate()
+    // return 0 with needsInput()==false and finished()==false forever —
+    // the decode loop must treat zero progress as malformed, not spin.
+    def be32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = chunk("IHDR", be32(1) ++ be32(1) ++ Array[Byte](8, 0, 0, 0, 0))
+    // CMF=0x78 FLG=0x20: FDICT bit set, (0x7820 % 31) == 0 so the header
+    // checksum is VALID — the stream is well-formed zlib right up to the
+    // dictionary request. Chunk CRCs are genuine (trivially recomputable).
+    val idat = chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0, 0))
+    val bytes = sig ++ ihdr ++ idat ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(bytes).isEmpty, "FDICT stream must degrade to None")
+  }
+
   test("PNG decode survives randomized dimensions and content (seeded)") {
     import java.awt.image.BufferedImage
     val rng = new scala.util.Random(20260812L)

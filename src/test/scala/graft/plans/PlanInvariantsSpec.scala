@@ -64,6 +64,18 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     // every window in the plan carries a partition spec — a bare
     // windowspecdefinition(<orderCol> ASC ...) is the single-partition form
     assert("windowspecdefinition\\(c_acctbal".r.findFirstIn(p).isEmpty, p.take(1200))
+    // correctness depends on the counts and ranks subtrees seeing the SAME
+    // range-partition boundaries: RangePartitioner samples with a seed from
+    // rdd.id, so two independently-executed range exchanges could disagree.
+    // AQE must canonicalize the duplicated subtrees onto shared stages
+    // (ReusedExchange nodes in the FINAL adaptive plan — reuse is a runtime
+    // decision, invisible pre-execution); if reuse ever breaks, fail loudly
+    // here instead of silently mis-bucketing.
+    val df = graft.SparkEntry.queries("q70_ntile_bucket")(spark, sf001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      "q70's range exchange is not reused — pid offsets and ranks may see different boundaries:\n" + fin.take(1500))
   }
 
   test("q91: the lang predicate prunes PARTITIONS at planning time, not rows") {
