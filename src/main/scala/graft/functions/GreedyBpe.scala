@@ -119,4 +119,9 @@ case class GreedyBpeTokens(child: Expression, vocab: Seq[String] = GreedyBpe.Voc
 object GreedyBpeTokens {
   def apply(arr: Column): Column =
     GraftShims.column(GreedyBpeTokens(GraftShims.expression(arr)))
+
+  /** Tokenize against an explicit vocabulary — the deploy path for a vocab
+    * learned by [[BpeTrainer]] (q106 trains, q107 tokenizes with it). */
+  def apply(arr: Column, vocab: Seq[String]): Column =
+    GraftShims.column(GreedyBpeTokens(GraftShims.expression(arr), vocab))
 }

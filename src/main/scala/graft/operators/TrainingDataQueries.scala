@@ -181,5 +181,49 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89, q100)
+  /** Distributed BPE vocabulary TRAINING ([[graft.functions.BpeTrainer]]):
+    * learn the merge table itself from the corpus — the one LLM-pipeline
+    * operator a data team couldn't previously run on this engine (q89 only
+    * APPLIES a frozen vocab). One corpus-scale word-count pass, then one
+    * q60-style superstep per merge rank (distributed weighted pair-count +
+    * 1-row argmax) over the Zipf-bounded word-frequency table. Training is
+    * memoized per (session, dir); this query emits the learned merge table
+    * (vocab-budget-bounded, like q92's centroids). Iterative argmax over a
+    * trainer loop is not SQL-expressible → no DuckDB oracle; BpeTrainSpec
+    * pins the distributed merge sequence to an independent single-node
+    * reference trainer, rank by rank. */
+  val q106 = EngineQuery("q106_bpe_train", None) { t =>
+    val merges = graft.functions.BpeTrainer.trainedMerges(t, 40)
+    val spark = t.spark
+    import spark.implicits._
+    orderedByAll(
+      merges.map(m => (m.rank, m.left, m.right, m.left + m.right, m.freq))
+        .toDF("rank", "left", "right", "merged", "freq"))
+  }
+
+  /** The trained vocab DEPLOYED: q89's subword accounting re-run with the
+    * merges q106 learned from this very corpus (plus the [a-z0-9] single
+    * characters as the base alphabet) instead of the frozen demo vocab —
+    * the full train->freeze->tokenize loop of a real tokenizer pipeline in
+    * one engine session. Same map-only tokenize scale shape as q89; the
+    * learned vocab rides the codegen expression as a constant payload.
+    * No oracle (the vocab is a trainer artifact, not SQL-expressible);
+    * BpeTrainSpec pins the totals to a local recomputation. */
+  val q107 = EngineQuery("q107_bpe_train_tokenize", None) { t =>
+    val vocab = graft.functions.BpeTrainer.vocabOf(
+      graft.functions.BpeTrainer.trainedMerges(t, 40),
+      (('a' to 'z') ++ ('0' to '9')).map(_.toString))
+    orderedByAll(
+      t.documents
+        .select(col("lang"), toks(col("text")).as("tk"))
+        .select(col("lang"),
+          size(col("tk")).cast("long").as("ws_tok"),
+          size(graft.functions.GreedyBpeTokens(col("tk"), vocab)).cast("long").as("bpe_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tok")).as("bpe_tokens"),
+          round4(sum(col("bpe_tok")).cast("double") / sum(col("ws_tok"))).as("bpe_per_word")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89, q100, q106, q107)
 }
