@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means training to CONVERGENCE — the loop around q92's
+  * single Lloyd's step, and the training pass that turns q37's IVF index
+  * from "seeded buckets" into a learned quantizer (the ANN
+  * training→serving loop of a real vector pipeline).
+  *
+  * Scale shape per iteration (identical to q92's step, which stays as the
+  * auditable oracled single step):
+  *  - centroids broadcast (k×dim doubles — driver-sized state, like q106's
+  *    merge table or q92's centroid table);
+  *  - assignment is map-side scoring under the broadcast, the per-vector
+  *    argmin is a partial-aggregable `min(struct(d2, cid))`;
+  *  - ONE corpus-wide aggregation per iteration: posexplode after
+  *    assignment, partial-aggregated map-side down to k×dim cells (cell
+  *    sums + member counts + d2 sums ride the same exchange — pos 0 carries
+  *    the per-cluster scalars, so no second corpus pass for stats);
+  *  - the k×dim cell table collects to the coordinator (512 rows at k=8,
+  *    dim=64), which updates centroids and checks the shift fixpoint —
+  *    inherent driver coordination, same as q60's convergence detector and
+  *    q106's argmax, never a corpus collect.
+  *
+  * Determinism: init is the first k vectors by vec_id (q92's seed), ties on
+  * d2 break on centroid id, empty clusters keep their previous centroid.
+  * Distributed mean summation order differs from the local reference at
+  * ulp level — parity (KMeansTrainSpec) compares centroids under a 1e-8
+  * tolerance and demands identical iteration counts and final assignments;
+  * query output (q108) rounds to 4dp like every float aggregate.
+  */
+object KMeansTrainer {
+
+  /** Converged model: final centroids, per-cluster stats of the LAST
+    * assignment (vs the pre-update centroids, like q92 reports), and the
+    * number of Lloyd steps executed. */
+  final case class Trained(
+      centroids: IndexedSeq[Array[Double]],
+      nMembers: IndexedSeq[Long],
+      sumD2: IndexedSeq[Double],
+      iters: Int)
+
+  /** Squared L2 in a FIXED fold order (position ascending) — the same
+    * numeric contract as q92's zip_with fold, shared by the local
+    * reference so assignment tie behavior cannot drift. */
+  def d2(v: Array[Double], c: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Single-node reference trainer — the parity oracle for [[train]]
+    * (KMeansTrainSpec) over an explicitly collected vector table. */
+  def trainLocal(
+      vecs: Seq[(Long, Array[Double])], k: Int, maxIters: Int, tol: Double): Trained = {
+    val dim = vecs.head._2.length
+    var cents: IndexedSeq[Array[Double]] =
+      vecs.sortBy(_._1).take(k).map(_._2.clone()).toIndexedSeq
+    var iters = 0
+    var shift = Double.MaxValue
+    var members = IndexedSeq.fill(k)(0L)
+    var sumD2 = IndexedSeq.fill(k)(0.0)
+    while (iters < maxIters && shift >= tol) {
+      val asg = vecs.map { case (_, v) =>
+        var best = 0; var bd = d2(v, cents(0))
+        var c = 1
+        while (c < k) {
+          val d = d2(v, cents(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        (best, v, bd)
+      }
+      members = (0 until k).map(c => asg.count(_._1 == c).toLong)
+      sumD2 = (0 until k).map(c => asg.filter(_._1 == c).map(_._3).sum)
+      val next = (0 until k).map { c =>
+        val m = asg.filter(_._1 == c)
+        if (m.isEmpty) cents(c).clone()
+        else {
+          val s = new Array[Double](dim)
+          m.foreach { case (_, v, _) =>
+            var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+          }
+          var i = 0; while (i < dim) { s(i) /= m.size; i += 1 }
+          s
+        }
+      }
+      shift = math.sqrt((0 until k).map(c => d2(next(c), cents(c))).max)
+      cents = next
+      iters += 1
+    }
+    Trained(cents, members, sumD2, iters)
+  }
+
+  /** Distributed Lloyd's loop over a (vec_id, embedding) DataFrame. */
+  def train(emb: DataFrame, k: Int, maxIters: Int, tol: Double): Trained = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"))
+    // Seed = first k vectors by id (q92's deterministic init).
+    val seed = e.filter(col("vec_id") < k)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(seed.length == k, s"need vec_id 0..${k - 1} as seeds, got ${seed.length}")
+    val dim = seed.head._2.length
+    var cents: IndexedSeq[Array[Double]] =
+      seed.map(_._2.map(_.toDouble).toArray).toIndexedSeq
+    var iters = 0
+    var shift = Double.MaxValue
+    var members = IndexedSeq.fill(k)(0L)
+    var sumD2 = IndexedSeq.fill(k)(0.0)
+    while (iters < maxIters && shift >= tol) {
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cvec")
+      val dist = graft.dsl.foldSum(zip_with(col("embedding"), col("cvec"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+      // ONE corpus pass: assign (partial-agg argmin), then cell partials.
+      // pos 0 additionally carries the per-cluster member count and d2 sum,
+      // so the driver reads everything from one k×dim collect.
+      val cells = e.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("embedding"),
+          struct(dist.as("d2"), col("cid")).as("dc"))
+        .groupBy("vec_id")
+        .agg(min(col("dc")).as("m"), first(col("embedding")).as("emb"))
+        .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
+          posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("double")).as("sx"),
+          count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        .as[(Int, Int, Double, Long, Double)]
+        .collect()
+      val byCid = cells.groupBy(_._1)
+      members = (0 until k).map(c =>
+        byCid.get(c).map(_.head._4).getOrElse(0L))
+      sumD2 = (0 until k).map(c =>
+        byCid.get(c).flatMap(_.find(_._2 == 0)).map(_._5).getOrElse(0.0))
+      val next = (0 until k).map { c =>
+        byCid.get(c) match {
+          case None => cents(c) // empty cluster: keep previous centroid
+          case Some(rows) =>
+            val s = new Array[Double](dim)
+            rows.foreach { case (_, pos, sx, n, _) => s(pos) = sx / n }
+            s
+        }
+      }
+      shift = math.sqrt((0 until k).map(c => d2(next(c), cents(c))).max)
+      cents = next
+      iters += 1
+    }
+    Trained(cents, members, sumD2, iters)
+  }
+
+  private val trainedCache = new graft.SessionCache[Trained]
+
+  val K = 8
+  val MaxIters = 20
+  val Tol = 1e-3
+
+  /** Converged model for a data dir's `embeddings` table, memoized per
+    * (session, dir) — training is the expensive upstream; q108 reports it
+    * and q37's IVF serves from it (train once, derive everywhere — the
+    * q60-labels / q94-layout amortization pattern). */
+  def trainedModel(t: graft.Tables): Trained =
+    trainedCache.get(t.spark, s"${t.dir}#kmeans$K")(
+      train(t.embeddings, K, MaxIters, Tol))
+}

@@ -195,24 +195,37 @@ object SimilarityQueries {
     orderedByAll(pairs)
   }
 
-  /** IVF-style approximate k-NN: deterministic "centroids" (every 50th
-    * vector), assign every vector to its nearest centroid (broadcast — the
-    * centroid set is tiny), then search only within the query's bucket.
-    * Approximate by construction → no SQL oracle; recall vs q25 is asserted
-    * in ScalaTest.
-    */
+  /** IVF approximate k-NN served from the TRAINED quantizer: vectors are
+    * bucketed by their nearest k-means centroid ([[graft.functions.
+    * KMeansTrainer]], converged Lloyd's loop, memoized per session/dir —
+    * the train-once/serve-everywhere amortization), and each query probes
+    * its `NProbe` nearest buckets (multi-probe IVF: candidates ≈
+    * nprobe·N/k per query instead of N — the standard recall/latency knob,
+    * still never all-pairs). The centroid table is driver-sized and
+    * broadcasts; assignment is map-side scoring. Approximate by
+    * construction → no SQL oracle; recall vs q25 is ASSERTED in KnnSpec
+    * (trained centroids + 2-probe must beat the old seeded single-probe
+    * floor). */
   val q37 = EngineQuery("q37_knn_ivf", None) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val model = graft.functions.KMeansTrainer.trainedModel(t)
+    val cents = broadcast(model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("c_id", "c_emb"))
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 50 === 0).select(
-      col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val buckets = e.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+    val cd2 = dsl.foldSum(zip_with(col("embedding"), col("c_emb"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_d2").asc, col("c_id"))
+    val scored = e.crossJoin(cents)
+      .withColumn("c_d2", cd2)
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    val buckets = scored.filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
-    val q = buckets.filter(col("vec_id") < 10).select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    // Queries probe their NProbe nearest buckets (not just the one they
+    // live in): near-boundary neighbors sit one bucket over.
+    val q = scored.filter(col("vec_id") < 10 && col("arn") <= NProbe).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("c_id").as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     orderedByAll(
       buckets.join(broadcast(q), "bucket")
@@ -223,6 +236,9 @@ object SimilarityQueries {
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("neighbor_id"), round4(col("cos")).as("cos_sim"), col("rn")))
   }
+
+  /** Buckets probed per query in q37's multi-probe IVF search. */
+  private val NProbe = 2
 
   /** Embedding-cosine near-dup pairs, blocked by label (the "bucket" at this
     * data's scale; swap for LSH hyperplane buckets beyond ~1e5 vectors).
@@ -379,5 +395,30 @@ object SimilarityQueries {
     orderedByAll(stats.join(norms, "cid"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92)
+  /** k-means trained to CONVERGENCE ([[graft.functions.KMeansTrainer]]):
+    * the loop around q92's single Lloyd's step — per-iteration broadcast
+    * centroids, one corpus aggregation down to k×dim cells, driver-side
+    * shift fixpoint (q60's convergence discipline; centroid state is
+    * driver-sized like q106's merge table). Emits the converged model's
+    * per-cluster profile plus the iteration count. The iterative fixpoint
+    * is not SQL-expressible → no DuckDB oracle; KMeansTrainSpec pins the
+    * distributed loop to a single-node reference trainer (identical
+    * iteration count + assignments, centroids within float tolerance), and
+    * q92 — the same step, oracled — stays the per-step correctness anchor.
+    */
+  val q108 = EngineQuery("q108_kmeans_train", None) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    orderedByAll(
+      m.centroids.indices.map { c =>
+        val norm = math.sqrt(m.centroids(c).map(x => x * x).sum)
+        (c, m.nMembers(c), m.iters,
+          BigDecimal(if (m.nMembers(c) == 0) 0.0 else m.sumD2(c) / m.nMembers(c))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(norm).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("cid", "n_members", "iters", "mean_d2", "centroid_norm"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108)
 }
