@@ -95,6 +95,45 @@ class PlanMetricsSpec extends SharedSparkSpec {
       s"q60 final-plan shuffles ${r.shuffleBytesWritten.sum} B vs $input B input")
   }
 
+  test("q97: the single dedup exchange carries one small struct per digest group") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet").count()
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q97_dedup_quality")(spark, sf1))
+    val widest = r.shuffleBytesWritten.max
+    // max_by partial-aggregates map-side: the digest exchange carries
+    // (32 B key + doc_id/lang/n_chars struct) per GROUP — never the text.
+    // A regression that keys on text or hauls the text column through the
+    // winner struct jumps to hundreds of B/doc.
+    assert(widest < docs * 80,
+      s"q97's widest exchange is $widest bytes for $docs docs (${widest / docs} B/doc) — text in the exchange?")
+    val input = new java.io.File(s"$sf1/documents.parquet").length()
+    assert(r.shuffleBytesWritten.sum < input,
+      s"q97 shuffles ${r.shuffleBytesWritten.sum} B > $input B input")
+  }
+
+  test("q104: the cluster profile is derived at id-scale, corpus untouched") {
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q104_cluster_profile")(spark, sf1))
+    // label rollups only: (doc_id, label) pairs → sizes → histogram. The
+    // propagation upstream sits behind the shared checkpoint (q60's), so
+    // this plan's own shuffles must be id-scale.
+    val input = new java.io.File(s"$sf1/documents.parquet").length()
+    assert(r.shuffleBytesWritten.sum < input / 4,
+      s"q104 shuffles ${r.shuffleBytesWritten.sum} B vs $input B input — corpus-scale work leaked in")
+  }
+
+  test("q105: only the vocabulary-count exchange is data-scale; the rank exchange carries candidates") {
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q105_bigram_colloc")(spark, sf1))
+    val sorted = r.shuffleBytesWritten.sorted
+    // Exactly one exchange may scale with the bigram vocabulary (the
+    // partial-aggregated groupBy(lang, bigram) count). The rank window's
+    // exchange sees only WindowGroupLimit survivors (top-3 per lang per
+    // map partition) and the final sort sees 3 rows per lang — if either
+    // grows past KB-scale, the group-limit pushdown regressed and the
+    // whole vocabulary is flowing through the rank.
+    assert(sorted.init.forall(_ < 64 * 1024),
+      s"q105's non-vocabulary exchanges grew: ${r.shuffleBytesWritten.mkString(", ")} bytes")
+    assert(r.shuffleBytesWritten.nonEmpty && r.rows > 0)
+  }
+
   test("q10: map-side partial aggregation keeps the shuffle tiny") {
     val r = PlanMetrics.run(q("q10_agg_groupby"))
     assert(r.shuffleBytesWritten.nonEmpty)
