@@ -334,6 +334,47 @@ object Multimodal {
     }
   }
 
+  /** First `n` US-ASCII bytes of `text`, space-padded — the deterministic
+    * pixel/sample source for the synthetic media payloads of q109 (the
+    * testdata ships no true media column; the padding rule is mirrored
+    * byte-for-byte in the DuckDB oracle). */
+  def padBytes(text: String, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    java.util.Arrays.fill(out, ' '.toByte)
+    val b = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    System.arraycopy(b, 0, out, 0, math.min(b.length, n))
+    out
+  }
+
+  /** Real 8-bit grayscale PNG encode via the JDK's ImageIO — lossless, so
+    * [[decodePng]] recovers the exact pixel bytes (round-trip proven in
+    * MultimodalSpec). Used to synthesize q109's image payloads. */
+  def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"${pixels.length} pixels for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Canonical 44-byte-header RIFF/WAVE (PCM, 16-bit, mono) around raw
+    * little-endian sample data — [[decodeWav]] recovers the exact samples.
+    * Used to synthesize q109's audio payloads. */
+  def encodeWavMono(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+    require(data.length % 2 == 0, "16-bit PCM needs an even byte count")
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + data.length); out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1); out.putShort(1) // PCM, mono
+    out.putInt(sampleRate); out.putInt(sampleRate * 2)
+    out.putShort(2); out.putShort(16) // block align, bits
+    out.put("data".getBytes); out.putInt(data.length); out.put(data)
+    out.array()
+  }
+
   /** One media embedding (unit-norm float vector). */
   final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 
@@ -392,5 +433,96 @@ object MultimodalQueries {
           round4(avg((octet_length(col("b")) % 640).cast("double"))).as("avg_fake_width")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39)
+  /** Multimodal END-TO-END, fully oracled: synthesize real media payloads
+    * from each document (a 16×16 grayscale PNG whose pixels are the first
+    * 256 space-padded text bytes, and a PCM WAV whose 128 samples are the
+    * same bytes little-endian-paired), push them through the REAL decoders
+    * ([[Multimodal.decodePng]] — CRC walk, Inflater, unfiltering — and
+    * [[Multimodal.decodeWav]]), bridge decoded features to a 3-vector
+    * (mean intensity, mean |amplitude|, clamped length), and q92-style
+    * nearest-centroid assign against a fixed literal codebook. Because the
+    * payload construction is deterministic, every decoded feature is
+    * analytically mirrorable in SQL — so the whole decode→feature→cluster
+    * pipeline lands under the DuckDB hash gate, not just a property test:
+    * a decoder that misreads even one pixel moves a mean and fails the
+    * oracle. Scale shape: both decode branches are mapPartitions at the
+    * codec boundary (one codec init per partition), features join on
+    * doc_id, the codebook broadcasts, assignment is a partial-agg argmin —
+    * no corpus-scale exchange carries media bytes (media never leaves the
+    * partition it was decoded in).
+    *
+    * Numeric contract: mean intensity is an integer sum / 256 and mean
+    * amplitude a sum of /2^15 dyadics — both EXACT in double on either
+    * engine, so the only round4-guarded quantity is the d2 average. */
+  val q109 = EngineQuery(
+    "q109_multimodal_pipeline",
+    Some("""WITH px AS (SELECT doc_id, n_chars,
+           |         list_transform(generate_series(1, 256),
+           |           i -> CASE WHEN i <= length(text) THEN ascii(substr(text, i, 1))
+           |                     ELSE 32 END) AS p
+           |       FROM documents),
+           |f AS (SELECT doc_id,
+           |        CAST(list_sum(p) AS DOUBLE) / 256.0 AS mi,
+           |        list_sum(list_transform(generate_series(1, 128),
+           |          j -> (p[2*j-1] + 256 * p[2*j]) / 32768.0)) / 128.0 AS ma,
+           |        CAST(least(n_chars, 1000) AS DOUBLE) / 1000.0 AS f3
+           |      FROM px),
+           |c(cid, c1, c2, c3) AS (VALUES
+           |  (0, CAST(0.37 AS DOUBLE), CAST(0.73 AS DOUBLE), CAST(0.10 AS DOUBLE)),
+           |  (1, CAST(0.37 AS DOUBLE), CAST(0.73 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+           |  (2, CAST(0.37 AS DOUBLE), CAST(0.73 AS DOUBLE), CAST(0.40 AS DOUBLE)),
+           |  (3, CAST(0.37 AS DOUBLE), CAST(0.73 AS DOUBLE), CAST(0.55 AS DOUBLE))),
+           |d AS (SELECT doc_id, mi, ma, cid,
+           |        (mi/255.0 - c1)*(mi/255.0 - c1) + (ma - c2)*(ma - c2)
+           |          + (f3 - c3)*(f3 - c3) AS d2
+           |      FROM f CROSS JOIN c),
+           |a AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                  ORDER BY d2, cid) AS rn FROM d)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS n_docs,
+           |       round(avg(mi), 4) AS avg_intensity,
+           |       round(avg(ma), 4) AS avg_amp,
+           |       round(avg(d2), 4) AS mean_d2
+           |FROM a WHERE rn = 1 GROUP BY cid ORDER BY ALL""".stripMargin)) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    import Multimodal._
+    implicit val mEnc = Encoders.product[MediaRecord]
+    val base = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+    // Synthetic media fixtures (testdata has no binary column); encode is
+    // partition-local, decode is the REAL codec path under test.
+    val png = base.mapPartitions(_.map { case (id, src, text) =>
+      MediaRecord(id, src, encodePngGray(padBytes(text, 256), 16, 16)) })
+    val wav = base.mapPartitions(_.map { case (id, src, text) =>
+      MediaRecord(id, src, encodeWavMono(padBytes(text, 256), 8000)) })
+    val img = decodeImages(png).filter(col("decoded"))
+      .select(col("doc_id"), col("mean_intensity").as("mi"))
+    val aud = decodeAudio(wav).filter(col("decoded"))
+      .select(col("doc_id"), col("mean_abs").as("ma"))
+    val feats = img.join(aud, "doc_id")
+      .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("mi"), col("ma"),
+        (col("mi") / 255.0).as("f1"),
+        (least(col("n_chars"), lit(1000)).cast("double") / 1000.0).as("f3"))
+    val cents = broadcast(Seq(
+      (0, 0.37, 0.73, 0.10), (1, 0.37, 0.73, 0.25),
+      (2, 0.37, 0.73, 0.40), (3, 0.37, 0.73, 0.55))
+      .toDF("cid", "c1", "c2", "c3"))
+    val d2 = (col("f1") - col("c1")) * (col("f1") - col("c1")) +
+      (col("ma") - col("c2")) * (col("ma") - col("c2")) +
+      (col("f3") - col("c3")) * (col("f3") - col("c3"))
+    orderedByAll(
+      feats.crossJoin(cents)
+        .select(col("doc_id"), col("mi"), col("ma"),
+          struct(d2.as("d2"), col("cid")).as("dc"))
+        .groupBy("doc_id")
+        .agg(min(col("dc")).as("m"), first(col("mi")).as("mi"), first(col("ma")).as("ma"))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(count(lit(1)).as("n_docs"),
+          round4(avg(col("mi"))).as("avg_intensity"),
+          round4(avg(col("ma"))).as("avg_amp"),
+          round4(avg(col("m.d2"))).as("mean_d2")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39, q109)
 }
