@@ -233,5 +233,45 @@ object StreamingQueries {
     streamStaticShape(stream, customer)
   }
 
+  /** Streaming twin of q90's incremental ingest dedup — the most
+    * stream-shaped batch query in the suite run as an actual stream: the
+    * standing corpus arrives as micro-batch 1 (building digest state), the
+    * ingest batch as micro-batch 2, and `dropDuplicatesWithinWatermark` on
+    * the content digest admits exactly the docs whose digest is unseen —
+    * across micro-batches AND within the ingest batch, in one operator.
+    * This is q90's plan run forever: state is the digest index (32 B/doc,
+    * never text), bounded by the watermark horizon instead of growing with
+    * the corpus — the knob a production ingest turns (admit-once within N
+    * days) when an unbounded exact index stops fitting. Equivalence to the
+    * oracled batch admit-set is asserted in StreamingEquivalenceSpec
+    * (digest-set equality — survivor identity within an ingest dup group
+    * is arbitrary in a stream, exactly as in q74's replay contract).
+    */
+  def incrementalDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // Stage corpus-then-batch as two files: the file source (one file per
+    // trigger) replays them as ordered micro-batches, the corpus building
+    // digest state before the ingest batch streams through it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    docs.filter(col("doc_id") % 10 =!= 0).coalesce(1).write.parquet(s"$dir/b1_corpus")
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$dir/b2_ingest")
+    val schema = spark.read.parquet(s"$dir/b1_corpus").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .select(col("doc_id"), col("lang"),
+        unhex(sha2(lower(trim(col("text"))), 256)).as("key"),
+        // synthetic event time (docs carry none): any monotone stand-in
+        // works — the wide watermark keeps every digest live for the test.
+        // Offset past epoch 0: Spark's initial watermark is 0, and a row
+        // whose event time EQUALS the watermark is dropped as late (bit us
+        // for doc_id 0).
+        timestamp_seconds(col("doc_id") + 1000000L).as("ts"))
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("key")
+      .filter(col("doc_id") % 10 === 0) // admitted INGEST docs only
+      .select(col("doc_id"), col("lang"), hex(col("key")).as("key"))
+  }
+
   val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80)
 }

@@ -104,6 +104,39 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(got.toSeq == (0L until 1000L).toSeq) // each event exactly once
   }
 
+  test("q90 incremental dedup equals its streaming twin's admit set") {
+    import org.apache.spark.sql.functions._
+    val q = StreamingQueries.incrementalDedupStream(spark, sf001)
+      .writeStream.format("memory").queryName("q90_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val admitted = spark.table("q90_stream_test").collect()
+    // Survivor-agnostic invariant (valid at any SF): the streamed admit
+    // set contains exactly the batch-fresh digests, one survivor each.
+    val t = new graft.Tables(spark, sf001)
+    val keyed = t.documents.select(col("doc_id"), col("lang"),
+      sha2(lower(trim(col("text"))), 256).as("key"))
+    val freshKeys = keyed.filter(col("doc_id") % 10 === 0)
+      .join(keyed.filter(col("doc_id") % 10 =!= 0).select("key"),
+        Seq("key"), "left_anti")
+      .select("key").distinct()
+      .collect().map(_.getString(0).toUpperCase).toSet
+    val streamedKeys = admitted.map(_.getString(2)).toSeq
+    assert(streamedKeys.toSet == freshKeys, "admitted digest set diverged from batch")
+    assert(streamedKeys.distinct.size == streamedKeys.size, "a digest was admitted twice")
+    // Per-lang counts equal the ORACLED q90 output (at sf0.001 every
+    // duplicate group is single-lang, so survivor choice can't move a
+    // count across langs).
+    val streamedByLang = admitted.groupBy(_.getString(1))
+      .map { case (l, rs) => l -> rs.length.toLong }
+    val batch = graft.SparkEntry.queries("q90_dedup_incremental")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedByLang == batch, s"per-lang admit counts: $streamedByLang vs $batch")
+    assert(batch.nonEmpty)
+  }
+
   test("q74 batch replay-dedup equals the streaming dedup of the same replay") {
     val t = new graft.Tables(spark, sf001)
     val dir = tmpDir("streamdedup74")
