@@ -92,7 +92,9 @@ object BpeTrainer {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
       .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
-      .localCheckpoint()
+      // lazy: materializes under the first superstep's argmax job, so each
+      // superstep costs ONE job, not a checkpoint job plus the argmax
+      .localCheckpoint(eager = false)
     val out = Seq.newBuilder[Merge]
     var rank = 0
     var stop = false
@@ -116,7 +118,7 @@ object BpeTrainer {
           out += Merge(rank, l, r, f)
           val next = forms
             .map { case (syms, c) => (applyMerge(syms.toIndexedSeq, l, r): Seq[String], c) }
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           forms = next
           rank += 1
         case _ => stop = true

@@ -814,7 +814,62 @@ object TextQueries {
         .filter(col("rn") <= 3))
   }
 
+  /** Unigram-LM perplexity quality filter — the model-based quality scorer
+    * of a pretraining pipeline (the CCNet recipe: score every document by
+    * its cross-entropy under a language model trained on the corpus itself;
+    * high perplexity = off-distribution = junk candidate). Heuristic
+    * scoring is q32; this is the LEARNED counterpart, and like q106/q108
+    * the trained artifact (the word-frequency table) is corpus-derived.
+    *
+    * Model: add-one-smoothed unigram LM, p(w) = (c(w)+1)/(N+V); doc score
+    * is the cross-entropy −mean(ln p(w)). Plan for 100 TB:
+    *  - ONE vocabulary-scale count pass (map-side partial agg — the same
+    *    Zipf-bounded table q106 trains on);
+    *  - the N/V normalizer is a 1-row agg broadcast by crossJoin;
+    *  - scoring joins exploded tokens to the vocab BROADCAST (a Zipf vocab
+    *    fits executor memory at any corpus size; an open vocabulary would
+    *    flip this to a shuffle join on xxhash64(word) — same plan as q36's
+    *    index);
+    *  - per-doc reduction is a partial-aggregable avg: explode keeps a
+    *    doc's tokens in its scan partition, so the exchange carries one
+    *    partial row per doc — id-scale, never tokens.
+    * The flag threshold (3.5 nats) sits ≥2.7e-4 from every document's
+    * score at all gate SFs, 9 orders above cross-engine summation ulp, so
+    * the boundary cannot flip. */
+  val q110 = EngineQuery(
+    "q110_lm_perplexity",
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+           |             FROM documents),
+           |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+           |        FROM cnt),
+           |sc AS (SELECT t.doc_id, t.lang,
+           |         ln((CAST(c AS DOUBLE) + 1.0) / (n + v)) AS lp
+           |       FROM tok t JOIN cnt USING (w) CROSS JOIN tot),
+           |d AS (SELECT doc_id, lang, -avg(lp) AS ce FROM sc GROUP BY doc_id, lang)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       round(avg(ce), 4) AS avg_ce,
+           |       CAST(count(*) FILTER (WHERE ce > 3.5) AS BIGINT) AS n_flagged
+           |FROM d GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val tok = t.documents
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val scored = tok
+      .join(broadcast(cnt), "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        log((col("c").cast("double") + 1.0) / (col("n") + col("v"))).as("lp"))
+    val perDoc = scored.groupBy("doc_id", "lang").agg((-avg(col("lp"))).as("ce"))
+    orderedByAll(
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round4(avg(col("ce"))).as("avg_ce"),
+          sum(when(col("ce") > 3.5, 1L).otherwise(0L)).as("n_flagged")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105)
+      q57, q60, q87, q90, q97, q104, q105, q110)
 }
