@@ -157,6 +157,31 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(windowLine.contains("user_id"), s"window lost its partition spec: $windowLine")
   }
 
+  test("q109: decoded features join/aggregate without media bytes in any exchange") {
+    val p = plan("q109_multimodal_pipeline")
+    // media decodes inside mapPartitions (the codec boundary); everything
+    // that shuffles afterwards is (doc_id, doubles). If the binary `media`
+    // column ever appears below an Exchange, payload bytes are being
+    // shuffled — the exact thing the multimodal design forbids.
+    val afterExchange = p.split("Exchange").drop(1).mkString
+    assert(!afterExchange.contains("media#"),
+      "media binary column crossed an exchange:\n" + p.take(1500))
+    assert(p.contains("SerializeFromObject"), "decode left the typed codec boundary")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid codebook stopped broadcasting:\n" + p.take(1200))
+    assert(p.contains("partial_"), "argmin/profile lost map-side partials")
+  }
+
+  test("q110: LM vocab broadcasts onto tokens; per-doc reduction partial-aggregates") {
+    val p = plan("q110_lm_perplexity")
+    // the token->probability join must be a broadcast (Zipf vocab), never a
+    // shuffle of the exploded token stream
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab join stopped broadcasting — exploded tokens would shuffle:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), "normalizer crossJoin must broadcast")
+    assert(p.contains("partial_"), "per-doc cross-entropy lost map-side partials")
+  }
+
   test("q55: join condition evaluates id test and length guard BEFORE the DP") {
     val p = plan("q55_dedup_fuzzy")
     val cond = p.linesIterator
