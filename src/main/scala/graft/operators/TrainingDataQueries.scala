@@ -225,5 +225,51 @@ object TrainingDataQueries {
           round4(sum(col("bpe_tok")).cast("double") / sum(col("ws_tok"))).as("bpe_per_word")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89, q100, q106, q107)
+  /** Deterministic epoch re-sharding — the "global shuffle" every training
+    * run needs, done the way it scales: no global sort or permutation
+    * materializes; each document's shard for epoch e is a pure hash of
+    * (doc_id, e), so the assignment is MAP-ONLY, reproducible bit-for-bit
+    * across reruns (the q57/q100 content-hash discipline — never rand()),
+    * and re-deals every epoch. The audit output proves the two properties a
+    * training job cares about: per-shard token balance (≈1.0 each) and a
+    * different deal per epoch. Only (epoch, shard)-scale rows ever reach an
+    * exchange (partial-agg), and the per-epoch normalizer is a broadcast
+    * 2-row aggregate. The physical shard WRITE is q91's partitioned layout;
+    * this operator is the assignment + audit half. */
+  val q111 = EngineQuery(
+    "q111_epoch_shard",
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+           |e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+           |s AS (SELECT epoch,
+           |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+           |             CAST(epoch AS VARCHAR)), 1, 1) AS INTEGER) AS shard,
+           |        ntok
+           |      FROM d CROSS JOIN e),
+           |g AS (SELECT epoch, shard, count(*) AS n_docs, sum(ntok) AS tokens
+           |      FROM s GROUP BY 1, 2),
+           |t AS (SELECT epoch, sum(tokens) AS tot FROM g GROUP BY 1)
+           |SELECT epoch, shard, CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(tokens AS BIGINT) AS tokens,
+           |       round(16.0 * tokens / tot, 4) AS balance
+           |FROM g JOIN t USING (epoch) ORDER BY ALL""".stripMargin)) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val d = t.documents.select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("ntok"))
+    val epochs = broadcast(Seq(0, 1).toDF("epoch"))
+    val sharded = d.crossJoin(epochs)
+      .select(col("epoch"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))), 1, 1), 16, 10).cast("int").as("shard"),
+        col("ntok"))
+    val g = sharded.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+    val tot = g.groupBy("epoch").agg(sum(col("tokens")).as("tot"))
+    orderedByAll(
+      g.join(broadcast(tot), "epoch")
+        .select(col("epoch"), col("shard"), col("n_docs"), col("tokens"),
+          round4(lit(16.0) * col("tokens") / col("tot")).as("balance")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89, q100, q106, q107, q111)
 }
