@@ -534,7 +534,55 @@ object AdvancedQueries {
           round4(stddev_pop(col("x"))).as("sd_scaled")))
   }
 
+  /** SCD Type-2 history build: collapse each user's event-type stream into
+    * versioned validity intervals — the slowly-changing-dimension table
+    * every warehouse derives from a change log (q96 is the MERGE that
+    * applies one batch; this materializes the full bitemporal history in
+    * one pass). Consecutive duplicate states collapse (a re-emitted equal
+    * state opens no new version); each version carries [valid_from,
+    * valid_to) with the open version closed by the 2100-01-01 sentinel —
+    * the null-free mirror of the classical '9999-12-31' row.
+    *
+    * Plan for 100 TB: three window functions (change flag, version number,
+    * interval close) all declare the SAME partitioning (user_id) and
+    * ordering, so Catalyst plans ONE hash exchange + ONE sort and evaluates
+    * the windows back-to-back on it — history depth adds zero extra
+    * shuffles. That single user-keyed exchange is the theoretical minimum
+    * for any per-entity ordered collapse. */
+  val q113 = EngineQuery(
+    "q113_scd2_history",
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+           |             lag(event_type) OVER (PARTITION BY user_id
+           |                                   ORDER BY ts, event_id) AS prev
+           |           FROM events),
+           |k AS (SELECT user_id, event_type, ts, event_id FROM o
+           |      WHERE prev IS NULL OR prev <> event_type),
+           |v AS (SELECT user_id, event_type,
+           |        CAST(row_number() OVER w AS INT) AS version,
+           |        epoch_us(ts)//1000000 AS valid_from,
+           |        lead(epoch_us(ts)//1000000, 1, 4102444800) OVER w AS valid_to
+           |      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT user_id, version, event_type,
+           |       CAST(valid_from AS BIGINT) AS valid_from,
+           |       CAST(valid_to AS BIGINT) AS valid_to
+           |FROM v ORDER BY ALL""".stripMargin)) { t =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = t.events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    orderedByAll(
+      changes
+        .withColumn("version", row_number().over(w).cast("int"))
+        .withColumn("valid_from", epochSec(col("ts")))
+        .withColumn("valid_to",
+          coalesce(epochSec(lead(col("ts"), 1).over(w)), lit(4102444800L)))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103)
+      q96, q103, q113)
 }

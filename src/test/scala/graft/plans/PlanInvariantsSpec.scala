@@ -182,6 +182,25 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(p.contains("partial_"), "per-doc cross-entropy lost map-side partials")
   }
 
+  test("q112: intra-doc dedup is map-only — zero hash exchanges, only the output sort") {
+    val p = plan("q112_intradoc_dedup")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-document block dedup grew a corpus-scale shuffle:\n" + p.take(1500))
+    assert(!p.contains("Generate"), "blocks should stay in the array domain, not explode")
+  }
+
+  test("q113: all three SCD2 windows share ONE user_id exchange") {
+    val p = plan("q113_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
+    assert(p.contains("hashpartitioning(user_id"), p.take(1200))
+  }
+
+  test("q115: per-lang top-k pushes WindowGroupLimit below the shuffle") {
+    val p = plan("q115_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "weighted-sample rank lost its partial top-k:\n" + p.take(1200))
+  }
+
   test("q55: join condition evaluates id test and length guard BEFORE the DP") {
     val p = plan("q55_dedup_fuzzy")
     val cond = p.linesIterator
