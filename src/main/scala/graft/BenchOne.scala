@@ -24,6 +24,13 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // SPARK_GRAFT_EXPLAIN=1: dump the optimized + executed plan before timing
+    // (plan-iteration aid — spot expression duplication, lost pushdowns).
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      val qe = fn(spark, sfDir).queryExecution
+      println("=== optimized ===\n" + qe.optimizedPlan.toString.take(8000))
+      println("=== executed ===\n" + qe.executedPlan.toString.take(8000))
+    }
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()

@@ -549,40 +549,97 @@ object AdvancedQueries {
     * the windows back-to-back on it — history depth adds zero extra
     * shuffles. That single user-keyed exchange is the theoretical minimum
     * for any per-entity ordered collapse. */
-  val q113 = EngineQuery(
-    "q113_scd2_history",
-    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
-           |             lag(event_type) OVER (PARTITION BY user_id
-           |                                   ORDER BY ts, event_id) AS prev
-           |           FROM events),
-           |k AS (SELECT user_id, event_type, ts, event_id FROM o
-           |      WHERE prev IS NULL OR prev <> event_type),
-           |v AS (SELECT user_id, event_type,
-           |        CAST(row_number() OVER w AS INT) AS version,
-           |        epoch_us(ts)//1000000 AS valid_from,
-           |        lead(epoch_us(ts)//1000000, 1, 4102444800) OVER w AS valid_to
-           |      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-           |SELECT user_id, version, event_type,
-           |       CAST(valid_from AS BIGINT) AS valid_from,
-           |       CAST(valid_to AS BIGINT) AS valid_to
-           |FROM v ORDER BY ALL""".stripMargin)) { t =>
+  /** The SCD2 version table shared by q113 (materialize) and q116 (point-in-
+    * time probe): user_id, version, event_type, [valid_from, valid_to). */
+  private[operators] def scd2Versions(t: graft.Tables) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val changes = t.events
+    t.events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_from", epochSec(col("ts")))
+      .withColumn("valid_to",
+        coalesce(epochSec(lead(col("ts"), 1).over(w)), lit(4102444800L)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  /** The oracle CTEs deriving the same version table (shared q113/q116). */
+  private val scd2Sql =
+    """o AS (SELECT user_id, event_type, ts, event_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS prev
+      |      FROM events),
+      |k AS (SELECT user_id, event_type, ts, event_id FROM o
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id, event_type,
+      |        CAST(row_number() OVER w AS INT) AS version,
+      |        epoch_us(ts)//1000000 AS valid_from,
+      |        lead(epoch_us(ts)//1000000, 1, 4102444800) OVER w AS valid_to
+      |      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  val q113 = EngineQuery(
+    "q113_scd2_history",
+    Some(s"""WITH $scd2Sql
+            |SELECT user_id, version, event_type,
+            |       CAST(valid_from AS BIGINT) AS valid_from,
+            |       CAST(valid_to AS BIGINT) AS valid_to
+            |FROM v ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(scd2Versions(t))
+  }
+
+  /** Point-in-time (PIT) join: each purchase looked up against the SCD2
+    * dimension version in effect STRICTLY BEFORE it — "what state was the
+    * user in when they bought?", the lookup a feature store must get right
+    * (training-serving skew is exactly this join done wrong). Strictly-
+    * before (cutoff = ts−1s) so a purchase that itself opens a version
+    * reads the PRIOR state, never its own write — the classic off-by-one
+    * that leaks the label into the feature.
+    *
+    * Plan: a PIT probe IS an as-of join (last valid_from ≤ cutoff per key),
+    * so this routes through the engine's native AsOfJoin operator (custom
+    * LogicalPlan + Strategy + merge-based SparkPlan, q43's machinery): one
+    * exchange + sort per side, O(n+m) streaming merge — no interval blow-up,
+    * no window over a unioned fact+dim. Version is the tie-break (two
+    * versions in one epoch second → the later wins, matching the interval
+    * semantics). Purchases before any version coalesce to 'none'. */
+  val q116 = EngineQuery(
+    "q116_pit_join",
+    Some(s"""WITH $scd2Sql,
+            |p AS (SELECT event_id, user_id, value,
+            |        epoch_us(ts)//1000000 - 1 AS cutoff
+            |      FROM events WHERE event_type = 'purchase'),
+            |j AS (SELECT p.event_id, p.value, v.event_type AS st, v.version,
+            |        row_number() OVER (PARTITION BY p.event_id
+            |                           ORDER BY v.valid_from DESC, v.version DESC)
+            |          AS rn
+            |      FROM p LEFT JOIN v
+            |        ON v.user_id = p.user_id AND v.valid_from <= p.cutoff)
+            |SELECT coalesce(st, 'none') AS prior_state,
+            |       CAST(count(*) AS BIGINT) AS n_purchases,
+            |       round(avg(value), 4) AS avg_value
+            |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("value"),
+        (epochSec(col("ts")) - 1L).as("cutoff"))
+    val v = scd2Versions(t)
+      .select(col("user_id"), col("version"), col("event_type").as("st"),
+        col("valid_from"))
+    val joined = graft.plans.AsOfJoin.asof(
+      p, v,
+      leftKey = p("p_user"), rightKey = v("user_id"),
+      leftTime = p("cutoff"), rightTime = v("valid_from"),
+      rightTieBreak = Seq(v("version")))
     orderedByAll(
-      changes
-        .withColumn("version", row_number().over(w).cast("int"))
-        .withColumn("valid_from", epochSec(col("ts")))
-        .withColumn("valid_to",
-          coalesce(epochSec(lead(col("ts"), 1).over(w)), lit(4102444800L)))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("valid_from"), col("valid_to")))
+      joined
+        .groupBy(coalesce(col("st"), lit("none")).as("prior_state"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round4(avg(col("value"))).as("avg_value")))
   }
 
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113)
+      q96, q103, q113, q116)
 }

@@ -878,14 +878,18 @@ object TextQueries {
     * tokens remaining.
     *
     * Plan for 100 TB: everything is per-document, so the whole computation
-    * is MAP-ONLY higher-order array code inside the scan task — blocks,
-    * first-occurrence test (`array_position(blocks, block_i) < i`), and the
-    * dropped-token fold never leave the row. No explode, no (doc, block)
+    * is MAP-ONLY higher-order array code inside the scan task — ONE
+    * `aggregate` fold over the block starts carries (seen-set, dropped,
+    * dropped-tokens) and never leaves the row. No explode, no (doc, block)
     * exchange at all; the only shuffle is the final ordered output at
-    * id-scale. The O(blocks²) first-occurrence scan is bounded by the
-    * document window (~n/2 blocks) and stays inside whole-stage codegen —
-    * the trade every within-doc operator should make, because corpus-scale
-    * exchanges are the thing that doesn't survive 100×, not per-row CPU. */
+    * id-scale. The fold's O(blocks²) seen-set probe is bounded by the
+    * document window — the trade every within-doc operator should make,
+    * because corpus-scale exchanges are what doesn't survive 100×, not
+    * per-row CPU. (First cut kept `blocks` as a column and probed it with
+    * `array_position` from a second lambda: projection collapse inlined the
+    * whole transform into every probe — O(blocks³) per doc, 112s at sf0.1
+    * vs 0.4s for this single-fold form. Higher-order lambdas must consume
+    * arrays they build in the SAME expression.) */
   val q112 = EngineQuery(
     "q112_intradoc_dedup",
     Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
@@ -906,21 +910,33 @@ object TextQueries {
       t.documents
         .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
         .select(col("doc_id"), col("lang"), col("tk"), size(col("tk")).as("ntok"))
-        // materialized intermediates (dsl.shingles caveat): an inline split
-        // inside the lambdas would re-tokenize per block position
-        .withColumn("blocks",
-          expr("transform(sequence(1, ntok, 2), s -> concat_ws(' ', slice(tk, s, 2)))"))
-        .withColumn("blens",
-          expr("transform(sequence(1, ntok, 2), s -> least(2, ntok - s + 1))"))
-        .withColumn("dropped_idx",
-          expr("filter(sequence(1, size(blocks)), i -> array_position(blocks, element_at(blocks, i)) < i)"))
+        // blocks are folded as 64-bit xxhash64 digests of the token pair —
+        // one hash per block, long-compare probes (a within-document 64-bit
+        // collision is ~1e-17 per doc and would fail the oracle loudly).
+        // The fold is routed through explode(array(...)): a Generate is a
+        // predicate-pushdown barrier AND a single-reference site, so the
+        // fold runs EXACTLY once per document — with a plain column, the
+        // n_dropped filter was pushed below the projections and re-ran the
+        // whole fold per doc with split(text) inlined into every slice
+        // (measured 2.1s → 0.6s warm at sf0.1 from this change alone).
+        .select(col("doc_id"), col("lang"), col("ntok"),
+          explode(array(expr(
+            """aggregate(
+              |  transform(sequence(1, ntok, 2),
+              |            s -> named_struct('h', xxhash64(slice(tk, s, 2)),
+              |                              'l', size(slice(tk, s, 2)))),
+              |  named_struct('seen', cast(array() as array<bigint>),
+              |               'nd', cast(0 as bigint), 'dt', cast(0 as bigint)),
+              |  (acc, b) -> if(array_contains(acc.seen, b.h),
+              |    named_struct('seen', acc.seen, 'nd', acc.nd + 1, 'dt', acc.dt + b.l),
+              |    named_struct('seen', array_append(acc.seen, b.h),
+              |                 'nd', acc.nd, 'dt', acc.dt)))""".stripMargin)))
+            .as("st"))
         .select(
           col("doc_id"), col("lang"),
-          size(col("blocks")).cast("long").as("n_blocks"),
-          size(col("dropped_idx")).cast("long").as("n_dropped"),
-          (col("ntok") -
-            expr("aggregate(dropped_idx, 0L, (acc, i) -> acc + element_at(blens, i))"))
-            .cast("long").as("tokens_after"))
+          expr("(ntok + 1) div 2").as("n_blocks"),
+          col("st.nd").as("n_dropped"),
+          (col("ntok") - col("st.dt")).cast("long").as("tokens_after"))
         .filter(col("n_dropped") > 0))
   }
 

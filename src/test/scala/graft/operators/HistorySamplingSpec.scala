@@ -67,6 +67,36 @@ class HistorySamplingSpec extends SharedSparkSpec {
     assert(s == d)
   }
 
+  test("q116: as-of PIT lookup equals brute-force interval containment (no label leakage)") {
+    // local model straight from the q113 output: prior state of a purchase =
+    // the version whose [valid_from, valid_to) contains ts_sec - 1
+    val versions = run("q113_scd2_history").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(3), r.getLong(4), r.getString(2)))).toMap
+    val purchases = graft.Tables.forPath(spark, sf001).events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("tsec"), col("value"))
+      .collect()
+    val expect = purchases
+      .map { r =>
+        val cutoff = r.getLong(1) - 1
+        versions.getOrElse(r.getLong(0), Array.empty)
+          .find { case (from, to, _) => from <= cutoff && cutoff < to }
+          .map(_._3).getOrElse("none") -> r.getDouble(2)
+      }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong,
+        BigDecimal(vs.map(_._2).sum / vs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    val got = run("q116_pit_join").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (state, (n, avg)) =>
+      assert(n == expect(state)._1, s"count for $state")
+      assert(math.abs(avg - expect(state)._2) < 1e-3, s"avg for $state")
+    }
+  }
+
   test("q115: selection equals a local Efraimidis–Spirakis model, and is reproducible") {
     val got = run("q115_weighted_sample")
       .select("lang", "rank", "doc_id").collect()

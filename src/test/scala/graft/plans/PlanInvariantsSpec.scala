@@ -186,13 +186,23 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     val p = plan("q112_intradoc_dedup")
     assert(!p.contains("Exchange hashpartitioning"),
       "per-document block dedup grew a corpus-scale shuffle:\n" + p.take(1500))
-    assert(!p.contains("Generate"), "blocks should stay in the array domain, not explode")
+    // exactly ONE fold per doc: the explode(array(...)) barrier keeps the
+    // n_dropped filter from re-running the aggregate below the projections
+    assert("aggregate\\(".r.findAllIn(p).length == 1,
+      "q112 fold is evaluated more than once per document:\n" + p.take(1500))
   }
 
   test("q113: all three SCD2 windows share ONE user_id exchange") {
     val p = plan("q113_scd2_history")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(1500))
     assert(p.contains("hashpartitioning(user_id"), p.take(1200))
+  }
+
+  test("q116: PIT probe routes through the native as-of exec, no interval join blow-up") {
+    val p = plan("q116_pit_join")
+    assert(p.contains("AsOfJoin "), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "PIT lookup degenerated to an unbounded interval join:\n" + p.take(1200))
   }
 
   test("q115: per-lang top-k pushes WindowGroupLimit below the shuffle") {
