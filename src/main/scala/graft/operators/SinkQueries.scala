@@ -191,5 +191,45 @@ object SinkQueries {
           sum(col("l_suppkey")).as("sum_supp")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93, q94, q114)
+  /** Small-file compaction (OPTIMIZE bin-packing) through the oracle gate:
+    * lineitem is first written deliberately FRAGMENTED (5000-row files — the
+    * state a streaming sink or per-task writer leaves a table in), then
+    * `LayoutWriter.compact` rewrites the directory at ~4 MB/file with NO
+    * shuffle (coalesce merges read partitions; each output task streams
+    * several input files into one). CompactionSpec asserts the mechanics —
+    * file count collapses, the compact plan contains no exchange — and the
+    * oracle here aggregates the compacted copy against the ORIGINAL table,
+    * proving the maintenance pass lossless. Both layouts are memoized per
+    * (session, dir) like q94/q114: pay the rewrite once, warm runs measure
+    * the read. */
+  private val compactedLayouts = new graft.SessionCache[String]
+
+  private[operators] def compactedDir(t: graft.Tables): String =
+    compactedLayouts.get(t.spark, t.dir)({
+      val frag = java.nio.file.Files
+        .createTempDirectory("graft_q117_frag").toString
+      t.lineitem.write.mode("overwrite")
+        .option("maxRecordsPerFile", 5000)
+        .parquet(frag)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q117_compact").toString
+      graft.sources.LayoutWriter.compact(t.spark, frag, out, 4L << 20)
+      out
+    })
+
+  val q117 = EngineQuery(
+    "q117_compact_files",
+    Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_items,
+           |       round(sum(l_quantity), 4) AS sum_qty,
+           |       round(sum(l_extendedprice), 4) AS sum_price
+           |FROM lineitem GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.spark.read.parquet(compactedDir(t))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93, q94, q114, q117)
 }

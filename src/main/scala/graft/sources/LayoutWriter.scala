@@ -88,6 +88,45 @@ object LayoutWriter {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory so each output file
+    * is ~`targetBytes` — the OPTIMIZE/bin-packing maintenance pass every
+    * long-lived lake needs (streaming sinks, partition-grained upserts and
+    * per-task writes all fragment a table into files far below the
+    * row-group sweet spot; at 100 TB the file-listing + footer + task
+    * overhead of millions of KB-sized files dominates scan time long before
+    * the data does).
+    *
+    * Scale shape: NO shuffle. The input files' combined on-disk size is read
+    * from the file system (a listing, not a data pass), the output file
+    * count is ceil(total/target), and `coalesce` merges read partitions
+    * without an exchange — each output task streams several input files into
+    * one output file. A `repartition` would move every byte through a
+    * round-robin exchange for a marginally more even layout; compaction is
+    * exactly the job where that trade is wrong.
+    *
+    * Returns (filesBefore, filesAfter, bytesTotal) for the caller's audit.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .coalesce(nOut)
+      .write.mode("overwrite")
+      .parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after, total)
+  }
+
   /** Bucketed table write: pre-shuffle the data into `buckets` hash buckets
     * on the join key, sorted within buckets. Two tables bucketed the same
     * way join with NO exchange and NO sort — the co-located-join layout for
