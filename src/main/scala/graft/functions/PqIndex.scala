@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-scale path for ANN past IVF
+  * (q37): each 64-dim float vector (256 B) is compressed to M=4 codebook
+  * indices (4 B) by quantizing each 16-dim subspace against its own
+  * K=16-codeword codebook, and queries scan the COMPRESSED codes with
+  * per-query lookup tables (asymmetric distance computation, ADC). At
+  * 10⁹ vectors the codes table is ~4 GB where the raw embeddings are
+  * ~256 GB — the difference between "fits in executor memory" and "pages
+  * through the corpus per query batch".
+  *
+  * Scale shape:
+  *  - TRAIN on a driver-sized deterministic sample (vec_id < 256 — PQ
+  *    codebooks are classically trained on a corpus sample): M independent
+  *    runs of [[KMeansTrainer.trainLocal]], one per subspace. Codebook
+  *    state is M×K×16 doubles — driver-sized like q106's merge table;
+  *    memoized per (session, dir), the q94/q108 train-once amortization.
+  *  - ENCODE map-only: codebooks ship as broadcast literals inside the
+  *    projection, the per-subspace argmin is a fused array expression —
+  *    the corpus never shuffles to be encoded.
+  *  - SEARCH map-only: each query precomputes its M×K distance LUT (also a
+  *    literal-codebook expression), broadcasts, and the ADC score is M
+  *    array lookups + adds per (vector, query) — no shuffle until the
+  *    per-query top-R reduction, which carries ids and scores only.
+  *
+  * Determinism: sample and seeds are vec_id-ordered, k-means ties break on
+  * centroid id ([[KMeansTrainer]]'s contract), argmin ties break on the
+  * lowest codeword index on both the distributed and local paths.
+  */
+object PqIndex {
+
+  val M = 4        // subspaces
+  val SubDim = 16  // dims per subspace (4 × 16 = 64)
+  val K = 16       // codewords per subspace
+  val SampleN = 256
+  val MaxIters = 15
+  val Tol = 1e-4
+
+  /** codebooks(s)(j) = the j-th codeword of subspace s (length SubDim). */
+  final case class Model(codebooks: IndexedSeq[IndexedSeq[Array[Double]]])
+
+  private val cache = new graft.SessionCache[Model]
+
+  /** Train the M subspace codebooks on the deterministic sample, memoized
+    * per (session, dir). */
+  def trainedModel(t: graft.Tables): Model =
+    cache.get(t.spark, s"${t.dir}#pq$M-$K")({
+      val spark = t.spark
+      import spark.implicits._
+      val sample = t.embeddings
+        .filter(col("vec_id") < SampleN)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val books = (0 until M).map { s =>
+        val sub = sample.toIndexedSeq.map { case (id, v) =>
+          (id, v.slice(s * SubDim, (s + 1) * SubDim).map(_.toDouble).toArray)
+        }
+        KMeansTrainer.trainLocal(sub, K, MaxIters, Tol).centroids
+      }
+      Model(books)
+    })
+
+  /** Squared L2 between a SubDim slice of `emb` (1-based offset) and a
+    * literal codeword, in fixed fold order — matches [[KMeansTrainer.d2]].
+    */
+  private def subD2(emb: Column, offset1: Int, codeword: Array[Double]): Column =
+    graft.dsl.foldSum(zip_with(
+      slice(emb, offset1, SubDim), typedLit(codeword.toSeq),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+
+  /** Map-only PQ encoding: array<int> of M codeword indices per vector.
+    * Ties take the lowest codeword index (array_position finds the FIRST
+    * minimum). */
+  def encodeExpr(emb: Column, m: Model): Column =
+    array((0 until M).map { s =>
+      val dists = array(m.codebooks(s).map(cw => subD2(emb, s * SubDim + 1, cw)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+
+  /** Per-query ADC lookup table: array (size M) of array (size K) of the
+    * squared L2 between the query's subvector and each codeword. */
+  def lutExpr(emb: Column, m: Model): Column =
+    array((0 until M).map { s =>
+      array(m.codebooks(s).map(cw => subD2(emb, s * SubDim + 1, cw)): _*)
+    }: _*)
+
+  /** ADC score: approx squared L2 = Σ_s lut(s)(code(s)) — M lookups+adds. */
+  def adcScore(lut: Column, codes: Column): Column =
+    graft.dsl.foldSum(zip_with(lut, codes,
+      (l, c) => element_at(l, c + 1)))
+
+  /** Local encoder (parity oracle for [[encodeExpr]] in PqSpec). */
+  def encodeLocal(v: Array[Double], m: Model): Array[Int] =
+    (0 until M).map { s =>
+      val sub = v.slice(s * SubDim, (s + 1) * SubDim)
+      val d = m.codebooks(s).map(cw => KMeansTrainer.d2(sub, cw))
+      d.indexOf(d.min)
+    }.toArray
+
+  /** The corpus as (vec_id, embedding, codes) — encoding is a projection. */
+  def encoded(t: graft.Tables): DataFrame = {
+    val m = trainedModel(t)
+    t.embeddings.select(col("vec_id"), col("embedding"),
+      encodeExpr(col("embedding"), m).as("codes"))
+  }
+}

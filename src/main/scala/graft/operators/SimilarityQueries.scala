@@ -420,5 +420,48 @@ object SimilarityQueries {
       }.toDF("cid", "n_members", "iters", "mean_d2", "centroid_norm"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108)
+  /** Candidates re-ranked exactly per query in q118 (ADC top-R). */
+  private val PqRerank = 25
+
+  /** PQ-compressed ANN ([[graft.functions.PqIndex]]): the memory-scale path
+    * past q37's IVF — vectors quantized to M=4 codebook indices (4 B vs
+    * 256 B raw), queries scan the CODES with a broadcast per-query lookup
+    * table (asymmetric distance), and only the top-R ADC candidates are
+    * re-ranked with exact cosine against their raw embeddings. Every stage
+    * before the top-R reduction is map-only; the reduction exchanges ids and
+    * scores, never vectors. Approximate by construction → no SQL oracle;
+    * PqSpec pins encode parity (distributed expression vs local encoder),
+    * codebook determinism, and recall@5 vs q25's exact top-k. */
+  val q118 = EngineQuery("q118_knn_pq", None) { t =>
+    val m = graft.functions.PqIndex.trainedModel(t)
+    val enc = graft.functions.PqIndex.encoded(t)
+    val q = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        graft.functions.PqIndex.lutExpr(col("embedding"), m).as("lut"))
+    // Compressed-domain scan: ADC score from codes alone; the top-R window
+    // ranks (query_id, vec_id, score) rows — the raw embedding column is
+    // pruned out of the exchange.
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
+    val cand = enc.select(col("vec_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", graft.functions.PqIndex.adcScore(col("lut"), col("codes")))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= PqRerank)
+      .select(col("query_id"), col("q_emb"), col("vec_id"))
+    // Exact re-rank on R candidates per query: fetch raw embeddings for the
+    // candidate ids only (presupposes nothing about corpus size — the fetch
+    // is |queries|×R rows).
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    orderedByAll(
+      cand.join(t.embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round4(col("cos")).as("cos_sim"), col("rn")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118)
 }
