@@ -940,7 +940,65 @@ object TextQueries {
         .filter(col("n_dropped") > 0))
   }
 
+  /** Span-level decontamination — q50 answers "WHICH documents overlap the
+    * eval set"; a real decontamination pass needs WHERE, so the hits can be
+    * excised instead of dropping whole documents (the Llama/GPT-3 recipe:
+    * remove the contaminated spans plus a margin, keep the rest). Per
+    * contaminated doc: hit-span count, first/last hit token position (the
+    * excision window), and the doc's span total.
+    *
+    * Plan at 100 TB — q50's discipline with positions riding along:
+    *  - positional 8-gram spans are generated map-side (no distinct — the
+    *    POSITION is the payload, duplicates are distinct rows by design);
+    *  - the eval-set shingle table stays the broadcast side (eval suites
+    *    are 1e3–1e6 spans — executor-memory scale by construction; the
+    *    corpus side streams, whatever its size);
+    *  - the post-join reduction is a partial-aggregable groupBy carrying
+    *    one row per CONTAMINATED doc (min/max/count — id-scale, and hit
+    *    docs are a thin tail of the corpus);
+    *  - the per-doc span total rides the SAME map-side pass as the span
+    *    generation (size(tk)-7, computed before explode), so no second
+    *    corpus scan and no re-join against a totals table. */
+  val q119 = EngineQuery(
+    "q119_span_decontaminate",
+    Some("""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+           |           FROM documents),
+           |s AS (SELECT doc_id, lang, source, len(tk) - 7 AS n_spans, i AS pos,
+           |        array_to_string(tk[i:i+7], ' ') AS sh
+           |      FROM t, unnest(generate_series(1, len(tk)-7)) AS u(i)
+           |      WHERE len(tk) >= 8),
+           |ev AS (SELECT DISTINCT sh FROM s WHERE source = 'src0')
+           |SELECT s.doc_id, s.lang, CAST(count(*) AS BIGINT) AS n_hit_spans,
+           |       CAST(min(s.pos) AS BIGINT) AS first_pos,
+           |       CAST(max(s.pos) AS BIGINT) AS last_pos,
+           |       CAST(any_value(s.n_spans) AS BIGINT) AS n_spans
+           |FROM s JOIN ev USING (sh) WHERE s.source <> 'src0'
+           |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    // Positional spans: transform + posexplode (NOT dsl.shingles, which
+    // array_distincts — here the position is the payload). 1-based to match
+    // the oracle's generate_series.
+    val base = t.documents
+      .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (size(col("tk")) - 7).cast("long").as("n_spans"),
+        posexplode(transform(
+          sequence(lit(1), size(col("tk")) - 7),
+          i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as(Seq("p0", "sh")))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_spans"),
+        (col("p0") + 1).cast("long").as("pos"), col("sh"))
+    val ev = base.filter(col("source") === "src0").select("sh").distinct()
+    orderedByAll(
+      base.filter(col("source") =!= "src0")
+        .join(broadcast(ev), "sh")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_hit_spans"),
+          min(col("pos")).as("first_pos"),
+          max(col("pos")).as("last_pos"),
+          first(col("n_spans")).as("n_spans")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105, q110, q112)
+      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119)
 }
