@@ -639,7 +639,56 @@ object AdvancedQueries {
           round4(avg(col("value"))).as("avg_value")))
   }
 
+  /** Incremental aggregate-state maintenance — the materialized-view
+    * discipline that makes a 100 TB rolling dashboard affordable: the BASE
+    * corpus (orders before the cutoff) is reduced ONCE to an algebraic
+    * state table (count/sum/min/max per group — one row per group, the only
+    * thing a real pipeline persists), and each DELTA batch reduces to the
+    * same state shape and MERGES (counts and sums add, mins/maxes combine;
+    * avg is DERIVED from merged sum/count, which is why avg itself is never
+    * stored). The merge exchanges 2 rows per group, whatever the corpus
+    * size; recomputing from scratch would rescan the full history per
+    * refresh. The oracle recomputes the aggregate over ALL orders, so it
+    * passes only if state split + merge is exactly lossless.
+    *
+    * In-plan it looks like: two partial aggregations (each pre-reduced
+    * map-side) → union of group-grain states → one reduce on the group key.
+    * Spark can't know the union's inputs are disjoint row sets of one
+    * table; the algebra is the operator. */
+  val q120 = EngineQuery(
+    "q120_incremental_agg",
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS mth, o_orderstatus,
+           |       CAST(count(*) AS BIGINT) AS n_orders,
+           |       round(sum(o_totalprice), 4) AS sum_price,
+           |       round(min(o_totalprice), 4) AS min_price,
+           |       round(max(o_totalprice), 4) AS max_price,
+           |       round(sum(o_totalprice) / count(*), 4) AS avg_price
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+           |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    // Keep the output small (current year only) but exercise the full split:
+    // base = Jan..Jun 2001 "snapshot", delta = the Jul..Aug "new batch".
+    val cur = t.orders.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    val split = lit("2001-07-01").cast("timestamp")
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mth"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sm"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val base = state(cur.filter(col("o_orderdate") < split))
+    val delta = state(cur.filter(col("o_orderdate") >= split))
+    val merged = base.unionAll(delta)
+      .groupBy("mth", "o_orderstatus")
+      .agg(sum(col("cnt")).as("n_orders"), sum(col("sm")).as("s"),
+        min(col("mn")).as("mnm"), max(col("mx")).as("mxm"))
+    orderedByAll(
+      merged.select(col("mth"), col("o_orderstatus"), col("n_orders"),
+        round4(col("s")).as("sum_price"),
+        round4(col("mnm")).as("min_price"),
+        round4(col("mxm")).as("max_price"),
+        round4(col("s") / col("n_orders")).as("avg_price")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116)
+      q96, q103, q113, q116, q120)
 }
