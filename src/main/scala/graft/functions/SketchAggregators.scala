@@ -34,6 +34,48 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Misra-Gries heavy-hitters summary: at most `cap` counters; an unseen
+    * item either claims a free counter or decrements ALL counters by one
+    * (dropping zeros). Guarantees, for n items processed:
+    * est(x) ≤ true(x) ≤ est(x) + n/(cap+1), and every x with
+    * true(x) > n/(cap+1) survives in the summary. Merge follows the
+    * mergeable-summaries construction (combine counts, subtract the
+    * (cap+1)-th largest, truncate) and preserves the bound. The buffer is
+    * cap entries whatever n is — the only way to track frequent items at
+    * 100 TB without shuffling the item stream. */
+  final class MisraGriesAgg(cap: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      b.get(x) match {
+        case Some(c) => b.updated(x, c + 1)
+        case None if b.size < cap => b.updated(x, 1L)
+        case None =>
+          // decrement-all: the stream item and one unit of every counter
+          // annihilate (cap+1 distinct items absorbed per unit of error).
+          b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val comb = b.foldLeft(a) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c)
+      }
+      if (comb.size <= cap) comb
+      else {
+        // subtract the (cap+1)-th largest count from everything, drop <= 0
+        val kth = comb.values.toIndexedSeq.sorted(Ordering[Long].reverse)(cap)
+        comb.flatMap { case (k, c) => if (c > kth) Some(k -> (c - kth)) else None }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** 64-way MinHash signature via the double-hashing family
     * g_i(x) = h1(x) + i * h2(x) (wrap-around multiply is fine — any fixed
     * bijective mixing works for a min-hash family). Input: the two base

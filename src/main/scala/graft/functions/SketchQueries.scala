@@ -102,5 +102,64 @@ object SketchQueries {
           round4(max(col("c_acctbal"))).as("hi")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99)
+  /** Misra-Gries capacity for q121 (error ≤ n/65 of the token stream). */
+  private[graft] val MgCap = 64
+
+  /** The merged corpus-level MG summary + the exact stream length, exposed
+    * for MisraGriesSpec's bound checks: (term, est_cnt) rows, one per
+    * surviving counter, plus n_total on every row. */
+  private[graft] def mgSummary(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val mg = udaf(new SketchAggregators.MisraGriesAgg(MgCap))
+    val tokens = t.documents.select(explode(toks(col("text"))).as("tok"))
+    // Group by the SCAN partition id: partial aggregation reduces each
+    // partition's tokens into ONE cap-entry summary map-side, and — because
+    // every pid lives in exactly one task — the exchange carries one row
+    // per partition and the final aggregate never merges two buffers. That
+    // makes the result DETERMINISTIC (Aggregator merge order under a global
+    // single group is arrival-order nondeterministic) while keeping the
+    // token stream un-shuffled: the only exchanged state is |partitions| ×
+    // cap counters, whatever the corpus size.
+    // Materialized once (lazy localCheckpoint, q24's pattern): three
+    // consumers below (merge, kth threshold, n_total) would otherwise each
+    // re-run the corpus scan + MG pass; the checkpointed state is
+    // |partitions| rows of cap-entry maps — KBs at any corpus size.
+    val partials = tokens
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(mg(col("tok")).as("summary"), count(lit(1)).as("np"))
+      .localCheckpoint(eager = false)
+    val n = partials.agg(sum(col("np")).as("n_total"))
+    // Multiway merge, declaratively (the same algebra as MisraGriesAgg.merge
+    // over all partials at once): sum per-item counts across summaries,
+    // subtract the (cap+1)-th largest combined count, drop the non-positive.
+    val combined = partials
+      .select(explode(col("summary")).as(Seq("term", "cnt")))
+      .groupBy("term").agg(sum(col("cnt")).as("c"))
+    val kth = combined
+      .select(col("c"))
+      .orderBy(col("c").desc)
+      .limit(MgCap + 1)
+      .agg(when(count(lit(1)) > MgCap, min(col("c"))).otherwise(lit(0L)).as("kth"))
+    combined.crossJoin(broadcast(kth)).crossJoin(broadcast(n))
+      .filter(col("c") > col("kth"))
+      .select(col("term"), (col("c") - col("kth")).as("est_cnt"), col("n_total"))
+  }
+
+  /** Misra-Gries heavy hitters — the deterministic counter-based sibling of
+    * q86's CMS: one un-shuffled pass summarizes each scan partition into 64
+    * counters, the per-partition summaries merge declaratively, and the
+    * top-10 surviving counters are reported with the guarantee interval
+    * [est, est + n/(cap+1)] that the true count provably lies in. Estimates
+    * are summary-construction-specific → no SQL oracle; MisraGriesSpec
+    * asserts the MG guarantees against exact counts. */
+  val q121 = EngineQuery("q121_heavy_hitters", None) { t =>
+    orderedByAll(
+      mgSummary(t)
+        .orderBy(col("est_cnt").desc, col("term"))
+        .limit(10)
+        .select(col("term"), col("est_cnt"),
+          (col("est_cnt") + (col("n_total") / (MgCap + 1)).cast("long"))
+            .as("upper_bound")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121)
 }
