@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.EngineQuery
 import graft.dsl._
-import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+import org.apache.spark.sql.functions.{avg, col, count, lit, round, sum}
 
 /** Write-path parity (SURVEY.md §2 q30 ↔ reference A8): the reference's only
   * write surface is its test harness's parquet-dataset write with
@@ -231,5 +231,48 @@ object SinkQueries {
           round(sum(col("l_extendedprice")), 4).as("sum_price")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93, q94, q114, q117)
+  /** Schema-drift tolerance — the lake reality q30/q91 idealize away: a
+    * long-lived table's early files predate columns its later files carry
+    * (pipelines add quality scores, enrichment fields, versions). Batch 1
+    * lands WITHOUT `quality`, batch 2 adds it; `mergeSchema` unions the
+    * footer schemas at read time and old files surface the new column as
+    * NULL — no rewrite of the 100 TB of history, which is the entire point
+    * (the alternative, backfilling a column into every historical file,
+    * costs a full-corpus rewrite per added field). The aggregate then
+    * treats presence explicitly (count(quality), avg over present rows).
+    * The oracle re-derives both batches' semantics from the ORIGINAL table
+    * with parity predicates, so it passes only if merge + null-surfacing
+    * round-tripped exactly.
+    *
+    * At scale, mergeSchema's footer-union pass is per-file work you pay
+    * once per query — production pins the merged schema in a catalog; the
+    * READ semantics (missing column → NULL) are identical. */
+  val q123 = EngineQuery(
+    "q123_schema_drift",
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+           |         AS n_with_quality,
+           |       round(avg(CASE WHEN doc_id % 2 = 1
+           |                 THEN n_chars / 100.0 END), 4) AS avg_quality
+           |FROM documents GROUP BY lang ORDER BY ALL""".stripMargin)) { t =>
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q123_drift").toString
+    // epoch-1 files: no quality column yet
+    t.documents.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    // epoch-2 files: the pipeline now emits a quality score
+    t.documents.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") / 100.0).as("quality"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    orderedByAll(
+      t.spark.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          round(avg(col("quality")), 4).as("avg_quality")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93, q94, q114, q117, q123)
 }
