@@ -273,5 +273,71 @@ object StreamingQueries {
       .select(col("doc_id"), col("lang"), hex(col("key")).as("key"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80)
+  /** q52's OUTER sibling: every purchase appears exactly once per preceding
+    * view (or once with v_id = -1 when none) — the "did anything lead to
+    * this conversion, including nothing" question an attribution pipeline
+    * asks. Null-extended to -1 on BOTH engines (outputs stay null-free per
+    * SURVEY §7.4). [[intervalLeftJoinStream]] is the watermarked
+    * stream-stream LEFT OUTER twin — the shape where the watermark is not
+    * an optimization but the SEMANTICS: a purchase can only be declared
+    * view-less once the view-side watermark has passed its window, so
+    * unmatched results trail the data by the watermark delay (asserted
+    * region-by-region in StreamingEquivalenceSpec). */
+  val q124 = EngineQuery(
+    "q124_interval_left_join",
+    Some("""SELECT p.user_id, p.event_id AS p_id,
+           |       coalesce(v.event_id, -1) AS v_id
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           |  ON p.user_id = v.user_id
+           |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+           |ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(intervalLeftJoinShape(t.events))
+  }
+
+  private def intervalLeftJoinShape(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("user_id"), col("p_id"), coalesce(col("v_id"), lit(-1L)).as("v_id"))
+  }
+
+  /** Stream-stream LEFT OUTER twin of q124: both sides watermarked, the
+    * two-sided event-time bound makes join state evictable, and — unlike
+    * the inner q52 — the null-extended rows are emitted only when the
+    * watermark proves no matching view can still arrive. Purchases inside
+    * the final watermark horizon therefore stay unreported in a bounded
+    * replay (the correct streaming answer, asserted as such in the spec).
+    */
+  def intervalLeftJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sljoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    def side = Tables.nanosToMicros(
+      spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
+    val p = side.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = side.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+          col("v_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("user_id"), col("p_id"),
+        coalesce(col("v_id"), lit(-1L)).as("v_id"), col("p_ts"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80, q124)
 }

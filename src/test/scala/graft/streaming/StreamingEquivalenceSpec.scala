@@ -81,6 +81,48 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q124 stream-stream LEFT OUTER join: matches eager, null-extensions watermark-gated") {
+    import org.apache.spark.sql.functions._
+    val batch = StreamingQueries.q124.run(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val q = StreamingQueries.intervalLeftJoinStream(spark, sf001)
+      .writeStream.format("memory").queryName("q124_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamedRows = spark.table("q124_stream_test").collect()
+    val streamed = streamedRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // Inner matches emit eagerly: every matched batch row must be streamed.
+    val batchMatched = batch.filter(_._3 != -1L)
+    assert(batchMatched.subsetOf(streamed), "matched rows missing from the stream")
+    // Null-extended rows only exist for batch-unmatched purchases...
+    val streamedUnmatched = streamed.filter(_._3 == -1L)
+    val batchUnmatched = batch.filter(_._3 == -1L)
+    assert(streamedUnmatched.subsetOf(batchUnmatched),
+      "stream declared a purchase view-less that batch matched")
+    // ...and every unmatched purchase the final watermark has PASSED must
+    // have been flushed. Final watermark = min over both sides of
+    // (side's max event time - 2h delay); a purchase's state is safely
+    // evictable once the watermark clears its whole 1h lookback window.
+    val t = new graft.Tables(spark, sf001)
+    val maxTs = t.events
+      .groupBy(col("event_type"))
+      .agg(max(col("ts").cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wm = math.min(maxTs("purchase"), maxTs("view")) - 2 * 3600
+    val flushCutoff = wm - 3600 // clear of the full lookback window
+    val pTs = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mustFlush = batchUnmatched.filter { case (_, pid, _) => pTs(pid) < flushCutoff }
+    assert(mustFlush.subsetOf(streamedUnmatched),
+      s"${(mustFlush -- streamedUnmatched).size} watermark-cleared unmatched purchases never flushed")
+    assert(batchMatched.nonEmpty && mustFlush.nonEmpty, "fixture degenerate")
+  }
+
   test("streaming dedup within watermark drops re-sent events") {
     val t = new graft.Tables(spark, sf001)
     val dir = tmpDir("streamdedup")
