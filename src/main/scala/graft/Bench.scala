@@ -102,8 +102,13 @@ object Bench {
     // room to spare, not at the driver's tail-parse.
     def short(name: String): String = name.takeWhile(_ != '_')
     def jnum2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Per-query times at 1 decimal in the compact line (100 ms granularity —
+    // box noise is larger; the 3-decimal truth lives in BENCH_DETAIL.json):
+    // at 124 queries the 2-decimal form sat 38 chars under the 1500 budget,
+    // one round of additions from breaching at the driver's tail-parse.
+    def jnum1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def qmap2(rs: Seq[(String, Double, Option[String])]): String =
-      rs.map { case (k, v, _) => jstr(short(k)) + ":" + jnum2(v) }.mkString("{", ",", "}")
+      rs.map { case (k, v, _) => jstr(short(k)) + ":" + jnum1(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${jnum2(total)},"unit":"sec","queries":${qmap2(results)},"total_warm":${jnum2(totalWarm)},"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     require(line.length < 1500, s"bench line too long for driver tail: ${line.length}")

@@ -134,6 +134,40 @@ class PlanMetricsSpec extends SharedSparkSpec {
     assert(r.shuffleBytesWritten.nonEmpty && r.rows > 0)
   }
 
+  test("q119: span decontamination exchanges id-scale hit rows, spans stay map-side") {
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q119_span_decontaminate")(spark, sf1))
+    // spans are generated and joined map-side under the broadcast eval set;
+    // the only exchanges are the eval-distinct (shingle strings of ONE
+    // source's spans) and the per-hit-doc aggregation — both far below the
+    // corpus-wide positional span stream (~50 B × n_spans ≈ 4× input).
+    val input = new java.io.File(s"$sf1/documents.parquet").length()
+    assert(r.shuffleBytesWritten.sum < input,
+      s"q119 shuffles ${r.shuffleBytesWritten.sum} B vs $input B input — positional spans in an exchange?")
+  }
+
+  test("q121: the token stream never shuffles; exchanges carry per-partition summaries") {
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q121_heavy_hitters")(spark, sf1))
+    // per-partition MG summaries: |partitions| × 64 counters, then
+    // vocabulary-bounded combine rows. ~600k tokens ≈ 4+ MB would flow if
+    // the groupBy(pid) partial aggregation ever stopped collapsing
+    // map-side (e.g. the pid key replaced by a row-unique expression).
+    assert(r.shuffleBytesWritten.sum < 256 * 1024,
+      s"q121 shuffles ${r.shuffleBytesWritten.sum} B — token stream in an exchange?")
+  }
+
+  test("q118: the ADC top-R exchange carries ids and scores, not embeddings") {
+    val vecs = spark.read.parquet(s"$sf1/embeddings.parquet").count()
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q118_knn_pq")(spark, sf1))
+    val widest = r.shuffleBytesWritten.max
+    // 10 queries × corpus ADC rows enter the per-query top-R window: rows
+    // are (query_id, vec_id, adc, q_emb? no — q_emb rides the broadcast).
+    // Budget ~40 B × 10·|corpus| for the rank exchange; a regression that
+    // hauls the 256 B raw embedding (or the codes array) through the
+    // window shows up as 5-10× that.
+    assert(widest < vecs * 10 * 60,
+      s"q118's widest exchange is $widest B for ${vecs * 10} scored rows — embeddings in the rank exchange?")
+  }
+
   test("q10: map-side partial aggregation keeps the shuffle tiny") {
     val r = PlanMetrics.run(q("q10_agg_groupby"))
     assert(r.shuffleBytesWritten.nonEmpty)
