@@ -998,7 +998,64 @@ object TextQueries {
           first(col("n_spans")).as("n_spans")))
   }
 
+  /** Incremental FUZZY dedup — q90's ingest split crossed with q36's
+    * inverted index: does the new batch near-duplicate anything in the
+    * standing corpus? (Exact-digest q90 only catches byte-identical
+    * re-crawls; a production ingest also wants the re-rendered/near-copy
+    * page, which is a Jaccard question.)
+    *
+    * Plan at 100 TB: the corpus inverted index (xxhash64(shingle) →
+    * doc_id postings, q36's 16 B/posting discipline) is the STANDING
+    * artifact — in production it is materialized once and only re-read;
+    * the BATCH index (a day's crawl) is the small side and broadcasts, so
+    * the corpus postings stream map-side and the only exchange is the
+    * candidate-pair aggregation — bounded by |batch|×|near-dups|, never
+    * corpus×corpus (q36's self-join shape) and never corpus-wide (q90's
+    * asymmetry, applied to the fuzzy problem). Degrades to q36's
+    * shuffle_hash join when a bulk backfill makes the batch side too big
+    * to broadcast. Exact semantics (the index filter loses nothing — every
+    * pair sharing ≥1 shingle is counted), so fully oracled. */
+  val q125 = EngineQuery(
+    "q125_dedup_incremental_fuzzy",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT b.doc_id AS batch_doc, a.doc_id AS corpus_doc,
+           |        count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh
+           |      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+           |      GROUP BY 1, 2)
+           |SELECT batch_doc, corpus_doc,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON batch_doc = x.doc_id JOIN sz y ON corpus_doc = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val inv = t.documents
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = inv.filter(col("doc_id") % 10 =!= 0).as("c")
+      .join(broadcast(inv.filter(col("doc_id") % 10 === 0).as("b")),
+        col("c.s") === col("b.s"))
+      .groupBy(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("nb") + col("nc") - col("common")).cast("double")
+    orderedByAll(
+      common
+        .join(sizes.select(col("doc_id").as("batch_doc"), col("n").as("nb")), "batch_doc")
+        .join(sizes.select(col("doc_id").as("corpus_doc"), col("n").as("nc")), "corpus_doc")
+        .filter(jac >= 0.5)
+        .select(col("batch_doc"), col("corpus_doc"), round4(jac).as("jaccard")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119)
+      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125)
 }
