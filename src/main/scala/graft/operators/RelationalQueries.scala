@@ -478,7 +478,64 @@ object RelationalQueries {
         .unionByName(audit("supplier->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey")))
   }
 
+  /** One-pass dataset profiler (ANALYZE TABLE / data-catalog shape): per
+    * numeric column of the fact table — row count, null count, exact
+    * distinct count, min/max/mean — emitted one row per column. All six
+    * statistics for all three columns ride ONE aggregation (Spark expands
+    * the multi-distinct into one Expand + partial-agg pass — a single scan
+    * of the 100 TB table, not one per column, which is the difference
+    * between a profiler you run nightly and one you don't), then the wide
+    * 1-row result is unpivoted to rows with a literal-array explode
+    * (map-only; no second pass, no union of per-column scans). Distinct
+    * counts are exact to stay oracle-checkable; the 100 TB knob is swapping
+    * countDistinct for approx_count_distinct (q41's HLL), which removes the
+    * Expand and makes the whole profile one partial-aggregable pass. */
+  val q126 = EngineQuery(
+    "q126_profile",
+    Some("""SELECT 'l_discount' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) - count(l_discount) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+           |       round(min(l_discount), 4) AS min_v, round(max(l_discount), 4) AS max_v,
+           |       round(avg(l_discount), 4) AS mean_v
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           |       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           |       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           |       round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+           |       round(avg(l_extendedprice), 4)
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+           |       CAST(count(*) - count(l_quantity) AS BIGINT),
+           |       CAST(count(DISTINCT l_quantity) AS BIGINT),
+           |       round(min(l_quantity), 4), round(max(l_quantity), 4),
+           |       round(avg(l_quantity), 4)
+           |FROM lineitem
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    val wide = t.lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          round(min(col(c)), 4).as(s"min_$c"),
+          round(max(col(c)), 4).as(s"max_$c"),
+          round(avg(col(c)), 4).as(s"mean_$c"))
+      }: _*)
+    val rows = explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("n_distinct"),
+        col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"),
+        col(s"mean_$c").as("mean_v"))
+    }: _*))
+    orderedByAll(wide.select(rows.as("r")).select(col("r.*")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65, q98)
+      q48, q53, q54, q56, q63, q64, q65, q98, q126)
 }
