@@ -76,6 +76,37 @@ object SketchAggregators {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Bounded top-k-per-group: keeps the k largest (value, id) pairs
+    * (value desc, ties id asc) in a k-element buffer. The point vs a rank
+    * window is the EXPLICIT partial-aggregation bound: every map task
+    * contributes at most k rows per group to the exchange by construction
+    * — the guarantee a window formulation only gets when the optimizer's
+    * WindowGroupLimit pushdown applies (and k·|groups|·|partitions| is the
+    * worst-case exchange either way). Deterministic for distinct ids
+    * whatever the merge order: top-k under a total order is associative
+    * and commutative. */
+  final class TopKByAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(Double, Long)] = Vector.empty
+
+    override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size < k) (b :+ x).sortWith(better)
+      else if (better(x, b.last)) (b.init :+ x).sortWith(better)
+      else b
+
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sortWith(better).take(k)
+
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** 64-way MinHash signature via the double-hashing family
     * g_i(x) = h1(x) + i * h2(x) (wrap-around multiply is fine — any fixed
     * bijective mixing works for a min-hash family). Input: the two base

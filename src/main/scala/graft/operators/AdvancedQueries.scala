@@ -688,7 +688,34 @@ object AdvancedQueries {
         round4(col("s") / col("n_orders")).as("avg_price")))
   }
 
+  /** Top-k per group as a BOUNDED AGGREGATION (q16/q88 give the window
+    * formulation; this is the aggregator formulation a 100 TB pipeline
+    * reaches for when the group count is huge): a typed Aggregator keeps a
+    * k-element buffer per group, so each map task ships AT MOST k rows per
+    * group into the exchange — an explicit partial-aggregation bound,
+    * independent of whether the optimizer's WindowGroupLimit pushdown
+    * fires. The oracle is the rank-window SQL, so the two formulations are
+    * proven equivalent row-for-row (ties broken identically: value desc,
+    * id asc). */
+  val q128 = EngineQuery(
+    "q128_topk_agg",
+    Some("""SELECT o_orderstatus, CAST(rn AS INT) AS rnk, o_orderkey, o_totalprice
+           |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+           |        row_number() OVER (PARTITION BY o_orderstatus
+           |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |      FROM orders)
+           |WHERE rn <= 3 ORDER BY ALL""".stripMargin)) { t =>
+    val top3 = udaf(new graft.functions.SketchAggregators.TopKByAgg(3))
+    orderedByAll(
+      t.orders
+        .groupBy("o_orderstatus")
+        .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")).as(Seq("p", "x")))
+        .select(col("o_orderstatus"), (col("p") + 1).cast("int").as("rnk"),
+          col("x._2").as("o_orderkey"), col("x._1").as("o_totalprice")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120)
+      q96, q103, q113, q116, q120, q128)
 }

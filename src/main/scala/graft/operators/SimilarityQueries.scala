@@ -463,5 +463,63 @@ object SimilarityQueries {
           round4(col("cos")).as("cos_sim"), col("rn")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118)
+  /** IVF-PQ — the two trained artifacts composed into the production ANN
+    * index (the FAISS IVFPQ shape): q108's k-means model partitions the
+    * corpus into coarse buckets, q118's codebooks compress every vector to
+    * 4 bytes, and a query ADC-scans ONLY its [[NProbe]] nearest buckets'
+    * codes before exactly re-ranking the top-R. Candidates per query ≈
+    * nprobe·N/k compressed codes — the scan cost knob (IVF) and the memory
+    * knob (PQ) multiply.
+    *
+    * Plan: coarse assignment AND probe selection are literal-centroid
+    * expressions (the centroid table is driver-sized — map-only argmin /
+    * top-2, no crossJoin+window as in q37, whose oracle-friendlier shape
+    * stays as the single-step anchor); probes explode to an equi-join key
+    * so bucket pruning is a hash join against the broadcast query table,
+    * never a nested-loop filter. Codes are encoded on the fly here; at
+    * rest they'd be the stored index (4 B/vector). No oracle (doubly
+    * approximate); PqSpec asserts recall@5 vs q25 and probe-restriction
+    * consistency. Residual encoding (PQ over vector − centroid, FAISS's
+    * default) is the accuracy upgrade path — same plan, different training
+    * input. */
+  val q127 = EngineQuery("q127_knn_ivfpq", None) { t =>
+    val km = graft.functions.KMeansTrainer.trainedModel(t)
+    val pq = graft.functions.PqIndex.trainedModel(t)
+    // squared L2 to each coarse centroid, as one literal-array expression
+    def centD2(c: Array[Double]): Column =
+      dsl.foldSum(zip_with(col("embedding"), typedLit(c.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+    val dists = array(km.centroids.map(centD2): _*)
+    val bucket = (array_position(dists, array_min(dists)) - 1).cast("int")
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val enc = e.select(col("vec_id"), bucket.as("bucket"),
+      graft.functions.PqIndex.encodeExpr(col("embedding"), pq).as("codes"))
+    // queries: 2 nearest coarse buckets (sorted (d2, cid) structs) + ADC LUT
+    val probes = slice(transform(array_sort(zip_with(
+      dists, typedLit(km.centroids.indices.map(_.toLong)),
+      (d, c) => struct(d.as("d2"), c.as("cid")))),
+      s => s.getField("cid").cast("int")), 1, NProbe)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        graft.functions.PqIndex.lutExpr(col("embedding"), pq).as("lut"),
+        explode(probes).as("bucket"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
+    val cand = enc.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", graft.functions.PqIndex.adcScore(col("lut"), col("codes")))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= 25)
+      .select(col("query_id"), col("q_emb"), col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    orderedByAll(
+      cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round4(col("cos")).as("cos_sim"), col("rn")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127)
 }

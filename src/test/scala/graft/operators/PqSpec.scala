@@ -56,9 +56,27 @@ class PqSpec extends SharedSparkSpec {
     }
   }
 
+  private def topk(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+  test("q127 IVF-PQ: shape, determinism, recall@5 within reach of the exact scan") {
+    val ivfpq = topk(SimilarityQueries.q127.run(spark, sf001))
+    assert(ivfpq.length == 50)
+    assert(ivfpq.toSeq == topk(SimilarityQueries.q127.run(spark, sf001)).toSeq)
+    val byQuery = ivfpq.groupBy(_._1)
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    byQuery.values.foreach(g => assert(g.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    val brute = topk(SimilarityQueries.q25.run(spark, sf001))
+    val recall = ivfpq.map(r => (r._1, r._2)).toSet
+      .intersect(brute.map(r => (r._1, r._2)).toSet).size / 50.0
+    info(f"IVF-PQ recall@5 vs brute force: $recall%.2f")
+    // doubly approximate (bucket restriction × 4-byte codes) on near-flat
+    // random similarities — the floor guards against broken composition
+    // (bucket mis-assignment or code/LUT mismatch collapse recall to ~0.1).
+    assert(recall >= 0.3, f"IVF-PQ recall collapsed: $recall%.2f")
+  }
+
   test("q118 PQ: shape, determinism, recall@5 vs q25 brute force") {
-    def topk(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val pq = topk(SimilarityQueries.q118.run(spark, sf001))
     assert(pq.length == 50)
     assert(pq.toSeq == topk(SimilarityQueries.q118.run(spark, sf001)).toSeq)
