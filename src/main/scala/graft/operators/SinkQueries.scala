@@ -219,16 +219,19 @@ object SinkQueries {
 
   val q117 = EngineQuery(
     "q117_compact_files",
+    // sum_price is reported in millions: the raw per-group sum is ~5e9 at
+    // sf0.1, where cross-engine summation-order noise (~n·eps·Σ ≈ 0.1)
+    // exceeds the 4dp rounding grain — q94's revenue_m discipline.
     Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_items,
            |       round(sum(l_quantity), 4) AS sum_qty,
-           |       round(sum(l_extendedprice), 4) AS sum_price
+           |       round(sum(l_extendedprice) / 1000000, 4) AS sum_price_m
            |FROM lineitem GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
     orderedByAll(
       t.spark.read.parquet(compactedDir(t))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_price")))
+          round(sum(col("l_extendedprice")) / 1000000, 4).as("sum_price_m")))
   }
 
   /** Schema-drift tolerance — the lake reality q30/q91 idealize away: a
