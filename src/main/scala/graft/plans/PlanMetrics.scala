@@ -19,7 +19,8 @@ object PlanMetrics {
       rows: Long,
       scanOutputRows: Seq[Long],
       filterOutputRows: Seq[Long],
-      shuffleBytesWritten: Seq[Long])
+      shuffleBytesWritten: Seq[Long],
+      shuffleRecordsWritten: Seq[Long])
 
   /** Execute `df` via its own executed plan (RDD count — no driver
     * materialization of the result set) and collect operator metrics. */
@@ -49,6 +50,8 @@ object PlanMetrics {
       filterOutputRows = all.collect { case f: FilterExec =>
         metric(f, "numOutputRows").getOrElse(0L) },
       shuffleBytesWritten = all.collect { case e: ShuffleExchangeExec =>
-        metric(e, "shuffleBytesWritten").getOrElse(0L) })
+        metric(e, "shuffleBytesWritten").getOrElse(0L) },
+      shuffleRecordsWritten = all.collect { case e: ShuffleExchangeExec =>
+        metric(e, "shuffleRecordsWritten").getOrElse(0L) })
   }
 }

@@ -168,6 +168,19 @@ class PlanMetricsSpec extends SharedSparkSpec {
       s"q118's widest exchange is $widest B for ${vecs * 10} scored rows — embeddings in the rank exchange?")
   }
 
+  test("q128: the top-k aggregation ships at most k rows per group per task") {
+    val r = PlanMetrics.run(graft.SparkEntry.queries("q128_topk_agg")(spark, sf1))
+    // the operator's whole claim: the partial aggregate reduces each map
+    // task to ONE buffer row per group (≤k entries inside), so every
+    // exchange in the plan is groups×partitions-scale — at sf0.1 that is
+    // single digits against 150k order rows. A regression to an unbounded
+    // buffer (or a lost partial) shows up as thousands of records.
+    assert(r.shuffleRecordsWritten.nonEmpty)
+    assert(r.shuffleRecordsWritten.max <= 64,
+      s"q128 exchanged ${r.shuffleRecordsWritten.mkString(", ")} records — partial top-k lost?")
+    assert(r.rows == 9) // 3 statuses × top-3
+  }
+
   test("q10: map-side partial aggregation keeps the shuffle tiny") {
     val r = PlanMetrics.run(q("q10_agg_groupby"))
     assert(r.shuffleBytesWritten.nonEmpty)
