@@ -277,5 +277,34 @@ object SinkQueries {
           round(avg(col("quality")), 4).as("avg_quality")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q30, q75, q91, q93, q94, q114, q117, q123)
+  /** CSV round-trip through the oracle gate — [[graft.sources.CsvSource]]
+    * (schema-explicit, PERMISSIVE-tolerant, multiLine-off-so-splittable)
+    * exposed as a query: q10's result writes to headered CSV and reads
+    * back with the explicit schema; the oracle re-derives the rows from
+    * the parquet source, so the text round-trip must be value-exact
+    * (doubles print full-precision and re-parse bit-identically). */
+  val q129 = EngineQuery("q129_csv_roundtrip", Some(RelationalQueries.q10Sql)) { t =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q129_csv").toString
+    val res = RelationalQueries.q10Body(t)
+    graft.sources.CsvSource.writeCsv(res, out)
+    orderedByAll(graft.sources.CsvSource
+      .readCsvDropMalformed(t.spark, res.schema, header = true, ",", out))
+  }
+
+  /** JSONL round-trip, same contract as q129 via [[graft.sources
+    * .JsonlSource]] — the interchange format crawl/annotation pipelines
+    * actually deliver; schema stays explicit (inference is an extra full
+    * pass at 100 TB). */
+  val q130 = EngineQuery("q130_jsonl_roundtrip", Some(RelationalQueries.q10Sql)) { t =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q130_jsonl").toString
+    val res = RelationalQueries.q10Body(t)
+    graft.sources.JsonlSource.writeJsonl(res, out)
+    orderedByAll(graft.sources.JsonlSource
+      .readJsonlDropMalformed(t.spark, res.schema, out))
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130)
 }
