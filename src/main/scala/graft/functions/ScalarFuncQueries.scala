@@ -62,6 +62,30 @@ object ScalarFuncQueries {
           round4(avg(col("k"))).as("avg_k")))
   }
 
+  /** q19 through Spark 4's VARIANT type — the modern semi-structured path:
+    * `parse_json` decodes the JSON string ONCE into the binary variant
+    * encoding, every field access is then an O(path) binary probe
+    * (`variant_get`), not a re-parse of the text (q19's
+    * get_json_object re-tokenizes the string per extraction — fine for one
+    * field, quadratic in fields-extracted at 100 TB). Same oracle
+    * semantics via DuckDB's JSON extraction, so the variant
+    * encode→probe→aggregate path is value-checked end to end. */
+  val q131 = EngineQuery(
+    "q131_variant",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           |       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           |       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS ndv_k
+           |FROM events GROUP BY event_type ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.events
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), countDistinct(col("k")).as("ndv_k")))
+  }
+
   /** Higher-order array functions over the embeddings table. The L2 norm is
     * a left-fold in double precision with the exact accumulation order of the
     * oracle's list_reduce(list_prepend(0.0, ...)) — bit-identical doubles on
@@ -144,5 +168,5 @@ object ScalarFuncQueries {
         .select(col("c_mktsegment"), explode(col("m")).as(Seq("o_orderstatus", "doubled"))))
   }
 
-  val all: Seq[EngineQuery] = Seq(q18, q19, q20, q95, q101)
+  val all: Seq[EngineQuery] = Seq(q18, q19, q20, q95, q101, q131)
 }

@@ -305,6 +305,26 @@ object SinkQueries {
       .readJsonlDropMalformed(t.spark, res.schema, out))
   }
 
+  /** XML round-trip — Spark 4's built-in XML source (the spark-xml
+    * integration) under the same gate as q129/q130: q10's result writes
+    * as row-tagged XML and reads back with the explicit schema. XML is
+    * what legacy enterprise feeds still deliver; like CSV, schema stays
+    * explicit (inference is an extra pass) and the files are splittable
+    * by row tag. */
+  val q132 = EngineQuery("q132_xml_roundtrip", Some(RelationalQueries.q10Sql)) { t =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q132_xml").toString
+    val res = RelationalQueries.q10Body(t)
+    res.write.mode("overwrite")
+      .format("xml").option("rowTag", "row")
+      .save(out)
+    orderedByAll(
+      t.spark.read.format("xml")
+        .schema(res.schema)
+        .option("rowTag", "row")
+        .load(out))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130)
+    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132)
 }
