@@ -100,17 +100,20 @@ object Bench {
     // 1800) keeps ~300 chars of headroom for future query additions — a
     // breach should fail HERE, at the round that adds the queries, with
     // room to spare, not at the driver's tail-parse.
-    def short(name: String): String = name.takeWhile(_ != '_')
     def jnum2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // Per-query times at 1 decimal in the compact line (100 ms granularity —
-    // box noise is larger; the 3-decimal truth lives in BENCH_DETAIL.json):
-    // at 124 queries the 2-decimal form sat 38 chars under the 1500 budget,
-    // one round of additions from breaching at the driver's tail-parse.
+    // The compact "queries" field is a POSITIONAL ARRAY of 1-decimal times
+    // in sorted-name order (the same order `pass()` runs and the same order
+    // BENCH_DETAIL.json's "queries" dict lists — zip them to recover names).
+    // The round-4 review recommended exactly this delta-encoding when the
+    // keyed map neared the 1500-char tail budget: the dict form costs ~11
+    // chars/query (1459 at 131 queries — one round from breaching); the
+    // array costs ~4.5, which holds ~250 queries. Full names + 3-decimal
+    // cold/warm/error detail stay in BENCH_DETAIL.json.
     def jnum1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    def qmap2(rs: Seq[(String, Double, Option[String])]): String =
-      rs.map { case (k, v, _) => jstr(short(k)) + ":" + jnum1(v) }.mkString("{", ",", "}")
+    def qarr(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (_, v, _) => jnum1(v) }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${jnum2(total)},"unit":"sec","queries":${qmap2(results)},"total_warm":${jnum2(totalWarm)},"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum2(total)},"unit":"sec","order":"sorted(name)","queries":${qarr(results)},"total_warm":${jnum2(totalWarm)},"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     require(line.length < 1500, s"bench line too long for driver tail: ${line.length}")
     // Stop Spark BEFORE printing: the driver parses the JSON from the tail of
     // captured output, so nothing (executor shutdown logs included) may print
