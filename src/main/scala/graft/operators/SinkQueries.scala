@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.EngineQuery
 import graft.dsl._
-import org.apache.spark.sql.functions.{avg, col, count, lit, round, sum}
+import org.apache.spark.sql.functions.{avg, col, count, lit, round, sum, when}
 
 /** Write-path parity (SURVEY.md §2 q30 ↔ reference A8): the reference's only
   * write surface is its test harness's parquet-dataset write with
@@ -325,6 +325,50 @@ object SinkQueries {
         .load(out))
   }
 
+  /** Dynamic partition pruning — the RUNTIME pruning q91's static predicate
+    * can't do: the fact side is lang-partitioned, the predicate lives on a
+    * DIMENSION attribute (`tier`), and which fact partitions survive is only
+    * knowable after the dim filter runs. Catalyst inserts a dynamic-pruning
+    * subquery: the filtered dim's broadcast is REUSED as an IN-filter on the
+    * fact scan's partition column, so the scan opens only the surviving lang
+    * directories (PlanInvariantsSpec asserts `dynamicpruning` in the scan's
+    * PartitionFilters). At 100 TB this is the difference between scanning 2
+    * languages and scanning 100 because the predicate was written against
+    * the dim table. Both layouts memoized per (session, dir). */
+  private val dppLayouts = new graft.SessionCache[(String, String)]
+
+  private[operators] def dppDirs(t: graft.Tables): (String, String) =
+    dppLayouts.get(t.spark, t.dir)({
+      val fact = java.nio.file.Files
+        .createTempDirectory("graft_q133_fact").toString
+      t.documents.write.mode("overwrite").partitionBy("lang").parquet(fact)
+      val dim = java.nio.file.Files
+        .createTempDirectory("graft_q133_dim").toString
+      t.documents.select(col("lang")).distinct()
+        .withColumn("tier",
+          when(col("lang").isin("en", "de"), lit("t1")).otherwise(lit("t2")))
+        .write.mode("overwrite").parquet(dim)
+      (fact, dim)
+    })
+
+  val q133 = EngineQuery(
+    "q133_dpp_join",
+    Some("""WITH d AS (SELECT DISTINCT lang,
+           |             CASE WHEN lang IN ('en','de') THEN 't1' ELSE 't2' END AS tier
+           |           FROM documents)
+           |SELECT d.tier, documents.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents JOIN d USING (lang)
+           |WHERE d.tier = 't1'
+           |GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    val (fact, dim) = dppDirs(t)
+    orderedByAll(
+      t.spark.read.parquet(fact)
+        .join(t.spark.read.parquet(dim).filter(col("tier") === "t1"), "lang")
+        .groupBy(col("tier"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132)
+    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132, q133)
 }

@@ -211,6 +211,18 @@ class PlanInvariantsSpec extends SharedSparkSpec {
       "weighted-sample rank lost its partial top-k:\n" + p.take(1200))
   }
 
+  test("q133: the fact scan carries a dynamic partition-pruning filter from the dim") {
+    val p = plan("q133_dpp_join")
+    // runtime pruning: the partitioned fact's PartitionFilters must contain
+    // a dynamicpruning expression fed by the filtered dim's broadcast — a
+    // static IN-list here would mean the predicate was resolved at plan
+    // time (wrong: it lives on the dim attribute), and no filter at all
+    // means every lang directory is scanned.
+    assert(p.contains("dynamicpruning"),
+      "fact scan lost its dynamic partition-pruning subquery:\n" + p.take(1200))
+    assert(p.contains("PartitionFilters"), p.take(800))
+  }
+
   test("q55: join condition evaluates id test and length guard BEFORE the DP") {
     val p = plan("q55_dedup_fuzzy")
     val cond = p.linesIterator
