@@ -715,7 +715,55 @@ object AdvancedQueries {
           col("x._2").as("o_orderkey"), col("x._1").as("o_totalprice")))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — hop-bounded reachability
+    * over the customer–supplier graph, expressed ENTIRELY in SQL: level-0
+    * seeds, each recursive step walks one edge, the level guard terminates
+    * (Spark's recursive CTEs are UNION ALL-only, so cycles must be cut by
+    * an explicit bound — the same discipline any production recursive
+    * query needs on a cyclic graph). This is the declarative sibling of
+    * q122's driver-side superstep loop: the ENGINE owns the iteration, one
+    * plan, no driver coordination — right whenever the recursion depth is
+    * a small constant; the driver loop remains the shape for data-driven
+    * fixpoints (q60/q108). The DuckDB oracle runs the same recursion
+    * text, so the iterative plan is value-checked end to end. Walk count
+    * is hop1 ≈ seed-degree, hop2 ≈ Σ supplier-degree — bounded by the
+    * 2-hop neighborhood, never the graph. */
+  val q134 = EngineQuery(
+    "q134_recursive_reach",
+    Some("""WITH RECURSIVE cs AS (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT c AS src, s AS dst FROM cs
+           |      UNION ALL SELECT s, c FROM cs),
+           |r AS (
+           |  SELECT CAST(0 AS INT) AS level, c_custkey * 2 AS node
+           |  FROM customer WHERE c_custkey <= 5
+           |  UNION ALL
+           |  SELECT r.level + 1, e.dst FROM r JOIN e ON r.node = e.src
+           |  WHERE r.level < 2)
+           |SELECT level, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+           |FROM r GROUP BY level ORDER BY ALL""".stripMargin)) { t =>
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+    t.lineitem.createOrReplaceTempView(s"li_$tag")
+    t.orders.createOrReplaceTempView(s"ord_$tag")
+    t.customer.createOrReplaceTempView(s"cust_$tag")
+    t.spark.sql(
+      s"""WITH RECURSIVE cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM li_$tag JOIN ord_$tag ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM cs
+         |      UNION ALL SELECT s, c FROM cs),
+         |r AS (
+         |  SELECT CAST(0 AS INT) AS level, c_custkey * 2 AS node
+         |  FROM cust_$tag WHERE c_custkey <= 5
+         |  UNION ALL
+         |  SELECT r.level + 1, e.dst FROM r JOIN e ON r.node = e.src
+         |  WHERE r.level < 2)
+         |SELECT level, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+         |FROM r GROUP BY level ORDER BY ALL""".stripMargin)
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120, q128)
+      q96, q103, q113, q116, q120, q128, q134)
 }
