@@ -211,6 +211,16 @@ class PlanInvariantsSpec extends SharedSparkSpec {
       "weighted-sample rank lost its partial top-k:\n" + p.take(1200))
   }
 
+  test("q125: the batch index broadcasts; the corpus postings never hash-shuffle for the probe") {
+    val p = plan("q125_dedup_incremental_fuzzy")
+    // the operator's asymmetry: corpus postings stream map-side under a
+    // broadcast of the (small) batch index — if the probe degrades to a
+    // shuffle join, the standing index pays a corpus-wide exchange per
+    // ingest batch.
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
   test("q133: the fact scan carries a dynamic partition-pruning filter from the dim") {
     val p = plan("q133_dpp_join")
     // runtime pruning: the partitioned fact's PartitionFilters must contain
