@@ -744,20 +744,20 @@ object AdvancedQueries {
            |SELECT level, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
            |FROM r GROUP BY level ORDER BY ALL""".stripMargin)) { t =>
     val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-    t.lineitem.createOrReplaceTempView(s"li_$tag")
-    t.orders.createOrReplaceTempView(s"ord_$tag")
+    // The edge table is the recursion's INVARIANT input: each recursive
+    // step re-executes the recursive term's plan, so deriving the graph
+    // inside the CTE would re-run the fact⋈orders distinct once per hop.
+    // It is the SAME artifact q122's PageRank trains on —
+    // GraphQueries.edgePairs is materialized once per (session, dir) and
+    // both consumers read the checkpoint.
+    GraphQueries.edgePairs(t).createOrReplaceTempView(s"edge_$tag")
     t.customer.createOrReplaceTempView(s"cust_$tag")
     t.spark.sql(
-      s"""WITH RECURSIVE cs AS (
-         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         |  FROM li_$tag JOIN ord_$tag ON l_orderkey = o_orderkey),
-         |e AS (SELECT c AS src, s AS dst FROM cs
-         |      UNION ALL SELECT s, c FROM cs),
-         |r AS (
+      s"""WITH RECURSIVE r AS (
          |  SELECT CAST(0 AS INT) AS level, c_custkey * 2 AS node
          |  FROM cust_$tag WHERE c_custkey <= 5
          |  UNION ALL
-         |  SELECT r.level + 1, e.dst FROM r JOIN e ON r.node = e.src
+         |  SELECT r.level + 1, e.dst FROM r JOIN edge_$tag e ON r.node = e.src
          |  WHERE r.level < 2)
          |SELECT level, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
          |FROM r GROUP BY level ORDER BY ALL""".stripMargin)

@@ -34,20 +34,32 @@ object GraphQueries {
   private val D = 0.85
   private val Iters = 8
 
+  /** Both-direction (src, dst) edge pairs of the customer–supplier graph,
+    * materialized ONCE per (session, dir) behind a lazy localCheckpoint —
+    * the shared upstream of q122's PageRank training AND q134's recursive
+    * reachability (a pipeline derives every graph view from one edge
+    * extraction, not one per consumer). */
+  private val pairCache = new graft.SessionCache[DataFrame]
+
+  private[operators] def edgePairs(t: Tables): DataFrame =
+    pairCache.get(t.spark, s"${t.dir}#csedges")({
+      // broadcast the 2-column order→customer map (16 B/order): the fact
+      // scan streams map-side, and the only data-scale exchange of the
+      // build is the distinct on (customer, supplier) pairs.
+      val cs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = false)
+    })
+
   /** (src, dst, deg) in both directions, degrees pre-joined. */
   private def degEdges(t: Tables): DataFrame = {
-    // broadcast the 2-column order→customer map (16 B/order): the fact
-    // scan streams map-side, and the only data-scale exchange of the build
-    // is the distinct on (customer, supplier) pairs.
-    val cs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    val edges = cs.unionAll(cs.select(col("b").as("a"), col("a").as("b")))
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    edges.join(deg, "a")
-      .select(col("a").as("src"), col("b").as("dst"), col("deg"))
+    val edges = edgePairs(t)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src")
   }
 
   /** Converged rank table memoized per (session, dir) — the q108/q94
