@@ -375,6 +375,75 @@ object Multimodal {
     out.array()
   }
 
+  /** Minimal length-prefixed video container for the frame-sampling path:
+    * "GVID" magic, u8 frame count, then per frame a big-endian u32 length +
+    * the frame payload (a real PNG). Test fixture only — what matters is
+    * that [[sampleVideoFrames]] does REAL container work (magic check,
+    * bounds-checked index walk) and REAL per-frame decode. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.size <= 255)
+    val total = 5 + frames.map(4 + _.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+    out.put("GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.put(frames.size.toByte)
+    frames.foreach { f => out.putInt(f.length); out.put(f) }
+    out.array()
+  }
+
+  /** Per-video frame-sampling result: header frame count, frames actually
+    * sampled and decoded, and the EXACT pixel sum over the sampled frames
+    * (decodePng's mean is an integer sum over a power-of-two pixel count —
+    * exact in double — so sum = round(mean·w·h) is lossless). decoded=false
+    * on any malformed byte (bad magic, truncated index, frame that fails
+    * the PNG decoder) — flag, never a task failure. */
+  final case class VideoFrameStats(
+      doc_id: Long, decoded: Boolean, n_frames: Long, n_sampled: Long, px_sum: Long)
+
+  /** Walk the container, decode every `stride`-th frame with the real PNG
+    * decoder ([[decodePng]]). mapPartitions at the codec boundary, like
+    * every other decode path: media bytes never leave the scan partition.
+    */
+  def sampleVideoFrames(
+      ds: Dataset[MediaRecord], stride: Int): Dataset[VideoFrameStats] = {
+    require(stride > 0)
+    implicit val enc = Encoders.product[VideoFrameStats]
+    ds.mapPartitions(_.map { m =>
+      val bad = VideoFrameStats(m.doc_id, decoded = false, 0L, 0L, 0L)
+      val b = m.media
+      if (b.length < 5 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D') bad
+      else {
+        val n = b(4) & 0xff
+        var off = 5
+        var f = 0
+        var sampled = 0L
+        var sum = 0L
+        var ok = true
+        while (ok && f < n) {
+          if (off + 4 > b.length) ok = false
+          else {
+            val len = java.nio.ByteBuffer.wrap(b, off, 4).getInt
+            off += 4
+            if (len < 0 || off + len > b.length) ok = false
+            else {
+              if (f % stride == 0) {
+                decodePng(java.util.Arrays.copyOfRange(b, off, off + len)) match {
+                  case Some((w, h, _, mean)) =>
+                    sampled += 1
+                    sum += math.round(mean * w * h)
+                  case None => ok = false
+                }
+              }
+              off += len
+              f += 1
+            }
+          }
+        }
+        if (!ok) bad
+        else VideoFrameStats(m.doc_id, decoded = true, n.toLong, sampled, sum)
+      }
+    })
+  }
+
   /** One media embedding (unit-norm float vector). */
   final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 
@@ -524,5 +593,47 @@ object MultimodalQueries {
           round4(avg(col("m.d2"))).as("mean_d2")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39, q109)
+  /** Video frame-sampling, fully oracled — the third modality the brief
+    * names (image q109, audio q109, video here): each document synthesizes
+    * a 4-frame "video" (real PNGs in a length-prefixed container, frame f's
+    * 256 pixels = the text bytes from offset 16·f, space-padded), the
+    * engine walks the REAL container + decodes every 2nd frame with the
+    * REAL PNG decoder, and reports per doc: header frame count, frames
+    * sampled, and the EXACT integer pixel sum over sampled frames. All
+    * outputs are integers, so no rounding can straddle (the per-doc mean
+    * would divide by 512 — a power of two, exactly the boundary case
+    * SURVEY §7.4.2 forbids). A decoder or container walk that misreads one
+    * byte moves px_sum and fails the hash. Scale shape: synthesis and
+    * decode are one fused mapPartitions — media bytes never leave the scan
+    * partition; the only exchange is the ordered id-scale output. */
+  val q135 = EngineQuery(
+    "q135_video_frames",
+    Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+           |       CAST(2 AS BIGINT) AS n_sampled,
+           |       CAST(list_sum(list_transform(generate_series(1, 256),
+           |              i -> CASE WHEN i <= length(text) THEN ascii(substr(text, i, 1))
+           |                        ELSE 32 END))
+           |          + list_sum(list_transform(generate_series(1, 256),
+           |              i -> CASE WHEN i + 32 <= length(text)
+           |                        THEN ascii(substr(text, i + 32, 1))
+           |                        ELSE 32 END)) AS BIGINT) AS px_sum
+           |FROM documents ORDER BY ALL""".stripMargin)) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    import Multimodal._
+    implicit val mEnc = Encoders.product[MediaRecord]
+    val videos = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val frames = (0 until 4).map(f =>
+          encodePngGray(padBytes(text.drop(16 * f), 256), 16, 16))
+        MediaRecord(id, src, encodeVideo(frames))
+      })
+    orderedByAll(
+      sampleVideoFrames(videos, stride = 2).toDF()
+        .filter(col("decoded"))
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("px_sum")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39, q109, q135)
 }

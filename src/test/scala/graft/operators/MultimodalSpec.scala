@@ -248,6 +248,34 @@ class MultimodalSpec extends SharedSparkSpec {
     assert(resized.length == frames.count())
   }
 
+  test("video container: sampled-frame decode is exact; malformed bytes flag, never throw") {
+    import Multimodal._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val mEnc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    // 4 known frames: constant-pixel PNGs with distinct values
+    val vals = Seq(10, 20, 30, 40).map(_.toByte)
+    val frames = vals.map(v => encodePngGray(Array.fill(256)(v), 16, 16))
+    val good = MediaRecord(1L, "s", encodeVideo(frames))
+    // malformed variants
+    val badMagic = MediaRecord(2L, "s", "XVID".getBytes ++ good.media.drop(4))
+    val truncated = MediaRecord(3L, "s", good.media.take(good.media.length - 7))
+    val garbageFrame = {
+      val f2 = frames.updated(0, Array.fill(20)(0x7f.toByte)) // not a PNG
+      MediaRecord(4L, "s", encodeVideo(f2))
+    }
+    val out = sampleVideoFrames(
+      Seq(good, badMagic, truncated, garbageFrame).toDS(), stride = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    val g = out(1L)
+    assert(g.decoded && g.n_frames == 4 && g.n_sampled == 2)
+    // sampled frames 0 and 2: 256*10 + 256*30
+    assert(g.px_sum == 256L * 10 + 256L * 30, s"got ${g.px_sum}")
+    assert(!out(2L).decoded, "bad magic must flag")
+    assert(!out(3L).decoded, "truncated index must flag")
+    assert(!out(4L).decoded, "undecodable sampled frame must flag")
+  }
+
   test("media embeddings are unit-norm, deterministic, and feed the ANN path") {
     import org.apache.spark.sql.functions._
     val docs = new Tables(spark, sf001).documents
