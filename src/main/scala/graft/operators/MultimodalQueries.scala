@@ -134,7 +134,25 @@ object Multimodal {
     * excluded); anything else (palette, 16-bit, interlaced, truncated
     * stream, CRC mismatch, bad filter byte) degrades to None — malformed
     * media must flag, never kill the partition. */
-  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+  /** [[decodePngPixels]] reduced to the feature tuple every image consumer
+    * uses: (w, h, maxval, mean intensity over color channels). */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    decodePngPixels(bytes).map { case (w, h, ctype, channels, out) =>
+      val colorCh = ctype match { case 4 => 1; case 6 => 3; case _ => channels }
+      var sum = 0.0
+      var i = 0
+      while (i < out.length) {
+        if (i % channels < colorCh) sum += (out(i) & 0xff)
+        i += 1
+      }
+      (w, h, 255, sum / (w.toLong * h * colorCh))
+    }
+
+  /** Full PNG decode to raw pixels: (w, h, color type, channels,
+    * channel-interleaved pixel bytes). The pixel surface exists for the
+    * transforms that need more than a scalar feature — q136's resize
+    * samples the array directly. */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (bytes.length < 8 + 25 + 12 || !java.util.Arrays.equals(bytes.take(8), sig)) return None
     def be32(o: Int): Int =
@@ -225,15 +243,27 @@ object Multimodal {
       }
       y += 1
     }
-    // Mean intensity over color channels; alpha doesn't carry intensity.
-    val colorCh = ctype match { case 4 => 1; case 6 => 3; case _ => channels }
-    var sum = 0.0
-    var i = 0
-    while (i < out.length) {
-      if (i % channels < colorCh) sum += (out(i) & 0xff)
-      i += 1
+    Some((w, h, ctype, channels, out))
+  }
+
+  /** Nearest-neighbor resize of a single-channel pixel array — the
+    * thumbnail/normalize-resolution step of an image pipeline. Pure
+    * per-record array math: runs inside the decode task, no shuffle. */
+  def resizeNearest(
+      px: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0 && px.length == w * h)
+    val out = new Array[Byte](ow * oh)
+    var r = 0
+    while (r < oh) {
+      val sr = r * h / oh
+      var c = 0
+      while (c < ow) {
+        out(r * ow + c) = px(sr * w + c * w / ow)
+        c += 1
+      }
+      r += 1
     }
-    Some((w, h, 255, sum / (w.toLong * h * colorCh)))
+    out
   }
 
   /** Real decode path over the binary column: PGM and PNG payloads decode to
@@ -480,6 +510,10 @@ object Multimodal {
 
 object MultimodalQueries {
 
+  /** q136's per-image resize result (exact integer thumbnail pixel sum). */
+  final case class Thumb(
+      doc_id: Long, decoded: Boolean, out_w: Int, out_h: Int, thumb_sum: Long)
+
   /** Media metadata aggregation over the binary column: per source, media
     * count, total payload bytes, and the mean of the stubbed decoded width.
     * The width fake (octet_length % 640) is mirrored in SQL so the whole
@@ -635,5 +669,44 @@ object MultimodalQueries {
         .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("px_sum")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39, q109, q135)
+  /** Image RESIZE at the pixel level (the last of the brief's four media
+    * ops: decode / feature-extract / frame-sample / resize): each doc's
+    * 16×16 PNG decodes to RAW PIXELS ([[Multimodal.decodePngPixels]] — the
+    * same CRC/Inflater/unfilter path as q109, now surfacing the array),
+    * nearest-neighbor downsamples to 8×8 in-task, and reports the EXACT
+    * integer thumbnail pixel sum. NN sampling is position algebra —
+    * thumb(r,c) = src(2r,2c) = text byte at 32r+2c+1 — so the oracle
+    * recomputes every sampled byte analytically: one moved pixel anywhere
+    * in decode OR resize shifts the sum and fails the hash. All-integer
+    * output (q135's discipline). Decode+resize are one fused
+    * mapPartitions; pixels never leave the scan task. */
+  val q136 = EngineQuery(
+    "q136_image_resize",
+    Some("""SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           |       CAST(list_sum(list_transform(generate_series(1, 64),
+           |         i -> CASE WHEN 32*((i-1)//8) + 2*((i-1)%8) + 1 <= length(text)
+           |                   THEN ascii(substr(text, 32*((i-1)//8) + 2*((i-1)%8) + 1, 1))
+           |                   ELSE 32 END)) AS BIGINT) AS thumb_sum
+           |FROM documents ORDER BY ALL""".stripMargin)) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    import Multimodal._
+    implicit val tEnc = Encoders.product[Thumb]
+    val thumbs = t.documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val png = encodePngGray(padBytes(text, 256), 16, 16)
+        decodePngPixels(png) match {
+          case Some((w, h, _, 1, px)) =>
+            val thumb = resizeNearest(px, w, h, 8, 8)
+            Thumb(id, decoded = true, 8, 8, thumb.map(b => (b & 0xff).toLong).sum)
+          case _ => Thumb(id, decoded = false, 0, 0, 0L)
+        }
+      })
+    orderedByAll(
+      thumbs.toDF().filter(col("decoded"))
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("thumb_sum")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136)
 }
