@@ -54,6 +54,14 @@ object PqIndex {
         .filter(col("vec_id") < SampleN)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      // trainLocal seeds with the first k sample vectors and indexes all k
+      // centroids in its assignment loop — an undersized sample would fail
+      // deep inside with an IndexOutOfBounds (KMeansTrainer.train guards
+      // the same precondition); fail here with the actual contract instead.
+      require(sample.length >= K,
+        s"PQ training needs >= $K sample vectors (vec_id < $SampleN), got ${sample.length}")
+      require(sample.forall(_._2.length == M * SubDim),
+        s"PQ expects ${M * SubDim}-dim embeddings")
       val books = (0 until M).map { s =>
         val sub = sample.toIndexedSeq.map { case (id, v) =>
           (id, v.slice(s * SubDim, (s + 1) * SubDim).map(_.toDouble).toArray)

@@ -752,7 +752,10 @@ object AdvancedQueries {
     // both consumers read the checkpoint.
     GraphQueries.edgePairs(t).createOrReplaceTempView(s"edge_$tag")
     t.customer.createOrReplaceTempView(s"cust_$tag")
-    t.spark.sql(
+    // spark.sql analyzes eagerly — the views are resolved into the plan at
+    // this point, so dropping them right after (q66/q67's convention) does
+    // not invalidate the lazily-executed result.
+    try t.spark.sql(
       s"""WITH RECURSIVE r AS (
          |  SELECT CAST(0 AS INT) AS level, c_custkey * 2 AS node
          |  FROM cust_$tag WHERE c_custkey <= 5
@@ -761,6 +764,10 @@ object AdvancedQueries {
          |  WHERE r.level < 2)
          |SELECT level, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
          |FROM r GROUP BY level ORDER BY ALL""".stripMargin)
+    finally {
+      t.spark.catalog.dropTempView(s"edge_$tag")
+      t.spark.catalog.dropTempView(s"cust_$tag")
+    }
   }
 
   val all: Seq[EngineQuery] =

@@ -421,11 +421,11 @@ object Multimodal {
   }
 
   /** Per-video frame-sampling result: header frame count, frames actually
-    * sampled and decoded, and the EXACT pixel sum over the sampled frames
-    * (decodePng's mean is an integer sum over a power-of-two pixel count —
-    * exact in double — so sum = round(mean·w·h) is lossless). decoded=false
-    * on any malformed byte (bad magic, truncated index, frame that fails
-    * the PNG decoder) — flag, never a task failure. */
+    * sampled and decoded, and the EXACT color-channel pixel-byte sum over
+    * the sampled frames (summed straight off the decoded pixel array —
+    * exact for every channel layout). decoded=false on any malformed byte
+    * (bad magic, truncated index, frame that fails the PNG decoder) —
+    * flag, never a task failure. */
   final case class VideoFrameStats(
       doc_id: Long, decoded: Boolean, n_frames: Long, n_sampled: Long, px_sum: Long)
 
@@ -456,10 +456,20 @@ object Multimodal {
             if (len < 0 || off + len > b.length) ok = false
             else {
               if (f % stride == 0) {
-                decodePng(java.util.Arrays.copyOfRange(b, off, off + len)) match {
-                  case Some((w, h, _, mean)) =>
+                // Sum COLOR-channel bytes straight off the pixel array —
+                // exact for every channel layout (a mean·w·h round-trip
+                // is only exact for grayscale: decodePng's mean divides
+                // by w·h·colorCh, so RGB frames would yield sum/3).
+                decodePngPixels(java.util.Arrays.copyOfRange(b, off, off + len)) match {
+                  case Some((_, _, ctype, channels, px)) =>
+                    val colorCh =
+                      ctype match { case 4 => 1; case 6 => 3; case _ => channels }
                     sampled += 1
-                    sum += math.round(mean * w * h)
+                    var i = 0
+                    while (i < px.length) {
+                      if (i % channels < colorCh) sum += (px(i) & 0xff)
+                      i += 1
+                    }
                   case None => ok = false
                 }
               }

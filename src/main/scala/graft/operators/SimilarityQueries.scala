@@ -420,8 +420,33 @@ object SimilarityQueries {
       }.toDF("cid", "n_members", "iters", "mean_d2", "centroid_norm"))
   }
 
-  /** Candidates re-ranked exactly per query in q118 (ADC top-R). */
+  /** Candidates re-ranked exactly per query in q118/q127 (ADC top-R). */
   private val PqRerank = 25
+
+  /** Shared tail of the PQ searches (q118 full compressed-domain scan,
+    * q127 IVF-restricted scan): ADC-score the (vec_id, codes) rows against
+    * the broadcast query table's LUTs, keep the top-[[PqRerank]] per query
+    * (ids and scores only through the rank exchange), then re-rank those
+    * candidates with EXACT cosine against their raw embeddings — top-5 out.
+    */
+  private def adcRerank(codesWithQueries: DataFrame, emb: DataFrame): DataFrame = {
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
+    val cand = codesWithQueries
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", graft.functions.PqIndex.adcScore(col("lut"), col("codes")))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= PqRerank)
+      .select(col("query_id"), col("q_emb"), col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    orderedByAll(
+      cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round4(col("cos")).as("cos_sim"), col("rn")))
+  }
 
   /** PQ-compressed ANN ([[graft.functions.PqIndex]]): the memory-scale path
     * past q37's IVF — vectors quantized to M=4 codebook indices (4 B vs
@@ -440,27 +465,10 @@ object SimilarityQueries {
         graft.functions.PqIndex.lutExpr(col("embedding"), m).as("lut"))
     // Compressed-domain scan: ADC score from codes alone; the top-R window
     // ranks (query_id, vec_id, score) rows — the raw embedding column is
-    // pruned out of the exchange.
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
-    val cand = enc.select(col("vec_id"), col("codes"))
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", graft.functions.PqIndex.adcScore(col("lut"), col("codes")))
-      .withColumn("crn", row_number().over(wAdc))
-      .filter(col("crn") <= PqRerank)
-      .select(col("query_id"), col("q_emb"), col("vec_id"))
-    // Exact re-rank on R candidates per query: fetch raw embeddings for the
-    // candidate ids only (presupposes nothing about corpus size — the fetch
-    // is |queries|×R rows).
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    orderedByAll(
-      cand.join(t.embeddings.select(col("vec_id"), col("embedding")), "vec_id")
-        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("neighbor_id"),
-          round4(col("cos")).as("cos_sim"), col("rn")))
+    // pruned out of the exchange. Shared rerank tail: [[adcRerank]].
+    adcRerank(
+      enc.select(col("vec_id"), col("codes")).crossJoin(broadcast(q)),
+      t.embeddings)
   }
 
   /** IVF-PQ — the two trained artifacts composed into the production ANN
@@ -503,22 +511,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         graft.functions.PqIndex.lutExpr(col("embedding"), pq).as("lut"),
         explode(probes).as("bucket"))
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
-    val cand = enc.join(broadcast(q), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", graft.functions.PqIndex.adcScore(col("lut"), col("codes")))
-      .withColumn("crn", row_number().over(wAdc))
-      .filter(col("crn") <= 25)
-      .select(col("query_id"), col("q_emb"), col("vec_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    orderedByAll(
-      cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
-        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("neighbor_id"),
-          round4(col("cos")).as("cos_sim"), col("rn")))
+    adcRerank(enc.join(broadcast(q), "bucket"), e)
   }
 
   val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127)
