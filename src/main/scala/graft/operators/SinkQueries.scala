@@ -380,6 +380,55 @@ object SinkQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")))
   }
 
+  /** Parquet BLOOM-FILTER layout — the data-skipping mechanism for point
+    * lookups on a column the file is NOT sorted or partitioned by: min/max
+    * stats on an unsorted l_partkey span the full key range in every row
+    * group (zero pruning), but a per-row-group bloom filter answers
+    * "definitely absent" probabilistically, so an equality probe skips
+    * row groups wholesale. This completes the skipping quintet: sorted
+    * min/max (q114 intra-file), Z-order (q114 two-dim), hive partitioning
+    * (q91 static, q133 dynamic), bucketing (q94 joins), blooms (point
+    * probes). Write-side: `parquet.bloom.filter.enabled#col`; the filter's
+    * presence in the footer is asserted in BloomLayoutSpec via parquet-mr.
+    * The oracle re-derives the probe from the source table, proving the
+    * bloom-annotated round-trip lossless and the probe exact (blooms have
+    * false positives, never false negatives — results are identical, only
+    * IO differs). Layout memoized per (session, dir). */
+  private val bloomLayouts = new graft.SessionCache[String]
+
+  private[operators] def bloomDir(t: graft.Tables): String =
+    bloomLayouts.get(t.spark, t.dir)({
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q137_bloom").toString
+      t.lineitem
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        // parquet-mr SKIPS the bloom for a fully dictionary-encoded chunk
+        // (the dictionary already answers membership exactly — measured:
+        // no footer bloom at test NDV). At 100 TB l_partkey's NDV blows
+        // the dictionary-page limit and plain encoding + bloom kick in by
+        // themselves; at gate scale the dictionary must be forced off on
+        // the bloom column for the layout to exercise the real mechanism.
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .parquet(out)
+      out
+    })
+
+  val q137 = EngineQuery(
+    "q137_bloom_layout",
+    Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items,
+           |       round(sum(l_quantity), 4) AS sum_qty
+           |FROM lineitem WHERE l_partkey IN (42, 4242)
+           |GROUP BY l_partkey ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.spark.read.parquet(bloomDir(t))
+        .filter(col("l_partkey").isin(42, 4242))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 4).as("sum_qty")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132, q133)
+    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132, q133, q137)
 }
