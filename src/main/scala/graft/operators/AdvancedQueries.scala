@@ -659,7 +659,7 @@ object AdvancedQueries {
     "q120_incremental_agg",
     Some("""SELECT strftime(o_orderdate, '%Y-%m') AS mth, o_orderstatus,
            |       CAST(count(*) AS BIGINT) AS n_orders,
-           |       round(sum(o_totalprice), 4) AS sum_price,
+           |       round(sum(o_totalprice) / 1000000, 4) AS sum_price_m,
            |       round(min(o_totalprice), 4) AS min_price,
            |       round(max(o_totalprice), 4) AS max_price,
            |       round(sum(o_totalprice) / count(*), 4) AS avg_price
@@ -682,7 +682,7 @@ object AdvancedQueries {
         min(col("mn")).as("mnm"), max(col("mx")).as("mxm"))
     orderedByAll(
       merged.select(col("mth"), col("o_orderstatus"), col("n_orders"),
-        round4(col("s")).as("sum_price"),
+        round4(col("s") / 1000000).as("sum_price_m"),
         round4(col("mnm")).as("min_price"),
         round4(col("mxm")).as("max_price"),
         round4(col("s") / col("n_orders")).as("avg_price")))

@@ -1004,8 +1004,11 @@ object TextQueries {
     * re-crawls; a production ingest also wants the re-rendered/near-copy
     * page, which is a Jaccard question.)
     *
-    * Plan at 100 TB: the corpus inverted index (xxhash64(shingle) →
-    * doc_id postings, q36's 16 B/posting discipline) is the STANDING
+    * Plan at 100 TB: the corpus inverted index (shingle → doc_id
+    * postings; the join key is the raw shingle string so the candidate
+    * count is EXACT — q36's xxhash64 posting compression is the storage
+    * knob when the standing index is materialized, at a 2^-64 collision
+    * caveat this oracled query doesn't accept) is the STANDING
     * artifact — in production it is materialized once and only re-read;
     * the BATCH index (a day's crawl) is the small side and broadcasts, so
     * the corpus postings stream map-side and the only exchange is the
@@ -1037,8 +1040,7 @@ object TextQueries {
     val inv = t.documents
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.filter(col("doc_id") % 10 =!= 0).as("c")
       .join(broadcast(inv.filter(col("doc_id") % 10 === 0).as("b")),

@@ -114,6 +114,11 @@ object LayoutWriter {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
+    // The overwrite deletes outDir before the lazy read of inDir runs —
+    // compacting a directory onto itself would destroy the source mid-read.
+    require(
+      fs.makeQualified(in) != fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
+      s"compact: inDir and outDir must differ, got $inDir")
     val files = fs.listStatus(in)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val total = files.map(_.getLen).sum

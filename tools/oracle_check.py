@@ -17,7 +17,7 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
-        if only and only not in name:
+        if only and not any(tok in name for tok in only.split(",")):
             continue
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
