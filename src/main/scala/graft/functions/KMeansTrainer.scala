@@ -149,6 +149,36 @@ object KMeansTrainer {
     Trained(cents, members, sumD2, iters)
   }
 
+  /** Squared L2 to every trained centroid as ONE literal-array expression:
+    * the k×dim model rides the plan as literals, so assignment is pure
+    * map-side compute — no centroid table, no crossJoin, no exchange. This
+    * is the serving-side shape (q37/q127 share it); the crossJoin+window
+    * formulation it replaces pushed N×k rows through a vec_id hash
+    * exchange just to pick each vector's argmin. */
+  def centroidD2s(emb: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column =
+    array(m.centroids.map { c =>
+      graft.dsl.foldSum(zip_with(emb, typedLit(c.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+    }: _*)
+
+  /** Nearest-centroid id — the vector's home IVF bucket, map-only.
+    * Ties break on the LOWEST centroid id (array_position finds the first
+    * minimum), matching the trainer's min(struct(d2, cid)) contract. */
+  def coarseBucket(emb: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column = {
+    val d = centroidD2s(emb, m)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** The `nprobe` nearest centroid ids ascending by (d2, cid) — the
+    * multi-probe bucket list for query-side fan-out, map-only. */
+  def probeBuckets(emb: org.apache.spark.sql.Column, m: Trained, nprobe: Int): org.apache.spark.sql.Column = {
+    val d = centroidD2s(emb, m)
+    slice(transform(array_sort(zip_with(
+      d, typedLit(m.centroids.indices.map(_.toLong)),
+      (dd, c) => struct(dd.as("d2"), c.as("cid")))),
+      s => s.getField("cid").cast("int")), 1, nprobe)
+  }
+
   private val trainedCache = new graft.SessionCache[Trained]
 
   val K = 8

@@ -201,31 +201,29 @@ object SimilarityQueries {
     * the train-once/serve-everywhere amortization), and each query probes
     * its `NProbe` nearest buckets (multi-probe IVF: candidates ≈
     * nprobe·N/k per query instead of N — the standard recall/latency knob,
-    * still never all-pairs). The centroid table is driver-sized and
-    * broadcasts; assignment is map-side scoring. Approximate by
-    * construction → no SQL oracle; recall vs q25 is ASSERTED in KnnSpec
-    * (trained centroids + 2-probe must beat the old seeded single-probe
-    * floor). */
+    * still never all-pairs). Assignment and probe selection are literal-
+    * centroid expressions (k×dim model as plan literals — map-only, zero
+    * exchange; [[graft.functions.KMeansTrainer.coarseBucket]]/
+    * [[graft.functions.KMeansTrainer.probeBuckets]], shared with q127).
+    * Approximate by construction → no SQL oracle; recall vs q25 is
+    * ASSERTED in KnnSpec (trained centroids + 2-probe must beat the old
+    * seeded single-probe floor). */
   val q37 = EngineQuery("q37_knn_ivf", None) { t =>
-    val spark = t.spark
-    import spark.implicits._
     val model = graft.functions.KMeansTrainer.trainedModel(t)
-    val cents = broadcast(model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("c_id", "c_emb"))
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
-    val cd2 = dsl.foldSum(zip_with(col("embedding"), col("c_emb"),
-      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_d2").asc, col("c_id"))
-    val scored = e.crossJoin(cents)
-      .withColumn("c_d2", cd2)
-      .withColumn("arn", row_number().over(wAssign))
-    val buckets = scored.filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+    // Map-only assignment: the k×dim model rides the plan as literal
+    // arrays ([[graft.functions.KMeansTrainer.coarseBucket]], shared with
+    // q127), so neither corpus nor queries pay an exchange to learn their
+    // bucket — the crossJoin+window formulation this replaces shuffled
+    // N×k rows on vec_id for the same argmin. PlanMetricsSpec pins it.
+    val buckets = e.select(col("vec_id"), col("embedding"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), model).as("bucket"))
     // Queries probe their NProbe nearest buckets (not just the one they
     // live in): near-boundary neighbors sit one bucket over.
-    val q = scored.filter(col("vec_id") < 10 && col("arn") <= NProbe).select(
+    val q = e.filter(col("vec_id") < 10).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      col("c_id").as("bucket"))
+      explode(graft.functions.KMeansTrainer
+        .probeBuckets(col("embedding"), model, NProbe)).as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     orderedByAll(
       buckets.join(broadcast(q), "bucket")
@@ -480,9 +478,9 @@ object SimilarityQueries {
     * knob (PQ) multiply.
     *
     * Plan: coarse assignment AND probe selection are literal-centroid
-    * expressions (the centroid table is driver-sized — map-only argmin /
-    * top-2, no crossJoin+window as in q37, whose oracle-friendlier shape
-    * stays as the single-step anchor); probes explode to an equi-join key
+    * expressions (the model is driver-sized — map-only argmin / top-2 via
+    * the [[graft.functions.KMeansTrainer.coarseBucket]]/`probeBuckets`
+    * helpers shared with q37); probes explode to an equi-join key
     * so bucket pruning is a hash join against the broadcast query table,
     * never a nested-loop filter. Codes are encoded on the fly here; at
     * rest they'd be the stored index (4 B/vector). No oracle (doubly
@@ -493,24 +491,17 @@ object SimilarityQueries {
   val q127 = EngineQuery("q127_knn_ivfpq", None) { t =>
     val km = graft.functions.KMeansTrainer.trainedModel(t)
     val pq = graft.functions.PqIndex.trainedModel(t)
-    // squared L2 to each coarse centroid, as one literal-array expression
-    def centD2(c: Array[Double]): Column =
-      dsl.foldSum(zip_with(col("embedding"), typedLit(c.toSeq),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
-    val dists = array(km.centroids.map(centD2): _*)
-    val bucket = (array_position(dists, array_min(dists)) - 1).cast("int")
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
-    val enc = e.select(col("vec_id"), bucket.as("bucket"),
+    // coarse assignment: map-only literal-centroid argmin (shared helper)
+    val enc = e.select(col("vec_id"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
       graft.functions.PqIndex.encodeExpr(col("embedding"), pq).as("codes"))
     // queries: 2 nearest coarse buckets (sorted (d2, cid) structs) + ADC LUT
-    val probes = slice(transform(array_sort(zip_with(
-      dists, typedLit(km.centroids.indices.map(_.toLong)),
-      (d, c) => struct(d.as("d2"), c.as("cid")))),
-      s => s.getField("cid").cast("int")), 1, NProbe)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         graft.functions.PqIndex.lutExpr(col("embedding"), pq).as("lut"),
-        explode(probes).as("bucket"))
+        explode(graft.functions.KMeansTrainer
+          .probeBuckets(col("embedding"), km, NProbe)).as("bucket"))
     adcRerank(enc.join(broadcast(q), "bucket"), e)
   }
 

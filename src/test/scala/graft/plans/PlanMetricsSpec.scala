@@ -189,4 +189,24 @@ class PlanMetricsSpec extends SharedSparkSpec {
     assert(r.shuffleBytesWritten.sum < 512 * 1024,
       s"agg shuffle wrote ${r.shuffleBytesWritten.sum} bytes — partials lost?")
   }
+
+  test("q37/q127: IVF assignment is map-only — zero exchanges to bucket the corpus") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val t = new graft.Tables(spark, sf001)
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    // the assignment STAGE in isolation: every vector learns its home
+    // bucket (and every query its probe list) from literal-centroid
+    // expressions — if either plan ever contains a shuffle again (the old
+    // crossJoin+window shape exchanged N×k rows on vec_id), this fails.
+    val assign = t.embeddings.select(col("vec_id"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
+    val probes = t.embeddings.filter(col("vec_id") < 10).select(col("vec_id"),
+      explode(graft.functions.KMeansTrainer.probeBuckets(col("embedding"), m, 2)).as("bucket"))
+    for ((df, label) <- Seq((assign, "corpus assignment"), (probes, "query probes"))) {
+      val r = PlanMetrics.run(df)
+      assert(r.rows > 0)
+      assert(r.shuffleBytesWritten.isEmpty,
+        s"$label stage exchanged ${r.shuffleBytesWritten.sum} bytes — map-only shape lost")
+    }
+  }
 }
