@@ -179,6 +179,32 @@ object KMeansTrainer {
       s => s.getField("cid").cast("int")), 1, nprobe)
   }
 
+  /** The centroid for a bucket-id COLUMN, as one literal k×dim array
+    * lookup — the building block of residual encoding (vector − its coarse
+    * centroid), map-only like the assignment itself. */
+  def centroidAt(bucket: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column =
+    element_at(typedLit(m.centroids.map(_.toSeq)), bucket + 1)
+
+  /** `emb − centroid(bucket)` as array<double> — the residual a FAISS-style
+    * IVF-PQ index quantizes instead of the raw vector (coarse structure is
+    * already explained by the bucket; the codebooks only need to cover the
+    * within-cell offsets, which is where PQ accuracy comes from). */
+  def residualTo(emb: org.apache.spark.sql.Column, bucket: org.apache.spark.sql.Column,
+      m: Trained): org.apache.spark.sql.Column =
+    zip_with(emb, centroidAt(bucket, m), (x, y) => x.cast("double") - y)
+
+  /** Local nearest-centroid assignment (parity twin of [[coarseBucket]]):
+    * lowest d2, ties on the lowest centroid id. */
+  def assignLocal(v: Array[Double], m: Trained): Int = {
+    var best = 0
+    var bd = d2(v, m.centroids(0))
+    var c = 1
+    while (c < m.centroids.length) {
+      val d = d2(v, m.centroids(c)); if (d < bd) { bd = d; best = c }; c += 1
+    }
+    best
+  }
+
   private val trainedCache = new graft.SessionCache[Trained]
 
   val K = 8

@@ -108,6 +108,49 @@ object PqIndex {
       d.indexOf(d.min)
     }.toArray
 
+  /** RESIDUAL codebooks — trained on (vector − its assigned coarse
+    * centroid), the FAISS IVFPQ default: the coarse quantizer already
+    * explains the between-cell structure, so spending the 4-byte code
+    * budget on the raw vector re-encodes what the bucket id carries for
+    * free. Residuals concentrate near the origin with most of the coarse
+    * variance removed, so the same M×K codebooks quantize them with less
+    * error — recall at the same nprobe/R strictly improves (PqSpec pins
+    * it). Same driver-sized sample, same training contract; memoized
+    * under its own key. */
+  def trainedResidualModel(t: graft.Tables): Model =
+    cache.get(t.spark, s"${t.dir}#pqres$M-$K")({
+      val spark = t.spark
+      import spark.implicits._
+      val km = KMeansTrainer.trainedModel(t)
+      val sample = t.embeddings
+        .filter(col("vec_id") < SampleN)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      require(sample.length >= K,
+        s"PQ training needs >= $K sample vectors (vec_id < $SampleN), got ${sample.length}")
+      require(sample.forall(_._2.length == M * SubDim),
+        s"PQ expects ${M * SubDim}-dim embeddings")
+      val residuals = sample.toIndexedSeq.map { case (id, v) =>
+        val vd = v.map(_.toDouble).toArray
+        val c = km.centroids(KMeansTrainer.assignLocal(vd, km))
+        (id, Array.tabulate(vd.length)(i => vd(i) - c(i)))
+      }
+      val books = (0 until M).map { s =>
+        val sub = residuals.map { case (id, r) =>
+          (id, r.slice(s * SubDim, (s + 1) * SubDim))
+        }
+        KMeansTrainer.trainLocal(sub, K, MaxIters, Tol).centroids
+      }
+      Model(books)
+    })
+
+  /** Local residual encoder (parity oracle for the distributed residual
+    * path in PqSpec): assign → subtract → encode. */
+  def encodeResidualLocal(v: Array[Double], km: KMeansTrainer.Trained, m: Model): Array[Int] = {
+    val c = km.centroids(KMeansTrainer.assignLocal(v, km))
+    encodeLocal(Array.tabulate(v.length)(i => v(i) - c(i)), m)
+  }
+
   /** The corpus as (vec_id, embedding, codes) — encoding is a projection. */
   def encoded(t: graft.Tables): DataFrame = {
     val m = trainedModel(t)

@@ -505,5 +505,42 @@ object SimilarityQueries {
     adcRerank(enc.join(broadcast(q), "bucket"), e)
   }
 
-  val all: Seq[EngineQuery] = Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127)
+  /** IVF-PQ with RESIDUAL encoding — the FAISS IVFPQ default and q127's
+    * documented accuracy upgrade: codes quantize (vector − coarse
+    * centroid) instead of the raw vector, so the 4-byte budget covers only
+    * the within-cell offset the bucket id doesn't already carry. The
+    * query-side LUT is computed per PROBED bucket against the query's
+    * residual w.r.t. THAT bucket's centroid (ADC in residual space needs
+    * the same origin on both sides), which is why the LUT projection sits
+    * after the probe explode — still map-only literal-codebook math, still
+    * the same plan as q127: assignment/probes/encode/LUT are all
+    * expressions, bucket pruning is the equi-join against the broadcast
+    * query table, candidates ≈ nprobe·N/k. No oracle (doubly approximate);
+    * PqSpec asserts residual-encode parity vs the local encoder and
+    * recall@5 strictly above q127's raw-vector floor at the same
+    * nprobe/R. */
+  val q140 = EngineQuery("q140_knn_ivfpq_residual", None) { t =>
+    val km = graft.functions.KMeansTrainer.trainedModel(t)
+    val pqr = graft.functions.PqIndex.trainedResidualModel(t)
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val enc = e.select(col("vec_id"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+      graft.functions.PqIndex.encodeExpr(
+        graft.functions.KMeansTrainer.residualTo(
+          col("embedding"),
+          graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km), km),
+        pqr).as("codes"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(graft.functions.KMeansTrainer
+          .probeBuckets(col("embedding"), km, NProbe)).as("bucket"))
+      .select(col("query_id"), col("q_emb"), col("bucket"),
+        graft.functions.PqIndex.lutExpr(
+          graft.functions.KMeansTrainer.residualTo(col("q_emb"), col("bucket"), km),
+          pqr).as("lut"))
+    adcRerank(enc.join(broadcast(q), "bucket"), e)
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140)
 }
