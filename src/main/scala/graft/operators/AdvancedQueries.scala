@@ -770,7 +770,72 @@ object AdvancedQueries {
     }
   }
 
+  /** AQE skew-join — q68's problem with the OPTIMIZER doing the splitting,
+    * which is the knob a real cluster reaches for first (salting is the
+    * deterministic fallback when one key alone exceeds an executor). The
+    * join key is genuinely hot: `en` is ~40% of the documents corpus, so
+    * its reduce partition is ~2–3× the median, and the full text column
+    * deliberately rides the fact exchange (max(text) in the aggregate
+    * keeps pruning honest) the way a real document join carries payload.
+    *
+    * Runs in a CHILD session so the skew knobs are scoped to this query:
+    * detection thresholds are scaled to the gate corpus (the 256 MB
+    * default is calibrated for production partitions; skew is a RATIO
+    * property), broadcast is disabled + merge-hinted so the join is the
+    * SMJ that skew-split applies to, and forceOptimizeSkewedJoin accepts
+    * the extra downstream exchange (the split breaks the join's hash
+    * partitioning that the tier aggregate would otherwise reuse — the
+    * standard latency-for-balance trade). The fact side is repartitioned
+    * to stand in for the many-mapper stage a production corpus has (skew
+    * split regroups MAP-OUTPUT blocks; one small parquet file reads as
+    * one map task, which would leave nothing to regroup). Fully oracled —
+    * AQE must not change a single row — and SkewJoinSpec asserts
+    * `skew=true` on the executed SMJ plus ≥2 splits of the hot partition.
+    */
+  val q139 = EngineQuery(
+    "q139_skew_join_aqe",
+    Some("""WITH d AS (SELECT DISTINCT lang,
+           |             CASE WHEN lang = 'en' THEN 'head' ELSE 'tail' END AS tier
+           |           FROM documents)
+           |SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars,
+           |       substring(max(text), 1, 40) AS sample_text
+           |FROM documents JOIN d USING (lang)
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val s = t.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // one shuffle partition per lang with headroom, so the hot key's
+    // partition is measured alone (the production situation: a hot key's
+    // reducer, not a hot key hiding inside a fat hash bucket)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val td = new graft.Tables(s, t.dir)
+    val fact = td.documents
+      .select(col("lang"), col("n_chars"), col("text"))
+      .repartition(8)
+    // The dim is MATERIALIZED (localCheckpoint — 5 rows; in production it
+    // is a stored table) for two reasons: it mirrors reality, and
+    // OptimizeSkewedJoin's pattern requires each SMJ child to be
+    // sort-over-shuffle-stage — a distinct aggregation living between
+    // them keeps the rule from matching, measured on this exact query.
+    val dim = td.documents.select(col("lang")).distinct()
+      .withColumn("tier",
+        when(col("lang") === "en", lit("head")).otherwise(lit("tail")))
+      .localCheckpoint()
+      .hint("merge")
+    orderedByAll(
+      fact.join(dim, "lang")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          substring(max(col("text")), 1, 40).as("sample_text")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120, q128, q134)
+      q96, q103, q113, q116, q120, q128, q134, q139)
 }

@@ -535,7 +535,41 @@ object RelationalQueries {
     orderedByAll(wide.select(rows.as("r")).select(col("r.*")))
   }
 
+  /** q126's 100 TB knob as a first-class query: the SAME profile with
+    * approx_count_distinct (HLL++, rsd 0.02) in place of the exact
+    * multi-distinct. The payoff is in the plan: q126's exact NDVs force an
+    * Expand (3 distinct columns → 4 rows per input row through the
+    * aggregation); the sketch is an ordinary partial-aggregable function,
+    * so q138 is ONE pass with NO row multiplication — at 100 TB the Expand
+    * is the profiler's whole cost, and exact NDV is the wrong default.
+    * Approximate → no SQL oracle; ApproxProfileSpec bounds every sketched
+    * NDV against q126's exact value at the advertised rsd (q41's pattern)
+    * and asserts exact columns stay EQUAL, and PlanInvariantsSpec proves
+    * the Expand is gone. */
+  val q138 = EngineQuery("q138_profile_approx", None) { t =>
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    val wide = t.lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
+          round(min(col(c)), 4).as(s"min_$c"),
+          round(max(col(c)), 4).as(s"max_$c"),
+          round(avg(col(c)), 4).as(s"mean_$c"))
+      }: _*)
+    val rows = explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("n_distinct"),
+        col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"),
+        col(s"mean_$c").as("mean_v"))
+    }: _*))
+    orderedByAll(wide.select(rows.as("r")).select(col("r.*")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65, q98, q126)
+      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138)
 }
