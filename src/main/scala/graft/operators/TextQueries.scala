@@ -254,7 +254,7 @@ object TextQueries {
     * common-shingle COUNTS feed Jaccard, so the join key must distinguish
     * shingles, not just bucket them (contrast q24's LSH bands, which only
     * need candidate recall). */
-  private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[operators] def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val inv = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
@@ -516,12 +516,12 @@ object TextQueries {
     * transitive, but dedup GROUPS must be (A≈B, B≈C ⇒ one cluster), so real
     * pipelines cluster the pair graph before electing survivors. Each
     * superstep is one distributed join + min-aggregation; convergence takes
-    * O(component diameter) supersteps (near-dup clusters are shallow — at
-    * web scale with adversarial chains, swap in large-star/small-star, same
-    * loop shape). Per-iteration persist + unpersist of the previous labels
-    * keeps lineage and storage bounded; the label sum is monotonically
-    * decreasing, so it doubles as the fixpoint detector (one cheap agg per
-    * superstep, no expensive set comparison).
+    * O(component diameter) supersteps on the plain path (near-dup clusters
+    * are shallow), and the loop DEGRADES to pointer doubling past a depth
+    * probe for adversarially deep graphs — see [[propagateMinLabels]] and
+    * DeepGraphSpec. The label sum is monotonically decreasing, so it
+    * doubles as the fixpoint detector (one cheap agg per superstep, no
+    * expensive set comparison).
     */
   val q60 = EngineQuery(
     "q60_dedup_components",
@@ -568,50 +568,90 @@ object TextQueries {
   private def dedupClusterLabels(t: graft.Tables): org.apache.spark.sql.DataFrame =
     clusterLabelCache.get(t.spark, t.dir)(computeClusterLabels(t.documents))
 
-  private def computeClusterLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val pairs = ngramJaccardPairs(docs)
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+  private def computeClusterLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    propagateMinLabels(
+      ngramJaccardPairs(docs)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      maxIters = 40, doublingAfter = DoublingAfter)._1
+
+  /** Supersteps of plain propagation before the loop DEGRADES to pointer
+    * doubling. Near-dup corpora converge in ≲3 (diameter ≲3 after the
+    * min-neighbor init — measured in rounds 3–5), so production never
+    * crosses this; a graph still moving after 5 rounds is the adversarial
+    * deep-chain case where O(diameter) supersteps would dominate. */
+  private[operators] val DoublingAfter = 5
+
+  /** Min-label propagation over an undirected edge list (pairs given one
+    * direction; symmetrized here) with a DEPTH-PROBED degrade path:
+    *
+    *  - plain loop (one edge-join + min-agg per superstep): cheapest per
+    *    round, O(diameter) rounds — wins on the shallow graphs near-dup
+    *    clustering actually produces (pointer doubling was measured ~2×
+    *    slower per round here in round 3, all overhead on diameter ≲3).
+    *  - after [[DoublingAfter]] unconverged rounds, each superstep ALSO
+    *    jumps label(u) → label(label(u)) (a labels self-join — valid
+    *    because every label IS a node id present in the label table):
+    *    chain depth halves per round, so convergence is O(log diameter)
+    *    from wherever the plain loop left off. This is the documented
+    *    upgrade path for adversarially deep graphs (long re-post chains),
+    *    now wired instead of only documented; DeepGraphSpec proves it
+    *    equal on a deep chain where doubling wins by an order of
+    *    magnitude in rounds.
+    *
+    * The label sum is monotonically decreasing and doubles as the fixpoint
+    * detector (one cheap agg per superstep). Each superstep eagerly
+    * localCheckpoints its labels: the materialization is the same cost the
+    * old persist+sum paid, but it also TRUNCATES lineage — the plain
+    * persist kept the full logical plan growing by a join per round, which
+    * is invisible at diameter ≲3 and an O(rounds²) plan-compile blow-up on
+    * exactly the deep graphs this degrade path exists for (measured: OOM
+    * in plan stringification at diameter 40). Checkpoint blocks free via
+    * the ContextCleaner as each round's RDD goes out of scope. Returns the
+    * converged (doc_id, label) set and the superstep count it took. */
+  private[operators] def propagateMinLabels(
+      pairs: org.apache.spark.sql.DataFrame,
+      maxIters: Int,
+      doublingAfter: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
     // Init folds the first propagation in: label(u) = min(u, min neighbor).
     var labels = edges
       .groupBy(col("a").as("doc_id"))
       .agg(least(col("doc_id"), min(col("b"))).as("label"))
-      .persist()
+      .localCheckpoint()
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
-      // One superstep per materialization. Two batching variants were
-      // measured here and both LOST to this plain loop on the shallow
-      // near-dup graph (diameter ≲ 3 after the min-neighbor init):
-      // pointer doubling (label(label(u)) per round) and two-supersteps-per-
-      // convergence-check — each deepens the per-materialization plan by a
-      // join, and the added codegen/execution cost exceeded the saved
-      // coordinator rounds. For adversarially deep graphs those (or
-      // large-star/small-star) are the upgrade path; the loop shape holds.
+    while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("a") === labels("doc_id"))
         .select(col("b").as("doc_id"), col("label"))
-      val next = labels.unionByName(prop)
+      val stepped =
+        if (iter < doublingAfter) labels.unionByName(prop)
+        else {
+          // pointer jump: label(u) ← min(label(u), label(label(u)))
+          val l2 = labels.select(col("doc_id").as("jd"), col("label").as("jlabel"))
+          val jumped = labels.join(l2, col("label") === col("jd"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+          jumped.unionByName(prop)
+        }
+      val next = stepped
         .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
-    // Hand the caller a self-releasing result: eagerly localCheckpoint the
-    // converged labels (one cheap job off the still-cached plan), then drop
-    // the CacheManager entry. The checkpointed blocks live at the RDD layer,
-    // so the ContextCleaner frees them once the caller's DataFrame goes out
-    // of scope — callers of a returned DataFrame have no hook to unpersist a
-    // CacheManager pin themselves (the round-3 leak in q60/q87).
-    val out = labels.localCheckpoint()
-    labels.unpersist()
-    out
+    // The returned labels are already a checkpointed, CacheManager-free
+    // scan: callers hold plain RDD blocks that the ContextCleaner frees
+    // once the DataFrame goes out of scope (the round-3 leak fix — a
+    // returned DataFrame gives callers no hook to unpersist a CacheManager
+    // pin themselves).
+    (labels, iter)
   }
 
   /** Near-dup corpus purge — the OUTPUT side of dedup clustering: from each
