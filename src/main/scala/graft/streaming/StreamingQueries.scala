@@ -339,5 +339,54 @@ object StreamingQueries {
         coalesce(col("v_id"), lit(-1L)).as("v_id"), col("p_ts"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80, q124)
+  /** q59's ordered funnel maintained as RUNNING per-user state on Spark
+    * 4's arbitrary-state v2 surface ([[StatefulFunnel]] —
+    * `transformWithState`, ValueState + TTL): the same StatefulProcessor
+    * runs here in BATCH mode (one handleInputRows per user over the whole
+    * corpus, so the update is its exact set-algebra form) and is oracled
+    * against q59's three-join SQL; StreamingFunnelSpec replays the corpus
+    * through the STREAMING twin on the RocksDB store and asserts the same
+    * three conversion counts. State per user is three timestamps — the
+    * funnel a 100 TB clickstream keeps per user instead of re-joining its
+    * history per refresh. */
+  val q141 = EngineQuery(
+    "q141_stream_funnel",
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+           |       WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           |       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+           |       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after""".stripMargin)) { t =>
+    // Batch transformWithState still loads its transient stores through the
+    // StateStoreCoordinator, whose RPC endpoint the StreamingQueryManager
+    // registers lazily — touch it so a batch-only session (Verify) has one.
+    t.spark.streams.active
+    StatefulFunnel.funnelStream(t.events, java.time.Duration.ofDays(30)).toDF()
+      .agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_click_after"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchase_after"))
+  }
+
+  /** Streaming twin of q141 over a staged file source — the processor on
+    * its production surface (RocksDB-backed state, Update mode). The
+    * caller's session must set the RocksDB state-store provider. */
+  def funnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_funnel")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = Tables.nanosToMicros(
+      spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
+    StatefulFunnel.funnelStream(stream, java.time.Duration.ofDays(30)).toDF()
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80, q124, q141)
 }
