@@ -179,13 +179,14 @@ object AdvancedQueries {
     *  2. local rank = row_number over a window PARTITIONED by
     *     spark_partition_id() — every range partition ranks in parallel;
     *  3. the per-partition counts (one row per range partition — cluster
-    *     parallelism, NOT data size, and AQE coalesces it) get cumulative
-    *     offsets via a tiny triangular self-join (no driver collect, no
-    *     1-partition window) and broadcast back. The triangle is O(P²)
-    *     filter evaluations: negligible through P ≈ 10⁴; a job ranging to
-    *     10⁵+ reduce partitions swaps in a two-level block-prefix (triangle
-    *     within √P-sized blocks, then across blocks), same declarative
-    *     shape;
+    *     parallelism, NOT data size) get cumulative offsets and the total
+    *     via windows over the counts table itself and broadcast back. The
+    *     single-task window is deliberate and scale-safe: the rows through
+    *     it number the REDUCERS (P ≈ 10²–10⁴ pairs of longs), not the
+    *     data — this is the one shape where a no-partition window is
+    *     right, and it keeps every offsets consumer on the one counts
+    *     aggregate (the previous triangular self-join re-derived counts
+    *     per consumer: three customer scans in the round-5 plan dump);
     *  4. the exact ntile bucket comes from the global rank in closed form:
     *     with q = N div k, m = N mod k (first m buckets take q+1 rows —
     *     ntile's big-buckets-first contract, NOT the interleaved
@@ -206,15 +207,25 @@ object AdvancedQueries {
     val parted = t.customer.select(col("c_acctbal"), col("c_custkey"))
       .repartitionByRange(col("c_acctbal"), col("c_custkey"))
       .withColumn("pid", spark_partition_id())
+    // ONE per-pid count aggregate; start(pid) = rows in all lower
+    // partitions and total = N both derive from it IN PLACE via windows
+    // over the counts table — P rows of two longs (cluster parallelism,
+    // not data size), the one situation where a no-partition window is the
+    // right tool: a single task summing 10⁴ tiny rows. The round-5 shape
+    // derived counts three times (a triangular self-join + a total
+    // aggregate, each re-planned from the raw table — three customer scans
+    // and two nested-loop joins in the dump); this keeps every consumer on
+    // the SAME range exchange in the SAME job, which is also what makes it
+    // correct: range boundaries are sampled per exchange, so offsets
+    // computed in a separate job could disagree with the rank pass's pids.
+    // PlanInvariantsSpec pins both (single scan + ReusedExchange).
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
-    // start(pid) = rows in all lower partitions; total = N. Triangular
-    // self-join over |partitions| rows — distributed cumulative sum without
-    // a no-partition window.
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.pid") <= col("a.pid"))
-      .groupBy(col("a.pid").as("pid"))
-      .agg((sum(col("b.pn")) - first(col("a.pn"))).as("start"))
-      .crossJoin(broadcast(counts.agg(sum(col("pn")).as("total"))))
+    val wCum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("pid"),
+      coalesce(sum(col("pn")).over(wCum), lit(0L)).as("start"),
+      sum(col("pn")).over(wTot).as("total"))
     val lw = Window.partitionBy("pid").orderBy(col("c_acctbal"), col("c_custkey"))
     val qq = floor(col("total") / k).cast("long")
     val m = col("total") % k

@@ -221,6 +221,24 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("q70: exact ntile reads customer exactly once in the executed plan") {
+    // the round-5 shape derived the per-pid counts three times (triangular
+    // self-join + total aggregate, each re-planned from the raw table —
+    // three scans and two nested-loop joins in the dump); offsets and total
+    // now derive from ONE counts aggregate via windows over the
+    // parallelism-sized counts table, so after AQE's exchange reuse the
+    // executed plan touches customer once
+    val df = graft.SparkEntry.queries("q70_ntile_bucket")(spark, sf001)
+    df.collect()
+    // the adaptive plan string appends the pre-execution "Initial Plan"
+    // (where the duplicated subtrees are still visible) — assert on the
+    // final section only
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(fin).length
+    assert(scans == 1, s"q70 executed $scans customer scans, expected 1:\n" + fin.take(1500))
+    assert(!fin.contains("BroadcastNestedLoopJoin"), fin.take(1500))
+  }
+
   test("q133: the fact scan carries a dynamic partition-pruning filter from the dim") {
     val p = plan("q133_dpp_join")
     // runtime pruning: the partitioned fact's PartitionFilters must contain
