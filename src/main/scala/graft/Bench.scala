@@ -76,6 +76,35 @@ object Bench {
         (n, math.min(t1, t2), e1.orElse(e2))
       }
     }
+    // Layout audit (untimed, after the passes so the memoized layouts
+    // already exist): the data-skipping layouts must actually SKIP at bench
+    // scale, asserted from runtime scan metrics — a layout regression (e.g.
+    // dictionary encoding silently re-enabled on the bloom column, or the
+    // z-order write losing its range exchange) fails the bench gate here,
+    // not just the unit spec. Ratios measured at sf0.1: bloom probe scans
+    // 0.38 of rows (46/120 row groups survive the IN-probe blooms — min/max
+    // can't prune an unsorted key, so any skip is the blooms'), the 10%
+    // z-band scans 0.33; thresholds leave ~1.8× headroom but fail loudly at
+    // the no-skip ratio of 1.0. Guarded to bench scale — below ~sf0.1 the
+    // 5k-row groups each hold most of the small key domain and blooms
+    // legitimately cannot prune.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val t = Tables.forPath(spark, sfDir)
+      val total = t.lineitem.count()
+      if (total >= 500000) {
+        val bloom = spark.read.parquet(graft.operators.SinkQueries.bloomDir(t))
+          .filter(col("l_partkey").isin(42, 4242))
+        val bScan = graft.plans.PlanMetrics.run(bloom).scanOutputRows.sum
+        require(bScan < (total * 0.6).toLong,
+          s"layout audit: bloom probe scanned $bScan of $total rows — footer blooms not skipping")
+        val z = spark.read.parquet(graft.operators.SinkQueries.zorderedDir(t))
+          .filter(col("l_partkey") <= 2000)
+        val zScan = graft.plans.PlanMetrics.run(z).scanOutputRows.sum
+        require(zScan < (total * 0.7).toLong,
+          s"layout audit: z-order band scanned $zScan of $total rows — clustering stats not skipping")
+      }
+    }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
     def jnum(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -523,21 +523,30 @@ object SimilarityQueries {
     val km = graft.functions.KMeansTrainer.trainedModel(t)
     val pqr = graft.functions.PqIndex.trainedResidualModel(t)
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
-    val enc = e.select(col("vec_id"),
-      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
-      graft.functions.PqIndex.encodeExpr(
+    // Staged projections, not nesting: encodeExpr/lutExpr reference their
+    // input once per codeword (M×K = 64×), and these higher-order
+    // expressions are interpreted — inlining the residual (which itself
+    // embeds the coarse argmin) re-evaluates it 64× per row (measured 15×
+    // the q127 runtime). As separate aliases, bucket and res are computed
+    // once per row; CollapseProject keeps them materialized because a
+    // non-cheap producer referenced more than once is never inlined.
+    val enc = e
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+      .select(col("vec_id"), col("bucket"),
         graft.functions.KMeansTrainer.residualTo(
-          col("embedding"),
-          graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km), km),
-        pqr).as("codes"))
+          col("embedding"), col("bucket"), km).as("res"))
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.PqIndex.encodeExpr(col("res"), pqr).as("codes"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(graft.functions.KMeansTrainer
           .probeBuckets(col("embedding"), km, NProbe)).as("bucket"))
       .select(col("query_id"), col("q_emb"), col("bucket"),
-        graft.functions.PqIndex.lutExpr(
-          graft.functions.KMeansTrainer.residualTo(col("q_emb"), col("bucket"), km),
-          pqr).as("lut"))
+        graft.functions.KMeansTrainer.residualTo(
+          col("q_emb"), col("bucket"), km).as("qres"))
+      .select(col("query_id"), col("q_emb"), col("bucket"),
+        graft.functions.PqIndex.lutExpr(col("qres"), pqr).as("lut"))
     adcRerank(enc.join(broadcast(q), "bucket"), e)
   }
 

@@ -167,7 +167,7 @@ object SinkQueries {
     * the re-layout lossless. */
   private val zorderLayouts = new graft.SessionCache[String]
 
-  private[operators] def zorderedDir(t: graft.Tables): String =
+  private[graft] def zorderedDir(t: graft.Tables): String =
     zorderLayouts.get(t.spark, t.dir)({
       val out = java.nio.file.Files
         .createTempDirectory("graft_q114_zorder").toString
@@ -411,12 +411,19 @@ object SinkQueries {
     * IO differs). Layout memoized per (session, dir). */
   private val bloomLayouts = new graft.SessionCache[String]
 
-  private[operators] def bloomDir(t: graft.Tables): String =
+  private[graft] def bloomDir(t: graft.Tables): String =
     bloomLayouts.get(t.spark, t.dir)({
       val out = java.nio.file.Files
         .createTempDirectory("graft_q137_bloom").toString
       t.lineitem
         .write.mode("overwrite")
+        // row-group-sized files: a bloom prunes per ROW GROUP, and a group
+        // can only say "absent" if the key's rows aren't in it — at gate
+        // scale a 100k-row group holds nearly every partkey, so the layout
+        // is written in 5k-row groups (the 100 TB reality arrives by
+        // itself: NDV ≫ rows-per-group). Bench's layout audit asserts the
+        // probe actually skips most groups at sf0.1.
+        .option("maxRecordsPerFile", 5000)
         .option("parquet.bloom.filter.enabled#l_partkey", "true")
         .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
         // parquet-mr SKIPS the bloom for a fully dictionary-encoded chunk

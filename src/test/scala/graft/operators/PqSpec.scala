@@ -80,13 +80,16 @@ class PqSpec extends SharedSparkSpec {
     import spark.implicits._
     val km = graft.functions.KMeansTrainer.trainedModel(t)
     val m = PqIndex.trainedResidualModel(t)
+    // staged exactly like q140's production path: bucket and residual are
+    // materialized aliases, never inlined into the 64-reference encodeExpr
     val enc = t.embeddings
       .select(col("vec_id"), col("embedding"),
-        PqIndex.encodeExpr(
-          graft.functions.KMeansTrainer.residualTo(
-            col("embedding"),
-            graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km), km),
-          m).as("codes"))
+        graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.KMeansTrainer.residualTo(
+          col("embedding"), col("bucket"), km).as("res"))
+      .select(col("vec_id"), col("embedding"),
+        PqIndex.encodeExpr(col("res"), m).as("codes"))
       .as[(Long, Seq[Float], Seq[Int])].collect()
     assert(enc.nonEmpty)
     enc.foreach { case (_, emb, codes) =>
