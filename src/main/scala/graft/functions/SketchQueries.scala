@@ -161,5 +161,32 @@ object SketchQueries {
             .as("upper_bound")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121)
+  /** Mergeable HLL sketch ROLLUP (DataSketches `hll_sketch_agg` /
+    * `hll_union_agg`) — the pre-aggregation pattern that carries distinct
+    * counts at 100 TB. q41/q138's `approx_count_distinct` keeps its HLL++
+    * partials OPAQUE (they exist only inside one aggregation); here the
+    * sketch is a first-class VALUE: built once per (event_type, day) — the
+    * only corpus pass — then any coarser NDV (per event_type here) is a
+    * union of the stored sketch bytes, never a re-scan of raw events. This
+    * is exactly the nightly-rollup-table shape: persist the daily sketches,
+    * answer month/quarter/all-time distinct-user questions by unioning
+    * KB-sized states. The estimate is merge-order invariant (HLL registers
+    * combine by max) → deterministic across runs, but engine-specific → no
+    * SQL oracle; SketchRollupSpec asserts union-of-parts == sketch-of-whole
+    * (re-aggregation is lossless) and 5σ accuracy vs the exact NDV at the
+    * lgK=12 rsd, and that the exact columns riding along stay exact. */
+  val q143 = EngineQuery("q143_sketch_rollup", None) { t =>
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+    orderedByAll(
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n_events")).as("n_events"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_users")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121, q143)
 }

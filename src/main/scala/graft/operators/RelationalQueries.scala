@@ -569,7 +569,33 @@ object RelationalQueries {
     orderedByAll(wide.select(rows.as("r")).select(col("r.*")))
   }
 
+  /** Linear-regression aggregates per group — the OLS surface past q56's
+    * corr/covar: slope, intercept, R², point count of y = l_extendedprice
+    * on x = l_quantity per return flag. Like every second-moment aggregate,
+    * regr_* partials are (n, Σx, Σy, Σx², Σxy) tuples merged map-side, so
+    * the shuffle carries O(|groups|) moment rows, never data — the per-group
+    * model-fit plan shape that holds unchanged at 100 TB. Slope/intercept
+    * are O(10²–10⁴) ratios of the moment sums, far from q117's
+    * round-of-big-sum trap (noise ~1e-8 vs the 5e-5 grain). */
+  val q142 = EngineQuery(
+    "q142_regr_funcs",
+    Some("""SELECT l_returnflag,
+           |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
+           |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           |       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x
+           |FROM lineitem GROUP BY l_returnflag ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.lineitem.groupBy("l_returnflag").agg(
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pts"),
+        round4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+        round4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"),
+        round4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
+        round4(regr_avgx(col("l_extendedprice"), col("l_quantity"))).as("avg_x")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138)
+      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142)
 }

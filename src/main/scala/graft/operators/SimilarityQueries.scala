@@ -94,19 +94,23 @@ object SimilarityQueries {
     // recompute lost blocks) — there, persist + an after-action release hook
     // is the knob.
     val cand = minhashCandidatePairs(base).localCheckpoint(eager = false)
-    // ONE more corpus pass fetches the shingle sets of just the docs that
-    // appear in a candidate pair; materialized once because both
-    // verification join sides read it. (The previous formulation joined the
-    // full corpus shingle table twice — two corpus-wide shuffles of
-    // document-sized arrays, or a corpus-wide cache. The candidate-
-    // restricted slice is the 100 TB-safe middle: memory bounded by
-    // |candidates|.)
+    orderedByAll(verifyCandidates(cand, base))
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs (shared by q24 and
+    * q145): ONE corpus pass fetches the shingle sets of just the docs that
+    * appear in a candidate pair; materialized once because both
+    * verification join sides read it. (The corpus-wide alternative joined
+    * the full shingle table twice — two corpus-wide shuffles of
+    * document-sized arrays, or a corpus-wide cache. The candidate-
+    * restricted slice is the 100 TB-safe middle: memory bounded by
+    * |candidates|.) */
+  private def verifyCandidates(cand: DataFrame, base: DataFrame): DataFrame = {
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val candSh = base.join(candDocs, Seq("doc_id")).localCheckpoint(eager = false)
-    // Exact Jaccard verification on candidates only.
-    val verified = cand
+    cand
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("jaccard",
@@ -114,7 +118,6 @@ object SimilarityQueries {
           size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
-    orderedByAll(verified)
   }
 
   /** Cosine via the native codegen'd Catalyst expression — bit-identical to
@@ -550,6 +553,58 @@ object SimilarityQueries {
     adcRerank(enc.join(broadcast(q), "bucket"), e)
   }
 
+  /** The MinHash LSH index AT REST — q24's banded rows `(band, bh, doc_id)`
+    * written ONCE bucketed by the FULL serving key (band, bh), memoized per
+    * (session, dir): the corpus-scale work of fuzzy dedup (shingling the
+    * text and hashing 64 min-hashes per doc) is paid at index-build, q144's
+    * pattern applied to the MinHash family. 24 bytes × 16 bands per doc at
+    * rest. Both key columns must be bucket columns: v1 bucketing elides the
+    * join exchange only when join keys equal bucket columns exactly
+    * (bh-only bucketing re-shuffled both sides — measured). */
+  private val minhashLayouts = new graft.SessionCache[String]
+
+  private[graft] def minhashBandTable(t: graft.Tables): String =
+    minhashLayouts.get(t.spark, t.dir)({
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val tbl = s"graft_mh_bands_$tag"
+      val sigs = shingled(t.documents)
+        .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 4 + 1 to b * 4 + 4).map(j => element_at(col("sig"), j)): _*).as("bh"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+        .select(col("x.band").as("band"), col("x.bh").as("bh"), col("doc_id"))
+      graft.sources.LayoutWriter.writeBucketed(bands, tbl, Seq("band", "bh"), 8, "overwrite")
+      tbl
+    })
+
+  /** q24's MinHash near-dup pairs served from the STORED band index: once
+    * the index outgrows the broadcast threshold (always, at corpus scale)
+    * the self-join runs off the table's (band, bh) bucketing with NO
+    * exchange on the band keys (MinhashLayoutSpec pins that shape with
+    * broadcast disabled; under the threshold AQE broadcasts, equally
+    * shuffle-free on the big side), candidate pairs then dedup with a
+    * groupBy bounded by |candidates| (the stored index is 3 lean columns,
+    * so pair dedup replaces q24's ride-along bhs-array canonical-band test
+    * — a candidate-sized shuffle traded for a 16×-smaller index), and the
+    * exact-Jaccard verification tail is shared with q24. Same output as
+    * q24 by construction (same bands, same threshold — the spec pins
+    * row-for-row equality); no SQL oracle for the same reason q24 has
+    * none. */
+  val q145 = EngineQuery("q145_minhash_layout", None) { t =>
+    val idx = t.spark.table(minhashBandTable(t))
+    val cand = idx.as("l")
+      .join(idx.as("r"), Seq("band", "bh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("nb"))
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    orderedByAll(verifyCandidates(cand, shingled(t.documents)))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140)
+    Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145)
 }

@@ -1097,7 +1097,73 @@ object TextQueries {
         .select(col("batch_doc"), col("corpus_doc"), round4(jac).as("jaccard")))
   }
 
+  /** q36's inverted index AT REST — postings `(s = xxhash64(shingle),
+    * doc_id)` written ONCE as a bucketed-by-s table (the join key), so the
+    * expensive part of n-gram similarity (shingling the corpus text and
+    * shuffling the exploded postings) is paid at index-build and never
+    * again. Memoized per (session, dir) like q94's buckets — first call
+    * builds, warm calls measure index-served queries. */
+  private val postingsLayouts = new graft.SessionCache[String]
+
+  private[graft] def postingsTable(t: graft.Tables): String =
+    postingsLayouts.get(t.spark, t.dir)({
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val tbl = s"graft_postings_$tag"
+      val inv = t.documents
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+      graft.sources.LayoutWriter.writeBucketed(inv, tbl, "s", 8)
+      tbl
+    })
+
+  /** q36's exact n-gram Jaccard pairs served from the STORED postings index
+    * instead of live shingling — the production shape of repeated similarity
+    * queries over a 100 TB corpus: queries scan compact 16-byte postings
+    * (never the text), and because both sides of the self-join share the
+    * table's bucketing+sort on `s`, the join runs with ZERO exchange and
+    * ZERO sort (PlanInvariantsSpec asserts both scans are `Bucketed: true`
+    * and no hash exchange on s survives) — q36 pays the postings shuffle
+    * per query, q144 paid it once at the write. Set sizes derive from the
+    * index itself (count per doc_id — postings are distinct shingles per
+    * doc by construction), so the corpus text is not touched at all. Oracle:
+    * byte-identical SQL to q36 — hash-matching the live-computed answer
+    * proves the layout lossless. */
+  val q144 = EngineQuery(
+    "q144_postings_layout",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val inv = t.spark.table(postingsTable(t))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common")).cast("double")
+    orderedByAll(
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125)
+      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144)
 }

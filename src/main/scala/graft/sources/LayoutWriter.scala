@@ -143,10 +143,23 @@ object LayoutWriter {
       bucketCol: String,
       buckets: Int,
       mode: String = "overwrite"): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets, mode)
+
+  /** Multi-column bucketing: v1 bucketing elides the join exchange only
+    * when the join keys EXACTLY equal the bucket columns (a join on
+    * (band, bh) over a table bucketed by bh alone re-shuffles both sides —
+    * measured), so composite-keyed layouts must bucket by the full key
+    * list. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      mode: String): Unit =
     df.write
       .mode(mode)
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 }
