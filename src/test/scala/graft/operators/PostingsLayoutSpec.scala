@@ -39,4 +39,13 @@ class PostingsLayoutSpec extends SharedSparkSpec {
     val t = new graft.Tables(spark, sf001)
     assert(TextQueries.postingsTable(t) == TextQueries.postingsTable(t))
   }
+
+  test("q144 never touches the corpus: no documents scan, no text column anywhere") {
+    // the point of the index at rest — sizes, candidates and Jaccard all
+    // derive from the stored postings; a regression that re-shingles the
+    // corpus per query would re-introduce the documents scan
+    val p = TextQueries.q144.run(spark, sf001).queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"), p.take(1500))
+    assert(!p.contains("text#"), p.take(1500))
+  }
 }
