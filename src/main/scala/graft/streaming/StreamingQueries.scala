@@ -388,5 +388,76 @@ object StreamingQueries {
     StatefulFunnel.funnelStream(stream, java.time.Duration.ofDays(30)).toDF()
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80, q124, q141)
+  /** Chained windowed aggregation — the two-level rollup every metrics
+    * pipeline runs: 5-minute partials first, the hourly figure summed FROM
+    * the partials (never re-reading raw events), plus `n_slices`, the count
+    * of non-empty 5-minute slices, which only the two-level shape can
+    * produce. Batch form is the DuckDB-oracled contract (nested GROUP BY);
+    * the Structured Streaming twin ([[chainedWindowStream]]) runs the same
+    * plan as TWO stateful operators in one query — Spark 3.4+ multiple-
+    * stateful-operator support, the second agg keyed on
+    * `window(window_time(w5), '1 hour')`. Scale design: the first agg does
+    * the map-side-combinable heavy lift over raw events; the second
+    * aggregates ~12 partial rows per (hour, type) — at 100 TB the rollup
+    * input is MB-scale regardless of event volume, the same
+    * never-rescan-raw economics as q143's sketch rollup. */
+  val q147 = EngineQuery(
+    "q147_chained_windows",
+    Some("""WITH s AS (
+           |  SELECT epoch_us(ts)//1000000//300*300 AS ws5, event_type,
+           |         count(*) AS cnt5, sum(value) AS sv5
+           |  FROM events GROUP BY 1, 2)
+           |SELECT ws5//3600*3600 AS ws, event_type,
+           |       CAST(sum(cnt5) AS BIGINT) AS cnt, round(sum(sv5), 4) AS sum_v,
+           |       CAST(count(*) AS BIGINT) AS n_slices
+           |FROM s GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(chainedShape(t.events))
+  }
+
+  private def chainedShape(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w5"), col("event_type"))
+      .agg(count(lit(1)).as("cnt5"), sum(col("value")).as("sv5"))
+      .groupBy(window(window_time(col("w5")), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("cnt5")).cast("long").as("cnt"), round4(sum(col("sv5"))).as("sum_v"),
+        count(lit(1)).as("n_slices"))
+      .select(epochSec(col("w.start")).as("ws"), col("event_type"),
+        col("cnt"), col("sum_v"), col("n_slices"))
+
+  /** Streaming twin of q147: both window aggs stateful in ONE query. Multiple
+    * stateful operators only run in append mode, where a window is emitted
+    * when the watermark passes its end — so the staging writes a far-future
+    * sentinel file as a SECOND micro-batch (file source replays files in
+    * mtime order, one per trigger) to push the final watermark past every
+    * real window; the sentinel's own rows are filtered post-agg. */
+  def chainedWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = new Tables(spark, sfDir).events
+    // Stage lowered (µs) copies: b1 = the real events, b2 = one far-future
+    // sentinel row. The file source replays them in mtime order (b1 was
+    // written first), one file per trigger.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_chained")
+    events.coalesce(1).write.parquet(s"$streamDir/b1_events")
+    // TWO sentinel batches: state eviction runs against the watermark set by
+    // the PREVIOUS batch, so the first sentinel advances the watermark past
+    // every real window and the second triggers the batch whose eviction
+    // cascades agg1's final slices through agg2 to the sink (AvailableNow
+    // does not run a trailing no-data batch here).
+    for ((h, b) <- Seq(10 -> "b2_sentinel", 30 -> "b3_sentinel2"))
+      events.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr(s"interval $h hours"))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.parquet(s"$streamDir/$b")
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$streamDir/b*")
+      .withWatermark("ts", "2 hours")
+    // NOTE: the sentinel hour stays in the output — a `event_type !=
+    // 'sentinel'` filter here is pushed below the watermark to the scan,
+    // where row-group stats prune the whole sentinel file and the watermark
+    // never advances. Callers drop the sentinel rows after collection.
+    chainedShape(stream)
+  }
+
+  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147)
 }

@@ -241,4 +241,29 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("q147 chained-window streaming twin (two stateful aggs) equals batch result") {
+    val batch = StreamingQueries.q147.run(spark, sf001)
+      .collect().map(_.toSeq).toSet
+
+    // Append mode is REQUIRED here — multiple stateful operators don't run
+    // in complete mode; the far-future sentinel batch advances the final
+    // watermark past every real hour so append withholds nothing.
+    val q = StreamingQueries.chainedWindowStream(spark, sf001)
+      .writeStream
+      .format("memory")
+      .queryName("q147_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Sentinel hours are dropped HERE, not in the stream — a post-agg
+    // filter would push below the watermark to the scan and prune the
+    // sentinel file before it can advance the watermark.
+    val streamed = spark.table("q147_stream_test").collect().map(_.toSeq)
+      .filterNot(_(1) == "sentinel").toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
