@@ -116,5 +116,82 @@ object GraphQueries {
           round4(col("rank") * 1000).as("rank_x1k")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q122)
+  /** Distinct undirected co-purchase edges (u < v): customers who bought
+    * the same part, restricted to high-quantity lineitems so per-part
+    * customer lists (and the pair expansion) stay bounded. The quantity
+    * filter reaches the lineitem scan; the only data-scale exchanges are
+    * the (part, cust) distinct and the per-part self-join — whose skew is
+    * bounded by the largest per-part list, the knob the filter controls. */
+  private[operators] def coPurchaseEdges(t: Tables): DataFrame = {
+    val pc = t.lineitem.filter(col("l_quantity") > 45)
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
+      .distinct()
+    val a = pc.select(col("p"), col("c").as("u"))
+    val b = pc.select(col("p").as("p2"), col("c").as("v"))
+    a.join(b, col("p") === col("p2") && col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Triangle counting by DEGREE-ORDERED ORIENTATION (compact-forward):
+    * orient every edge from its lower-(deg, id) endpoint to the higher, so
+    * wedges form only at an edge's LOW-degree end — the heavy hubs of a
+    * skewed graph never serve as apex and the per-apex wedge list is
+    * bounded by out-degree ≤ O(√m), turning the naive deg² hub blowup into
+    * the m^1.5 worst case the algorithm is known for. The wedge build and
+    * the closing-edge probe are plain equi-joins (on apex, then on the
+    * oriented (src, dst) pair) — shuffle-partitioned, broadcast-free at
+    * graph scale; the degree table rides along as two id-scale joins.
+    * Each triangle is found exactly once (its apex is the minimum-(deg, id)
+    * corner), so per-node participation counts are an explode + groupBy
+    * away. The DuckDB oracle enumerates triangles by id order (a<b<c) —
+    * a different orientation of the SAME triangle set — and must agree on
+    * every per-node count. */
+  val q148 = EngineQuery(
+    "q148_triangles",
+    Some("""WITH pc AS (SELECT DISTINCT l_partkey AS p, o_custkey AS c
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |            WHERE l_quantity > 45),
+           |e AS (SELECT DISTINCT a.c AS u, b.c AS v
+           |      FROM pc a JOIN pc b ON a.p = b.p AND a.c < b.c),
+           |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+           |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+           |SELECT node, CAST(count(*) AS BIGINT) AS tri
+           |FROM (SELECT a AS node FROM tri UNION ALL
+           |      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      triangles(coPurchaseEdges(t))
+        .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri")))
+  }
+
+  /** (apex, x, y) triangle enumeration, each triangle exactly once. */
+  private[operators] def triangles(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // Orient low-(deg, id) → high; carry the dst's degree for the wedge
+    // canonical order and the closing probe.
+    val uLow = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = withDeg.select(
+      when(uLow, col("u")).otherwise(col("v")).as("src"),
+      when(uLow, col("v")).otherwise(col("u")).as("dst"),
+      when(uLow, col("dv")).otherwise(col("du")).as("ddeg"))
+    val e1 = o.select(col("src").as("apex"), col("dst").as("x"), col("ddeg").as("dx"))
+    val e2 = o.select(col("src").as("apex2"), col("dst").as("y"), col("ddeg").as("dy"))
+    val wedges = e1.join(e2,
+      col("apex") === col("apex2") &&
+        (col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))))
+    wedges
+      .join(o, col("src") === col("x") && col("dst") === col("y"))
+      .select(col("apex"), col("x"), col("y"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q122, q148)
 }
