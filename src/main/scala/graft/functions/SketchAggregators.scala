@@ -133,4 +133,33 @@ object SketchAggregators {
     override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
+
+  /** Relative-error quantile summary in the DDSketch construction (Masson,
+    * Lee, Rigollet — VLDB'19, public paper): a positive value lands in
+    * exponential bucket i = ⌈log_γ(x)⌉ with γ = (1+α)/(1-α), so every value
+    * in bucket i lies within relative error α of the bucket midpoint
+    * 2γ^i/(γ+1). State is the bucket→count map — a few hundred entries for
+    * any n at α=1% — and MERGE IS EXACT (counts add, order-invariant),
+    * which is the property q149 exploits: stored per-day maps re-aggregate
+    * to any coarser grain losslessly, so rolled-up quantiles carry the SAME
+    * α guarantee as a direct sketch of the raw stream. Quantile extraction
+    * happens downstream in plain SQL (cumulative counts over bucket order);
+    * the aggregator only maintains counts. Input must be > 0. */
+  final class DdSketchAgg(gamma: Double)
+      extends Aggregator[Double, Map[Int, Long], Map[Int, Long]] {
+    private def bucket(x: Double): Int =
+      math.ceil(math.log(x) / math.log(gamma)).toInt
+    override def zero: Map[Int, Long] = Map.empty
+    override def reduce(b: Map[Int, Long], x: Double): Map[Int, Long] = {
+      val i = bucket(x)
+      b.updated(i, b.getOrElse(i, 0L) + 1L)
+    }
+    override def merge(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+      b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+    override def finish(b: Map[Int, Long]): Map[Int, Long] = b
+    override def bufferEncoder: Encoder[Map[Int, Long]] =
+      ExpressionEncoder[Map[Int, Long]]()
+    override def outputEncoder: Encoder[Map[Int, Long]] =
+      ExpressionEncoder[Map[Int, Long]]()
+  }
 }

@@ -188,5 +188,50 @@ object SketchQueries {
             .as("approx_users")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121, q143)
+  private val QAlpha = 0.01
+  private[graft] val QGamma = (1 + QAlpha) / (1 - QAlpha)
+
+  /** Per-(event_type, day) DDSketch bucket counts rolled up to per-type —
+    * the single corpus pass, then map-explode + per-bucket sum (exact,
+    * order-invariant merge). Shared by q149 and its spec. */
+  private[graft] def ddPerBucket(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val dd = udaf(new SketchAggregators.DdSketchAgg(QGamma))
+    t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dd(col("value")).as("sk"))
+      .select(col("event_type"), explode(col("sk")).as(Seq("bucket", "cnt")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Mergeable QUANTILE rollup — q143's never-rescan-raw economics for
+    * percentiles: per-(event_type, day) DDSketch maps (bucket → count,
+    * [[SketchAggregators.DdSketchAgg]]) are built in ONE events pass; any
+    * coarser grain's p50/p95/p99 is then served by SUMMING the stored
+    * KB-sized maps — never re-reading events — with the SAME α=1% relative
+    * -error guarantee as a direct sketch, because DDSketch merge is exact.
+    * (`percentile_approx`'s KLL partials are opaque to one aggregation;
+    * a persisted-rollup quantile table needs the sketch as a VALUE.)
+    * Extraction is plain SQL over the merged counts: cumulative sum in
+    * bucket order, first bucket whose cumulative count reaches ⌈q·n⌉, then
+    * the midpoint 2γ^i/(γ+1). Deterministic (exact integer bucket counts,
+    * order-invariant merge) but engine-specific → no SQL oracle;
+    * QuantileRollupSpec asserts rollup == sketch-of-whole exactly and the
+    * α bound per quantile vs exact sorted values. */
+  val q149 = EngineQuery("q149_quantile_rollup", None) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = ddPerBucket(t)
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    def estAt(q: Double) =
+      round4(lit(2.0) * pow(lit(QGamma),
+        min(when(col("cum") >= ceil(lit(q) * col("n")), col("bucket")))) / (QGamma + 1))
+    orderedByAll(
+      cum.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          estAt(0.50).as("p50"), estAt(0.95).as("p95"), estAt(0.99).as("p99")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121, q143, q149)
 }
