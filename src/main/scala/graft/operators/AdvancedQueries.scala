@@ -846,7 +846,30 @@ object AdvancedQueries {
           substring(max(col("text")), 1, 40).as("sample_text")))
   }
 
+  /** k-anonymity audit — the privacy gate a dataset release runs: every
+    * quasi-identifier combination (nation × market segment × 1000-wide
+    * balance bucket) whose group is smaller than k=5 re-identifies its
+    * members and must be suppressed or generalized before publication.
+    * One map-side-combinable aggregation over the table — the report is
+    * group-scale, never row-scale, so the audit costs one scan at any
+    * corpus size; widening the bucket (the generalization ladder's next
+    * rung) only coarsens the same plan. */
+  val q150 = EngineQuery(
+    "q150_k_anonymity",
+    Some("""SELECT c_nationkey, c_mktsegment,
+           |       CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_bucket,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.customer
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120, q128, q134, q139)
+      q96, q103, q113, q116, q120, q128, q134, q139, q150)
 }
