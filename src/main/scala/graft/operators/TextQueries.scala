@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{EngineQuery, dsl}
 import graft.dsl._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1163,7 +1164,96 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
   }
 
+  /** Jaccard threshold shared by q36/q144/q151. */
+  private val SimT = 0.5
+
+  /** Frequency-ordered PREFIX postings of the shingle index: for a doc with
+    * n distinct shingles, only its (n − ⌈t·n⌉ + 1) rarest shingles (global
+    * doc-frequency ascending, ties by hash — one consistent total order for
+    * the whole corpus) are emitted as join candidates. Lossless for
+    * Jaccard ≥ t: o = |a∩b| and o/(|a|+|b|−o) ≥ t imply o ≥ t·|x| for both
+    * sides, and a pair whose shared shingles all sat AFTER x's prefix would
+    * have at most ⌈t·|x|⌉ − 1 < o of them — pigeonhole contradiction. The
+    * doc's size n rides along for the candidate-time length filter. */
+  private[operators] def prefixPostings(inv: DataFrame): DataFrame = {
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    inv.join(freq, "s")
+      .join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n") - ceil(col("n") * SimT) + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+  }
+
+  /** Candidate id pairs from the prefix self-join, with the AllPairs length
+    * filter (J ≥ t ⇒ min(n_a,n_b) ≥ t·max(n_a,n_b)) applied at the join so
+    * incompatible sizes never become pairs. Distinct because two docs may
+    * share several prefix shingles. */
+  private[operators] def prefixCandidates(pre: DataFrame): DataFrame =
+    pre.as("a").hint("shuffle_hash")
+      .join(pre.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * SimT && col("a.n") >= col("b.n") * SimT)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+
+  /** q36's exact answer through PREFIX FILTERING (the AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08): instead of self-joining the
+    * FULL inverted index (q36 — every posting of every doc meets every other
+    * posting of its shingle), only each doc's rarest (n − ⌈t·n⌉ + 1) shingles
+    * enter the candidate join, plus a candidate-time length filter. At t=0.5
+    * that halves the join input outright, and because the prefix is chosen
+    * by ascending document frequency the join's hot keys — the high-df
+    * shingles that dominate the full self-join's output — are exactly the
+    * ones the prefix EXCLUDES: posting-list join cost collapses from
+    * Σ df² over all shingles to Σ df² over rare shingles. Exact verification
+    * (common-shingle count via the full index, candidates only) restores the
+    * true Jaccard — the filter is lossless (proof at [[prefixPostings]]), so
+    * the oracle is byte-identical SQL to q36 and the hash-match proves it.
+    * At 100 TB this is the difference between the shingle join exploding on
+    * stop-phrase shingles and a candidate set near the true pair count.
+    * Reference for the shape only: reader.py has no similarity surface. */
+  val q151 = EngineQuery(
+    "q151_setsim_prefix",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val inv = t.documents
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+    val cand = prefixCandidates(prefixPostings(inv))
+    // Exact verification on candidates only: count common shingles by
+    // walking a's postings and probing b's — both equi-joins, keyed by
+    // doc id then (doc_b, s); the corpus text never moves.
+    val common = cand
+      .join(inv.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common")).cast("double")
+    orderedByAll(
+      common.filter(jac >= SimT)
+        .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144)
+      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151)
 }
