@@ -869,7 +869,58 @@ object AdvancedQueries {
         .filter(col("n") < 5))
   }
 
+  /** Rank-based winsorization per group: clip a bounded-domain feature at
+    * its exact p01/p99 ORDER STATISTICS (nearest-rank, k = ⌈p·n⌉ — no
+    * interpolation, so no cross-engine lerp ambiguity and no float
+    * thresholds) computed from a VALUE HISTOGRAM: the corpus pass is one
+    * map-side-combinable (group, value) count — l_quantity has ≤50 distinct
+    * values, so the cumulative-count window that extracts the thresholds
+    * runs over a group×50-row table, never the corpus (the q70 offsets
+    * discipline: a naive `row_number` over the corpus partitioned by 3
+    * return flags puts 600 k rows into 3 tasks). Thresholds broadcast back
+    * onto the fact scan for a map-side clamp + one final group-scale
+    * aggregate. Integer sums — zero floating-point accumulation. This is
+    * the 100 TB recipe for any low-cardinality feature; unbounded-domain
+    * features swap the histogram for q99's equi-depth sketch. */
+  val q156 = EngineQuery(
+    "q156_winsorize",
+    Some("""WITH li AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+           |h AS (SELECT f, q, count(*) AS c FROM li GROUP BY 1, 2),
+           |n AS (SELECT f, sum(c) AS n FROM h GROUP BY 1),
+           |cum AS (SELECT f, q, sum(c) OVER (PARTITION BY f ORDER BY q) AS cc FROM h),
+           |lo AS (SELECT f, min(q) AS q_lo FROM cum JOIN n USING (f)
+           |       WHERE cc >= ceil(n * 0.01) GROUP BY f),
+           |hi AS (SELECT f, min(q) AS q_hi FROM cum JOIN n USING (f)
+           |       WHERE cc >= ceil(n * 0.99) GROUP BY f)
+           |SELECT f AS l_returnflag, q_lo, q_hi,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) FILTER (WHERE q < q_lo) AS BIGINT) AS n_clipped_low,
+           |       CAST(count(*) FILTER (WHERE q > q_hi) AS BIGINT) AS n_clipped_high,
+           |       CAST(sum(greatest(q_lo, least(q_hi, q))) AS BIGINT) AS sum_winsorized
+           |FROM li JOIN lo USING (f) JOIN hi USING (f)
+           |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val li = t.lineitem.select(col("l_returnflag").as("f"),
+      col("l_quantity").cast("long").as("q"))
+    val h = li.groupBy("f", "q").agg(count(lit(1)).as("c"))
+    val n = h.groupBy("f").agg(sum(col("c")).as("n"))
+    val cum = h.withColumn("cc", sum(col("c")).over(
+      Window.partitionBy("f").orderBy("q"))).join(n, "f")
+    val lo = cum.filter(col("cc") >= ceil(col("n") * 0.01))
+      .groupBy("f").agg(min(col("q")).as("q_lo"))
+    val hi = cum.filter(col("cc") >= ceil(col("n") * 0.99))
+      .groupBy("f").agg(min(col("q")).as("q_hi"))
+    orderedByAll(
+      li.join(broadcast(lo.join(hi, "f")), "f")
+        .groupBy(col("f").as("l_returnflag"), col("q_lo"), col("q_hi"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("q") < col("q_lo"), 1)).as("n_clipped_low"),
+          count(when(col("q") > col("q_hi"), 1)).as("n_clipped_high"),
+          sum(greatest(col("q_lo"), least(col("q_hi"), col("q"))))
+            .as("sum_winsorized")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120, q128, q134, q139, q150)
+      q96, q103, q113, q116, q120, q128, q134, q139, q150, q156)
 }

@@ -595,7 +595,58 @@ object RelationalQueries {
         round4(regr_avgx(col("l_extendedprice"), col("l_quantity"))).as("avg_x")))
   }
 
+  /** Order-invariant table content checksum — "is this copy of the table
+    * byte-identical to that one" answered WITHOUT moving, sorting, or
+    * co-locating either side: each row folds to a 32-bit digest piece
+    * (md5 over a canonical '|'-joined rendering; text columns pre-hashed so
+    * the piece is fixed-width work), and the table's checksum is the SUM of
+    * pieces — commutative, so the aggregation is map-side-combinable and
+    * the exchange carries one partial per task regardless of table size.
+    * q98 audits referential integrity BETWEEN tables; this audits the bytes
+    * of each table itself (replication / migration / snapshot equality — at
+    * 100 TB the only affordable equality check is a streaming checksum).
+    * 32-bit pieces keep the BIGINT sum exact to ~2^31 rows; beyond that the
+    * same plan runs with a DECIMAL(38,0) accumulator. Only int/string
+    * columns participate — float rendering is not canonical across engines
+    * (SURVEY.md §7.4.2). */
+  val q155 = EngineQuery(
+    "q155_table_checksum",
+    Some("""WITH d AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+           |              lang || '|' || source || '|' || CAST(n_chars AS VARCHAR) || '|' ||
+           |              md5(text)), 1, 8) AS BIGINT) AS piece FROM documents),
+           |c AS (SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
+           |              c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' ||
+           |              c_mktsegment), 1, 8) AS BIGINT) AS piece FROM customer),
+           |o AS (SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+           |              CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           |              o_orderpriority), 1, 8) AS BIGINT) AS piece FROM orders)
+           |SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(piece) AS BIGINT) AS checksum FROM c
+           |UNION ALL
+           |SELECT 'documents', CAST(count(*) AS BIGINT), CAST(sum(piece) AS BIGINT) FROM d
+           |UNION ALL
+           |SELECT 'orders', CAST(count(*) AS BIGINT), CAST(sum(piece) AS BIGINT) FROM o
+           |ORDER BY ALL""".stripMargin)) { t =>
+    def piece(cols: org.apache.spark.sql.Column*) =
+      conv(substring(md5(concat_ws("|", cols: _*).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+    def check(name: String, df: org.apache.spark.sql.DataFrame,
+        cols: org.apache.spark.sql.Column*) =
+      df.select(piece(cols: _*).as("piece"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("piece")).as("checksum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    orderedByAll(
+      check("documents", t.documents, col("doc_id").cast("string"), col("lang"),
+          col("source"), col("n_chars").cast("string"),
+          md5(col("text").cast("binary")))
+        .unionByName(check("customer", t.customer, col("c_custkey").cast("string"),
+          col("c_name"), col("c_nationkey").cast("string"), col("c_mktsegment")))
+        .unionByName(check("orders", t.orders, col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"), col("o_orderstatus"),
+          col("o_orderpriority"))))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142)
+      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142, q155)
 }

@@ -659,6 +659,54 @@ object SimilarityQueries {
     adcRerank(enc.join(broadcast(q), "bucket"), e)
   }
 
+  /** Cosine threshold shared by q38 (exact blocked), q49 (LSH) and q154
+    * (SemDeDup) so their pair sets are directly comparable in the specs. */
+  private[graft] val NearDupT = 0.4
+
+  /** The vec_ids SemDeDup removes: within each TRAINED k-means cluster,
+    * every vector that has a lower-id neighbor at cosine ≥ [[NearDupT]]
+    * (keep-the-earliest representative rule, deterministic). Exposed for
+    * SemDedupSpec's parity/recall assertions. */
+  private[graft] def semdedupDropped(t: graft.Tables): DataFrame = {
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    val e = t.embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round4(cosine(col("ea"), col("eb"))) >= NearDupT)
+      .select(col("bucket"), col("vec_b").as("vec_id"))
+      .distinct()
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * pairing embeddings ONLY within their trained k-means cluster — the
+    * production recipe for embedding-level dedup at web scale (the paper
+    * runs it on LAION/CommonCrawl). q38's exact near-dup blocks on the
+    * `label` column (a stand-in); here the blocking key is LEARNED from the
+    * data itself — the same converged quantizer q37/q127/q140 serve from
+    * (train once, derive everywhere), assigned map-only via literal-centroid
+    * argmin with zero exchange. Candidate pairs are Σ n_c² over clusters
+    * ≈ N²/k instead of N²; precision is exact (real cosine on every
+    * candidate), only recall is approximate — cross-cluster pairs are
+    * unseen by design — so no SQL oracle: SemDedupSpec pins exact parity
+    * vs a local single-node reference and recall vs q38's brute-force
+    * pair set. Output is the per-cluster audit a pipeline operator logs:
+    * cluster size and how many members SemDeDup would drop. */
+  val q154 = EngineQuery("q154_semdedup", None) { t =>
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    val e = t.embeddings.select(col("vec_id"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
+    val drops = semdedupDropped(t).groupBy("bucket").agg(count(lit(1)).as("n_dropped"))
+    orderedByAll(
+      e.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .join(drops, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146)
+    Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
+      q154)
 }

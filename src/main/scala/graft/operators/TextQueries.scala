@@ -1253,7 +1253,71 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
   }
 
+  /** Cross-document repeated-span coverage — the ExactSubstr family (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22), approximated with fixed-length positional 8-grams: a span is
+    * "repeated" when the same 8-token window occurs in ≥2 DISTINCT documents,
+    * and each doc reports how many of its tokens sit under at least one
+    * repeated span (the fraction ExactSubstr would cut). Distinct from q112
+    * (repetition WITHIN one doc, map-only) and q119 (spans shared with a
+    * known benchmark set): here the reference corpus is the corpus itself.
+    *
+    * Scale shape: positional spans are generated map-side from one scan;
+    * the only corpus-scale exchange is keyed by the 8-byte span hash
+    * (doc-frequency count), then everything is doc_id-keyed. Coverage is an
+    * interval-union count per doc — exploded to positions and counted
+    * distinct, which stays doc-local after the flag join. Spans join on
+    * xxhash64(span) — 8 B through the exchange instead of ~50 B of text,
+    * with the q36/q144 2^-64 collision caveat. Outputs are COUNTS, never
+    * ratios (the .xxxx5 rounding-boundary rule). */
+  val q153 = EngineQuery(
+    "q153_crossdoc_spans",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+           |           WHERE len(string_split(text,' ')) >= 8),
+           |sp0 AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos FROM t),
+           |sp AS (SELECT doc_id, pos, array_to_string(tk[pos:pos+7], ' ') AS sh FROM sp0),
+           |rep AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+           |fl AS (SELECT doc_id, pos FROM sp WHERE sh IN (SELECT sh FROM rep)),
+           |cov0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM fl),
+           |cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM cov0 GROUP BY doc_id),
+           |nr AS (SELECT doc_id, count(*) AS nrep FROM fl GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_toks,
+           |       CAST(len(t.tk) - 7 AS BIGINT) AS n_spans,
+           |       CAST(coalesce(nr.nrep, 0) AS BIGINT) AS n_rep_spans,
+           |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_toks
+           |FROM t LEFT JOIN nr USING (doc_id) LEFT JOIN cov USING (doc_id)
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val base = t.documents
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_toks"))
+    // Positional spans: the span-string array materializes per doc (tk is a
+    // materialized column — dsl.shingles' lambda rule), then posexplode.
+    val spans = base
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("n_toks") - 7),
+          i => concat_ws(" ", slice(col("tk"), i, lit(8))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("s"))
+    val rep = spans.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+      .filter(col("dfreq") >= 2)
+      .select("s")
+    val flagged = spans.join(rep, Seq("s"), "left_semi").select("doc_id", "pos")
+    val nrep = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_rep_spans"))
+    val covered = flagged
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("covered_toks"))
+    orderedByAll(
+      base.select(col("doc_id"), col("n_toks"), (col("n_toks") - 7).as("n_spans"))
+        .join(nrep, Seq("doc_id"), "left")
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"), col("n_spans"),
+          coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+          coalesce(col("covered_toks"), lit(0L)).as("covered_toks")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
-      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151)
+      q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
+      q153)
 }

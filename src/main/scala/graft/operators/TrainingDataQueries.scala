@@ -316,6 +316,53 @@ object TrainingDataQueries {
           col("doc_id"), col("ntok")))
   }
 
+  /** Global contiguous ordinal assignment (the distributed `zipWithIndex`):
+    * every document gets a stable 0-based id under the doc_id total order —
+    * the "give 100 TB of samples contiguous training ids" primitive that a
+    * naive `row_number() OVER (ORDER BY ...)` gets WRONG at scale (an
+    * unpartitioned window collapses the whole table into one task).
+    *
+    * Scale shape (what RDD.zipWithIndex does, kept in DataFrame algebra so
+    * the id math stays codegen'd):
+    *  1. ONE range exchange + in-partition sort; localCheckpoint pins the
+    *     partition contents so both downstream jobs see identical splits.
+    *  2. `monotonically_increasing_id` encodes (partition << 33 | local
+    *     row number) — per-partition ordinals for free, zero extra shuffle.
+    *  3. A counts-per-partition aggregate (≤ #partitions rows to the
+    *     driver — bounded model-state-sized collect, the q108/q106 rule)
+    *     prefix-sums into per-partition offsets, broadcast back.
+    *  4. gid = offset(partition) + local — map-side add under a broadcast
+    *     join; the corpus itself never moves again.
+    * RangePartitioner orders partition indices by key range, so
+    * offset+local reproduces the global rank exactly. */
+  val q152 = EngineQuery(
+    "q152_global_index",
+    Some("""SELECT doc_id,
+           |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+           |FROM documents ORDER BY ALL""".stripMargin)) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val sorted = t.documents.select("doc_id")
+      .repartitionByRange(32, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint()
+    val local = sorted.select(col("doc_id"),
+        monotonically_increasing_id().as("mid"))
+      .select(col("doc_id"),
+        shiftright(col("mid"), 33).as("pid"),
+        col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
+    // Empty partitions simply have no counts row; the prefix sum over the
+    // non-empty partition ids (ascending) is still each one's offset.
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    orderedByAll(
+      local.join(offDf, "pid")
+        .select(col("doc_id"), (col("off") + col("local")).as("gid")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115)
+    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152)
 }
