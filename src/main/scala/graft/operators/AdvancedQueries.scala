@@ -920,7 +920,106 @@ object AdvancedQueries {
             .as("sum_winsorized")))
   }
 
+  /** Robust outlier detection per group — median/MAD instead of q78's
+    * mean/σ (one far outlier inflates σ enough to hide its siblings; the
+    * median absolute deviation has a 50% breakdown point, Hampel's
+    * identifier). Exact nearest-rank order statistics, zero sampling.
+    *
+    * Scale shape (the q156 histogram discipline, taken further): the ONLY
+    * corpus-scale work is the one map-side-combinable (group, value) count.
+    * Everything downstream is histogram-scale: the deviation histogram is
+    * DERIVED from the value histogram (group by |v−med|, summing counts —
+    * no second corpus pass), both medians come from cumulative windows over
+    * the histogram, and the final outlier count is a filtered sum over the
+    * same histogram. A naive median+MAD costs two full corpus sorts; this
+    * costs one aggregation and never sorts the corpus at all. Outliers =
+    * |v − med| > 3 · 1.4826 · MAD (1.4826 scales MAD to σ under normality).
+    * Both engines evaluate the identical expression tree on identical
+    * parquet doubles — bit-identical comparisons, no boundary ambiguity. */
+  val q161 = EngineQuery(
+    "q161_mad_outliers",
+    Some("""WITH h AS (SELECT event_type, value AS v, count(*) AS c FROM events GROUP BY 1, 2),
+           |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+           |cumv AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cc FROM h),
+           |med AS (SELECT event_type, min(v) AS med FROM cumv JOIN n USING (event_type)
+           |        WHERE cc >= ceil(n * 0.5) GROUP BY event_type),
+           |d AS (SELECT h.event_type, abs(v - med) AS dev, sum(c) AS c
+           |      FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+           |cumd AS (SELECT event_type, dev, sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cc FROM d),
+           |mad AS (SELECT event_type, min(dev) AS mad FROM cumd JOIN n USING (event_type)
+           |        WHERE cc >= ceil(n * 0.5) GROUP BY event_type)
+           |SELECT h.event_type, CAST(n AS BIGINT) AS n_events,
+           |       round(med, 4) AS med_value, round(mad, 4) AS mad_value,
+           |       CAST(coalesce(sum(c) FILTER (WHERE abs(v - med) > 3 * 1.4826 * mad), 0) AS BIGINT) AS n_outliers
+           |FROM h JOIN n USING (event_type) JOIN med USING (event_type) JOIN mad USING (event_type)
+           |GROUP BY 1, 2, 3, 4 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val h = t.events.groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("event_type")
+    val med = h.withColumn("cc", sum(col("c")).over(w.orderBy("v")))
+      .join(n, "event_type")
+      .filter(col("cc") >= ceil(col("n") * 0.5))
+      .groupBy("event_type").agg(min(col("v")).as("med"))
+    val d = h.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("v") - col("med")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = d.withColumn("cc", sum(col("c")).over(w.orderBy("dev")))
+      .join(n, "event_type")
+      .filter(col("cc") >= ceil(col("n") * 0.5))
+      .groupBy("event_type").agg(min(col("dev")).as("mad"))
+    orderedByAll(
+      h.join(broadcast(n), "event_type")
+        .join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n").as("n_events"),
+          round4(col("med")).as("med_value"), round4(col("mad")).as("mad_value"))
+        .agg(coalesce(sum(when(
+          abs(col("v") - col("med")) > lit(3) * lit(1.4826) * col("mad"),
+          col("c"))), lit(0L)).as("n_outliers")))
+  }
+
+  /** Model-per-segment scoring — the "train tiny models, broadcast, score
+    * the corpus map-side" pipeline pattern: q142 stops at the per-group OLS
+    * coefficients; this closes the loop by joining them BACK onto the fact
+    * stream (broadcast — the model table is group-scale) and auditing the
+    * fit row-by-row: large-residual counts and RMSE per segment. At 100 TB
+    * the model stays kilobytes, the scoring pass is embarrassingly parallel,
+    * and no coefficient ever round-trips through the driver (contrast with
+    * the collect-coefficients-into-a-literal antipattern).
+    *
+    * Determinism: coefficients are rounded to 4dp BEFORE scoring in both
+    * engines — Spark's and DuckDB's regr_* accumulations differ in the last
+    * ulps, but their 4dp roundings agree (q142's proven grain), making every
+    * residual bit-identical across engines. RMSE is computed in thousands
+    * (the q117/q94 magnitude discipline). */
+  val q162 = EngineQuery(
+    "q162_segment_score",
+    Some("""WITH m AS (SELECT l_returnflag,
+           |  round(regr_slope(l_extendedprice, l_quantity), 4) AS b,
+           |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS a
+           |FROM lineitem GROUP BY 1)
+           |SELECT l.l_returnflag, b AS slope, a AS intercept,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) FILTER (WHERE abs(l_extendedprice - (a + b * l_quantity)) > 20000) AS BIGINT) AS n_large_resid,
+           |  round(sqrt(sum((l_extendedprice - (a + b * l_quantity)) * (l_extendedprice - (a + b * l_quantity)) / 1000000) / count(*)), 4) AS rmse_k
+           |FROM lineitem l JOIN m USING (l_returnflag)
+           |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin)) { t =>
+    val m = t.lineitem.groupBy("l_returnflag").agg(
+      round4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("b"),
+      round4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("a"))
+    val resid = col("l_extendedprice") - (col("a") + col("b") * col("l_quantity"))
+    orderedByAll(
+      t.lineitem.join(broadcast(m), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("b").as("slope"), col("a").as("intercept"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(abs(resid) > 20000, 1L).otherwise(0L)).as("n_large_resid"),
+          round4(sqrt(sum(resid * resid / lit(1000000))
+            / count(lit(1)))).as("rmse_k")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120, q128, q134, q139, q150, q156)
+      q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162)
 }

@@ -646,7 +646,67 @@ object RelationalQueries {
           col("o_orderpriority"))))
   }
 
+  /** Declarative data-quality constraint suite (the Deequ recipe,
+    * Schelter et al. VLDB'18): completeness, uniqueness, numeric range,
+    * value-domain, format-regex and freshness checks over `orders`,
+    * ALL evaluated in ONE aggregation pass — each constraint is a
+    * map-side-combinable conditional count, so auditing six constraints
+    * costs the same scan as auditing one, and the report is
+    * constraint-scale (6 rows) at any corpus size. The single exact
+    * `count(DISTINCT)` for uniqueness rides the same Expand the q126
+    * profiler uses; at 100 TB the q138 discipline applies (swap in
+    * `approx_count_distinct` and gate on the estimate). Violations are
+    * COUNTS, never ratios (SURVEY §7.4.2); `passed` is the 0/1 gate a
+    * pipeline branches on. */
+  val q158 = EngineQuery(
+    "q158_constraint_audit",
+    Some("""WITH m AS (SELECT count(*) AS n_rows,
+           |  count(*) FILTER (WHERE o_custkey IS NULL) AS v_complete,
+           |  count(*) - count(DISTINCT o_orderkey) AS v_unique,
+           |  count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0
+           |                      OR o_totalprice > 400000) AS v_range,
+           |  count(*) FILTER (WHERE o_orderstatus IS NULL
+           |                      OR o_orderstatus NOT IN ('O','F','P')) AS v_domain,
+           |  count(*) FILTER (WHERE o_orderpriority IS NULL
+           |                      OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v_format,
+           |  count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01') AS v_fresh
+           |  FROM orders),
+           |u AS (
+           |  SELECT 'complete_custkey' AS check_name, v_complete AS violations FROM m
+           |  UNION ALL SELECT 'unique_orderkey', v_unique FROM m
+           |  UNION ALL SELECT 'range_totalprice', v_range FROM m
+           |  UNION ALL SELECT 'domain_orderstatus', v_domain FROM m
+           |  UNION ALL SELECT 'format_orderpriority', v_format FROM m
+           |  UNION ALL SELECT 'fresh_orderdate', v_fresh FROM m)
+           |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+           |FROM u ORDER BY ALL""".stripMargin)) { t =>
+    def v(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    val m = t.orders.agg(
+      v(col("o_custkey").isNull).as("v_complete"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      v(col("o_totalprice").isNull || col("o_totalprice") <= 0 ||
+        col("o_totalprice") > 400000).as("v_range"),
+      v(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P")).as("v_domain"),
+      v(col("o_orderpriority").isNull ||
+        !col("o_orderpriority").rlike("^[1-5]-")).as("v_format"),
+      v(col("o_orderdate") < lit("1995-01-01").cast("timestamp")).as("v_fresh"))
+    val checks = Seq(
+      "complete_custkey" -> "v_complete", "unique_orderkey" -> "v_unique",
+      "range_totalprice" -> "v_range", "domain_orderstatus" -> "v_domain",
+      "format_orderpriority" -> "v_format", "fresh_orderdate" -> "v_fresh")
+    orderedByAll(
+      m.select(explode(array(checks.map { case (name, c) =>
+          struct(lit(name).as("check_name"), col(c).as("violations"))
+        }: _*)).as("r"))
+        .select(col("r.check_name").as("check_name"),
+          col("r.violations").as("violations"),
+          when(col("r.violations") === 0, 1L).otherwise(0L).as("passed")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142, q155)
+      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142, q155, q158)
 }

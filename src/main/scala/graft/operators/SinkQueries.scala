@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.EngineQuery
 import graft.dsl._
-import org.apache.spark.sql.functions.{avg, col, count, lit, round, sum, when}
+import org.apache.spark.sql.functions.{avg, col, count, lit, max, min, round, sum, when}
 
 /** Write-path parity (SURVEY.md §2 q30 ↔ reference A8): the reference's only
   * write surface is its test harness's parquet-dataset write with
@@ -451,6 +451,64 @@ object SinkQueries {
           round(sum(col("l_quantity")), 4).as("sum_qty")))
   }
 
+  /** Time-sorted event layout: ONE range exchange (`repartitionByRange` on
+    * ts — the same shuffle any global sort pays) + in-partition sort, so
+    * every file owns a DISJOINT time range and within each file the parquet
+    * row-group/page min-max stats are tight, non-overlapping intervals.
+    * Memoized per (session, dir) like q94/q114/q117: pay the clustering
+    * write once. */
+  private val sortedLayouts = new graft.SessionCache[String]
+
+  private[graft] def sortedEventsDir(t: graft.Tables): String =
+    sortedLayouts.get(t.spark, t.dir)({
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q159_sorted").toString
+      // Spark's default parquet timestamp encoding is INT96 — which carries
+      // NO min/max statistics, so a ts-sorted layout would have nothing to
+      // prune with. Write micros (stats-bearing INT64) for the layout.
+      val k = "spark.sql.parquet.outputTimestampType"
+      val prev = t.spark.conf.getOption(k)
+      t.spark.conf.set(k, "TIMESTAMP_MICROS")
+      try t.events.repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(out)
+      finally prev.fold(t.spark.conf.unset(k))(t.spark.conf.set(k, _))
+      out
+    })
+
+  /** Time-range probe over the ts-sorted layout ([[sortedEventsDir]]) — the
+    * default layout for any event/log table and the third member of the
+    * data-skipping family: q137 prunes by bloom (point lookups), q133/q146
+    * by partition directory (equi-dims), this by SORT ORDER (ranges). A
+    * one-day window on the sorted copy touches only the files/row groups
+    * whose [min,max] intervals intersect the day — the pushed ts predicate
+    * skips everything else via footer stats, no index needed, and the
+    * skipping compounds with partitioning at 100 TB (partition by day, sort
+    * within). SortedLayoutSpec asserts the mechanics (disjoint per-file
+    * ranges; the probe's scan emits a fraction of the table); the oracle
+    * aggregates the SAME window from the raw table, proving the re-layout
+    * lossless. Timestamps leave as epoch seconds (SURVEY §7.4.3). */
+  val q159 = EngineQuery(
+    "q159_sorted_scan",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |       round(sum(value), 4) AS sum_value,
+           |       CAST(epoch_us(min(ts))//1000000 AS BIGINT) AS first_sec,
+           |       CAST(epoch_us(max(ts))//1000000 AS BIGINT) AS last_sec
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-09'
+           |GROUP BY event_type ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      t.spark.read.parquet(sortedEventsDir(t))
+        .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-09").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"),
+          epochSec(min(col("ts"))).as("first_sec"),
+          epochSec(max(col("ts"))).as("last_sec")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132, q133, q137)
+    Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132, q133,
+      q137, q159)
 }

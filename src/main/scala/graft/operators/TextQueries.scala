@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{EngineQuery, dsl}
 import graft.dsl._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1316,8 +1316,119 @@ object TextQueries {
           coalesce(col("covered_toks"), lit(0L)).as("covered_toks")))
   }
 
+  /** The BM25 query terms — literal and tiny, so the whole "inverted index
+    * probe" degenerates to map-side array scans (see q157 scaladoc). */
+  private val Bm25Terms = Seq("hash", "join", "vector")
+
+  /** Okapi BM25 ranking (Robertson & Zaragoza, FnTIR 2009; k1=1.2, b=0.75)
+    * of the corpus against a fixed multi-term query — the retrieval scorer
+    * every RAG / data-curation pipeline runs before an embedding model sees
+    * anything. Two classic shapes exist: build an inverted index and probe
+    * it (q36/q151's posting machinery), or — when the query is a handful of
+    * LITERAL terms — skip the index entirely. This takes the second path,
+    * and the plan is two corpus passes with ZERO corpus-keyed exchange:
+    *  1. one scan computes each doc's length and per-term tf as codegen'd
+    *     array expressions (`size(filter(tk, _ == term))` — tk materialized
+    *     once per the CollapseProject staging rule), then ONE map-side-
+    *     combinable scalar aggregate yields N, Σdl and each term's df — a
+    *     single row, broadcast back;
+    *  2. scoring is a map-side closed-form expression, and top-15 compiles
+    *     to TakeOrderedAndProject (per-partition heap + driver merge of
+    *     15-row partials — no global sort at any scale).
+    * Determinism: the per-doc score sums its 3 term addends in FIXED
+    * left-to-right order (an explicit `+` chain, not an aggregate), and the
+    * oracle writes the identical expression tree — bit-identical doubles,
+    * so the rounded score and the limit-15 cutoff (tie-broken by doc_id)
+    * agree exactly across engines. */
+  val q157 = EngineQuery(
+    "q157_bm25",
+    Some {
+      val addends = Bm25Terms.map { w =>
+        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$w AS DOUBLE) + 0.5) / (CAST(df_$w AS DOUBLE) + 0.5) + 1.0)
+           | * (CAST(tf_$w AS DOUBLE) * 2.2)
+           | / (CAST(tf_$w AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+          .stripMargin.replace("\n", "")
+      }
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |  ${Bm25Terms.map(w => s"CAST(len(list_filter(tk, x -> x = '$w')) AS BIGINT) AS tf_$w").mkString(",\n  ")}
+         |  FROM tk),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |  ${Bm25Terms.map(w => s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END) AS df_$w").mkString(",\n  ")}
+         |  FROM base)
+         |SELECT doc_id, dl,
+         |  CAST(${Bm25Terms.map(w => s"(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_matched,
+         |  round(${addends.mkString("\n   + ")}, 4) AS score
+         |FROM base CROSS JOIN st
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    }) { t =>
+    val tk = t.documents.select(col("doc_id"), toks(col("text")).as("tk"))
+    val base = tk.select(Seq(
+      col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
+      Bm25Terms.map(w =>
+        size(filter(col("tk"), x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.map(w =>
+          sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))): _*)
+    def addend(w: String): Column = {
+      val tf = col(s"tf_$w").cast("double")
+      val df = col(s"df_$w").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs")))))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        Bm25Terms.map(w => when(col(s"tf_$w") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_matched"),
+        round4(Bm25Terms.map(addend).reduce(_ + _)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Content-defined-chunking dedup accounting (FastCDC gear-hash family —
+    * see [[graft.functions.CdcChunks]]): chunk every document at
+    * content-derived boundaries (min 8 B, ~32 B mask expectation, max
+    * 128 B — min ≈ avg/4, the FastCDC ratio that keeps boundaries mostly
+    * mask-chosen so edits re-synchronize instead of drifting), then report
+    * what a chunk store would dedupe — total vs distinct
+    * chunks and the bytes a second copy of any repeated region would NOT
+    * store. This is dedup BELOW the document/shingle granularity q23/q36
+    * work at: two docs sharing a paragraph share its chunks even when
+    * every shingle window across the edit differs.
+    *
+    * Scale shape: chunking is one fused map-side loop per row (the
+    * expression stays inside whole-stage codegen); the only exchange is
+    * keyed by the 8-byte chunk digest carrying (h, len) — never text. The
+    * same two-level shape as q23: digest groupBy, then a scalar rollup.
+    * No SQL oracle — a boundary depends on the rolling prefix state, which
+    * has no SQL expression; CdcSpec pins exact parity vs an independent
+    * single-node reference, the length/coverage invariants, and the
+    * edit-resynchronization property that justifies CDC over fixed blocks.
+    */
+  val q160 = EngineQuery("q160_cdc_chunks", None) { t =>
+    val ch = t.documents
+      .select(explode(graft.functions.CdcChunks(col("text"), 8, 5, 128)).as("c"))
+      .select(col("c.h").as("h"), col("c.l").as("len"))
+    // totals from the raw chunk stream (collision-proof), dedup savings from
+    // the digest groups
+    val totals = ch.agg(
+      count(lit(1)).as("n_chunks"), sum(col("len")).as("total_bytes"),
+      min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+    val dedup = ch.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), max(col("len")).as("clen"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum((col("cnt") - 1) * col("clen")).as("dup_bytes"))
+    orderedByAll(totals.crossJoin(dedup)
+      .select(col("n_chunks"), col("n_distinct_chunks"), col("total_bytes"),
+        col("dup_bytes"), col("min_len"), col("max_len")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153)
+      q153, q157, q160)
 }

@@ -35,6 +35,16 @@ class PlanMetricsSpec extends SharedSparkSpec {
     assert(r.rows > 0 && r.rows <= probe)
   }
 
+  test("q157: BM25 shuffles only scalar-stat partials — the corpus never moves") {
+    val r = PlanMetrics.run(q("q157_bm25"))
+    assert(r.rows == 15)
+    // the one exchange is the scalar stats aggregate: ≤ one partial row per
+    // task. A corpus-keyed shuffle (posting explode, per-doc groupBy) would
+    // show thousands of records here.
+    assert(r.shuffleRecordsWritten.sum <= 64,
+      s"q157 shuffled ${r.shuffleRecordsWritten.sum} records — corpus-keyed exchange appeared")
+  }
+
   // ---- dedup-stack shuffle-width guards (run at sf0.1 for stable ratios) --
   // The dedup operators' scale story is "exchanges carry digests/hashes/ids,
   // never document bytes". These assert the BYTES-PER-ROW of the widest
