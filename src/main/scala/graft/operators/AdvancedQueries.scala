@@ -1019,7 +1019,69 @@ object AdvancedQueries {
             / count(lit(1)))).as("rmse_k")))
   }
 
+  /** Snapshot diff — DERIVE the changelog q96 APPLIES: given two versions
+    * of a keyed table (the new snapshot simulated deterministically from
+    * orders: keys ≡0 mod 97 deleted, prices bumped for ≡0 mod 13, shifted
+    * keys inserted for ≡0 mod 101), a full-outer join on the key classifies
+    * every row added / removed / changed / same and audits the price drift.
+    * The inverse operator of q96's merge-apply and the row-LOCALIZING
+    * complement of q155's order-invariant checksum (which detects a
+    * difference without saying where). Scale shape: ONE key-keyed exchange
+    * per side (full outer cannot broadcast); with both snapshots stored
+    * bucketed on the key (q94's layout) the diff is exchange-free — that is
+    * the shape a daily 100 TB snapshot-compare job runs. Output is
+    * action-scale (4 rows); the price delta is a single IEEE subtraction
+    * per changed row, identical in both engines. */
+  val q165 = EngineQuery(
+    "q165_snapshot_diff",
+    Some("""WITH newsnap AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100.0
+           |              ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderkey % 97 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 101 = 0),
+           |d AS (SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           |             WHEN n.o_orderkey IS NULL THEN 'removed'
+           |             WHEN o.o_totalprice <> n.o_totalprice
+           |               OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+           |             ELSE 'same' END AS action,
+           |        CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+           |             THEN n.o_totalprice - o.o_totalprice ELSE 0.0 END AS delta
+           |      FROM orders o FULL OUTER JOIN newsnap n USING (o_orderkey))
+           |SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(delta), 4) AS sum_price_delta
+           |FROM d GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val base = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val newsnap = base
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionAll(base.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    val o = base.select(col("o_orderkey"),
+      col("o_orderstatus").as("o_status"), col("o_totalprice").as("o_price"))
+    val n = newsnap.select(col("o_orderkey"),
+      col("o_orderstatus").as("n_status"), col("o_totalprice").as("n_price"))
+    val action = when(col("o_price").isNull, "added")
+      .when(col("n_price").isNull, "removed")
+      .when(col("o_price") =!= col("n_price") ||
+        col("o_status") =!= col("n_status"), "changed")
+      .otherwise("same")
+    val delta = when(col("o_price").isNotNull && col("n_price").isNotNull,
+      col("n_price") - col("o_price")).otherwise(0.0)
+    orderedByAll(
+      o.join(n, Seq("o_orderkey"), "full_outer")
+        .select(action.as("action"), delta.as("delta"))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"),
+          round4(sum(col("delta"))).as("sum_price_delta")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
-      q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162)
+      q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
+      q165)
 }

@@ -706,7 +706,81 @@ object SimilarityQueries {
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped")))
   }
 
+  /** Johnson–Lindenstrauss projection dims: d=64 in, k=8 out (8× cheaper
+    * downstream distance math; JL distortion ε ~ sqrt(ln n / k)). */
+  private val JlD = 64
+  private val JlK = 8
+
+  /** Seeded Rademacher (±1) projection matrix, k×d. java.util.Random's LCG
+    * is pinned by its spec, so every JVM generates the identical matrix —
+    * and the DuckDB oracle embeds the SAME values as a literal, so both
+    * engines multiply by bit-identical coefficients. */
+  private[graft] val JlR: Array[Array[Double]] = {
+    val rng = new scala.util.Random(20260813L)
+    Array.fill(JlK, JlD)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1 variant) of
+    * the embedding corpus: y = R·x with a seeded k×d Rademacher matrix,
+    * reported as per-label norm-preservation stats — E[‖y‖²/k] = ‖x‖²/d, so
+    * the dimension-normalized ratio concentrates at 1. This is the
+    * TRAINING-FREE dimensionality reduction of the ANN stack: unlike
+    * q108/q118's learned quantizers there is nothing to fit, broadcast or
+    * version — the "model" is 512 literal ±1s baked into the plan, the
+    * projection is one fused map-side expression (zero exchanges before the
+    * label-scale rollup), and at 100 TB it composes with q127/q140 as a
+    * front-end that shrinks every downstream distance computation 8×.
+    *
+    * Determinism: each y_j folds x_i·R[j][i] left-to-right (dsl.foldSum ≡
+    * the oracle's list_reduce/list_prepend), ratios are formed with the
+    * identical ·8.0/ nx expression, and min/max are order-independent;
+    * avg sums ~1.0-scale ratios, far inside the 4dp grain. */
+  val q164 = EngineQuery(
+    "q164_jl_project",
+    Some {
+      val m = JlR.map(row => row.mkString("[", ", ", "]"))
+        .mkString("[", ",\n    ", "]")
+      s"""WITH mat AS (SELECT $m AS r),
+         |e AS (SELECT label, embedding,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (a, b) -> a + b) AS nx,
+         |  list_transform(generate_series(1, $JlK), j ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, $JlD),
+         |        i -> CAST(embedding[i] AS DOUBLE) * r[j][i])),
+         |      (a, b) -> a + b)) AS y
+         |  FROM embeddings, mat),
+         |s AS (SELECT label,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(y, v -> v * v)), (a, b) -> a + b) * 8.0 / nx AS ratio
+         |  FROM e WHERE nx > 0)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       round(avg(ratio), 4) AS avg_ratio,
+         |       round(min(ratio), 4) AS min_ratio,
+         |       round(max(ratio), 4) AS max_ratio
+         |FROM s GROUP BY 1 ORDER BY ALL""".stripMargin
+    }) { t =>
+    val nx = foldSum(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")))
+    val y = array((0 until JlK).map { j =>
+      foldSum(zip_with(col("embedding"), array(JlR(j).map(lit): _*),
+        (x, r) => x.cast("double") * r))
+    }: _*)
+    val ny = foldSum(transform(y, v => v * v))
+    orderedByAll(
+      t.embeddings
+        .select(col("label"), nx.as("nx"), (ny * 8.0).as("ny8"))
+        .filter(col("nx") > 0)
+        .select(col("label"), (col("ny8") / col("nx")).as("ratio"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round4(avg(col("ratio"))).as("avg_ratio"),
+          round4(min(col("ratio"))).as("min_ratio"),
+          round4(max(col("ratio"))).as("max_ratio")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154)
+      q154, q164)
 }

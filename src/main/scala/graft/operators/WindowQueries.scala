@@ -327,6 +327,64 @@ object WindowQueries {
           coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)).as("v_filled")))
   }
 
+  /** Last-touch conversion attribution — for every purchase, credit the most
+    * recent prior click/view by the same user within a 24 h lookback, then
+    * roll conversions, revenue and touch-to-convert lag up per channel
+    * ('none' when no touch qualifies). The marketing-analytics twin of the
+    * as-of join: instead of joining per conversion (a per-row lookup that
+    * dies at scale), the touch is carried FORWARD through the user's event
+    * sequence by `last(_, ignoreNulls)` over ROWS UNBOUNDED PRECEDING..1
+    * PRECEDING — one user-keyed exchange + per-partition sort for the whole
+    * corpus, the same single-shuffle shape as q22/q59, then a channel-scale
+    * (≤3 rows) rollup. The event_type filter pushes to the scan.
+    *
+    * Determinism: the window orders by (ts, event_id) — a total order, so
+    * ties at the same timestamp resolve identically in both engines; the two
+    * `last_value IGNORE NULLS` calls are non-null on exactly the same rows,
+    * so touch_ts/touch_type always come from the same touch event. Lags are
+    * integer epoch-second differences (both engines floor µs identically,
+    * SURVEY §7.4.3) — exact BIGINT sums, no float accumulation. */
+  val q163 = EngineQuery(
+    "q163_attribution",
+    Some("""WITH seq AS (
+           |  SELECT user_id, ts, event_id, event_type, value,
+           |    last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+           |      OVER w AS touch_ts,
+           |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+           |      OVER w AS touch_type
+           |  FROM events
+           |  WHERE event_type IN ('click','view','purchase')
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           |SELECT CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 24 HOURS
+           |            THEN touch_type ELSE 'none' END AS channel,
+           |       CAST(count(*) AS BIGINT) AS n_purchases,
+           |       round(sum(value), 4) AS sum_value,
+           |       CAST(coalesce(sum(CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 24 HOURS
+           |         THEN epoch_us(ts)//1000000 - epoch_us(touch_ts)//1000000 END), 0) AS BIGINT) AS sum_lag_sec
+           |FROM seq WHERE event_type = 'purchase'
+           |GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seq = t.events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+    val attributed = col("touch_ts").isNotNull &&
+      col("touch_ts") >= col("ts") - expr("INTERVAL 24 HOURS")
+    orderedByAll(
+      seq.filter(col("event_type") === "purchase")
+        .groupBy(when(attributed, col("touch_type")).otherwise("none").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round4(sum(col("value"))).as("sum_value"),
+          coalesce(sum(when(attributed,
+            epochSec(col("ts")) - epochSec(col("touch_ts")))), lit(0L))
+            .as("sum_lag_sec")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102)
+    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102, q163)
 }
