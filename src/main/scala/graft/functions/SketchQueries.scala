@@ -233,5 +233,36 @@ object SketchQueries {
           estAt(0.50).as("p50"), estAt(0.95).as("p95"), estAt(0.99).as("p99")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121, q143, q149)
+  /** Audience-overlap estimation by HLL inclusion–exclusion —
+    * |A∩B| ≈ |A| + |B| − |A∪B| with the union estimated from MERGED sketch
+    * bytes (`hll_union`), never from re-scanned raw data. q143 stores the
+    * per-audience sketches; this composes them: the corpus pass builds one
+    * KB-sized sketch per event_type (5 rows), and every pairwise overlap —
+    * all C(5,2) of them — is scalar math on broadcast sketch bytes. At
+    * 100 TB the alternative (an exact distinct-intersection join per pair)
+    * is a corpus-scale shuffle PER PAIR; this is one corpus pass total, and
+    * adding audiences grows the pair table quadratically in AUDIENCES, not
+    * data. Estimates are merge-order invariant (registers combine by max)
+    * → deterministic, but engine-specific → no SQL oracle; HllOverlapSpec
+    * pins each pair's estimate within 5σ (lgK=12 rsd per sketch, ×3
+    * sketches) of the exact intersection and the identity
+    * est_inter = est_a + est_b − est_union on the emitted rows. */
+  val q167 = EngineQuery("q167_audience_overlap", None) { t =>
+    val sk = t.events.groupBy(col("event_type").as("atype"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+    val a = sk.select(col("atype").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("atype").as("type_b"), col("sk").as("sk_b"))
+    val est = (c: org.apache.spark.sql.Column) =>
+      hll_sketch_estimate(c).cast("long")
+    orderedByAll(
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          est(col("sk_a")).as("est_a"), est(col("sk_b")).as("est_b"),
+          est(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+        .withColumn("est_inter",
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q40, q41, q86, q99, q121, q143, q149, q167)
 }

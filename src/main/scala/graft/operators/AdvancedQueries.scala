@@ -1080,8 +1080,87 @@ object AdvancedQueries {
           round4(sum(col("delta"))).as("sum_price_delta")))
   }
 
+  /** One join-key skew profile row: exact per-key counts (the ONLY
+    * corpus-scale exchange, map-side combinable), then every statistic
+    * derives from key- or histogram-scale tables — totals/max from one
+    * aggregate over the checkpointed counts, top-10 share via
+    * TakeOrderedAndProject, p50/p99 key-frequency order statistics from a
+    * cumulative window over the count-of-counts histogram (q161's
+    * discipline: the no-partition window sees histogram-scale rows, never
+    * keys). */
+  private def skewProfile(df: org.apache.spark.sql.DataFrame, key: String,
+      label: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val t = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val tp = c.orderBy(col("cnt").desc, col("k")).limit(10)
+      .agg(sum(col("cnt")).as("top10"))
+    val cum = c.groupBy("cnt").agg(count(lit(1)).as("nk"))
+      .withColumn("cc", sum(col("nk")).over(Window.orderBy("cnt")))
+      .localCheckpoint(eager = false)
+    def pct(q: Double, name: String) =
+      cum.crossJoin(broadcast(t.select(col("n_keys").as("nkk"))))
+        .filter(col("cc") >= ceil(col("nkk") * q))
+        .agg(min(col("cnt")).as(name))
+    t.crossJoin(tp).crossJoin(pct(0.5, "p50_cnt")).crossJoin(pct(0.99, "p99_cnt"))
+      .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+        col("max_cnt"),
+        round4(col("max_cnt") / (col("n_rows") / col("n_keys").cast("double")))
+          .as("skew_factor"),
+        round4(col("top10") / col("n_rows").cast("double")).as("top10_share"),
+        col("p50_cnt"), col("p99_cnt"))
+  }
+
+  private def skewProfileSql(table: String, key: String): String =
+    s"""SELECT '$table.$key' AS key_col,
+       |  CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(max_cnt AS BIGINT) AS max_cnt,
+       |  round(max_cnt / (n_rows / CAST(n_keys AS DOUBLE)), 4) AS skew_factor,
+       |  round(top10 / CAST(n_rows AS DOUBLE), 4) AS top10_share,
+       |  CAST(p50_cnt AS BIGINT) AS p50_cnt, CAST(p99_cnt AS BIGINT) AS p99_cnt
+       |FROM (SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt
+       |      FROM (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1)),
+       |  (SELECT sum(cnt) AS top10 FROM
+       |    (SELECT cnt FROM (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1)
+       |     ORDER BY cnt DESC, k LIMIT 10)),
+       |  (SELECT min(cnt) AS p50_cnt FROM
+       |    (SELECT cnt, sum(nk) OVER (ORDER BY cnt) AS cc FROM
+       |      (SELECT cnt, count(*) AS nk FROM
+       |        (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1) GROUP BY 1)),
+       |    (SELECT count(*) AS nkk FROM
+       |      (SELECT $key AS k FROM $table GROUP BY 1))
+       |    WHERE cc >= ceil(nkk * 0.5)),
+       |  (SELECT min(cnt) AS p99_cnt FROM
+       |    (SELECT cnt, sum(nk) OVER (ORDER BY cnt) AS cc FROM
+       |      (SELECT cnt, count(*) AS nk FROM
+       |        (SELECT $key AS k, count(*) AS cnt FROM $table GROUP BY 1) GROUP BY 1)),
+       |    (SELECT count(*) AS nkk FROM
+       |      (SELECT $key AS k FROM $table GROUP BY 1))
+       |    WHERE cc >= ceil(nkk * 0.99))""".stripMargin
+
+  /** Join-key skew diagnostic — the measurement you run BEFORE reaching for
+    * q68's manual salt or q139's AQE skew join: exact key-frequency
+    * statistics (key count, max, max/avg skew factor, top-10 share, p50/p99
+    * per-key frequency) for candidate join/partition keys, here
+    * orders.o_custkey and events.user_id in one report. A plan that
+    * shuffles on a key with skew_factor 40 needs salting; 1.3 does not —
+    * this query turns that choice from folklore into a measured number.
+    * See [[skewProfile]] for the scale shape (one combinable corpus
+    * exchange per key; everything else key- or histogram-scale). */
+  val q166 = EngineQuery(
+    "q166_skew_profile",
+    Some(s"""SELECT * FROM (${skewProfileSql("orders", "o_custkey")}
+            |UNION ALL
+            |${skewProfileSql("events", "user_id")}) ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(
+      skewProfile(t.orders, "o_custkey", "orders.o_custkey")
+        .unionAll(skewProfile(t.events, "user_id", "events.user_id")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
       q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
-      q165)
+      q165, q166)
 }
