@@ -1159,8 +1159,72 @@ object AdvancedQueries {
         .unionAll(skewProfile(t.events, "user_id", "events.user_id")))
   }
 
+  /** Population Stability Index — the standard distribution-drift monitor a
+    * training-data pipeline runs between corpus snapshots (and a model team
+    * runs between train and serve windows): bin the reference period's value
+    * distribution, count both periods against the SAME bins, and report the
+    * per-bin PSI contribution (p_a − p_b)·ln(p_a/p_b). Here: orders before
+    * 1998-01-01 (reference) vs after (current), o_totalprice over 10
+    * equal-width bins anchored on the reference period's [min, max]; counts
+    * are Laplace-smoothed ((n+0.5)/(N+5)) so an empty bin on either side
+    * stays finite. PSI > 0.25 is the conventional "distribution shifted,
+    * retrain/refresh" alarm.
+    *
+    * Scale shape: the bin anchor is ONE scalar aggregate (min/max of the
+    * reference slice) broadcast back; bin assignment is a map-side closed
+    * form (no quantile pass — the exact-quantile variant composes with
+    * q70's distributed ntile machinery when decile bins are wanted); the
+    * only data-sized exchange is the 10-key bin aggregate, map-side
+    * combined. One corpus scan, same at 100 TB.
+    *
+    * Determinism: bin = least(greatest(floor((x−lo)/w), 0), 9) is the same
+    * IEEE expression on both engines (maxA lands exactly on floor(10) and
+    * clamps to bin 9); probabilities and the log term are round4'd. */
+  val q168 = EngineQuery(
+    "q168_psi_drift",
+    Some("""WITH o AS (SELECT o_totalprice AS x,
+           |             o_orderdate < TIMESTAMP '1998-01-01' AS is_a FROM orders),
+           |b AS (SELECT min(x) AS lo, max(x) AS hi FROM o WHERE is_a),
+           |binned AS (SELECT CAST(least(greatest(floor((x - lo) / ((hi - lo) / 10.0)), 0.0), 9.0) AS INT) AS bin,
+           |             is_a FROM o CROSS JOIN b),
+           |c AS (SELECT bin, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+           |             sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+           |      FROM binned GROUP BY 1),
+           |f AS (SELECT CAST(r.range AS INT) AS bin,
+           |             CAST(coalesce(na, 0) AS BIGINT) AS na,
+           |             CAST(coalesce(nb, 0) AS BIGINT) AS nb
+           |      FROM range(10) r LEFT JOIN c ON r.range = c.bin),
+           |tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM f)
+           |SELECT bin, na, nb,
+           |       round((na + 0.5) / (n_a + 5.0), 4) AS pa,
+           |       round((nb + 0.5) / (n_b + 5.0), 4) AS pb,
+           |       round(((na + 0.5) / (n_a + 5.0) - (nb + 0.5) / (n_b + 5.0))
+           |             * ln(((na + 0.5) / (n_a + 5.0)) / ((nb + 0.5) / (n_b + 5.0))), 4) AS psi_term
+           |FROM f CROSS JOIN tot ORDER BY ALL""".stripMargin)) { t =>
+    val o = t.orders.select(col("o_totalprice").as("x"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("is_a"))
+    val bounds = o.filter(col("is_a")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val binned = o.crossJoin(broadcast(bounds)).select(
+      least(greatest(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+        lit(0.0)), lit(9.0)).cast("int").as("bin"),
+      col("is_a"))
+    val cnts = binned.groupBy("bin").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na0"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb0"))
+    val spine = t.spark.range(10).select(col("id").cast("int").as("bin"))
+    val f = spine.join(cnts, Seq("bin"), "left").select(col("bin"),
+      coalesce(col("na0"), lit(0L)).as("na"), coalesce(col("nb0"), lit(0L)).as("nb"))
+    val tot = f.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val pa = (col("na") + 0.5) / (col("n_a") + 5.0)
+    val pb = (col("nb") + 0.5) / (col("n_b") + 5.0)
+    orderedByAll(
+      f.crossJoin(broadcast(tot)).select(col("bin"), col("na"), col("nb"),
+        round4(pa).as("pa"), round4(pb).as("pb"),
+        round4((pa - pb) * log(pa / pb)).as("psi_term")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
       q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
-      q165, q166)
+      q165, q166, q168)
 }

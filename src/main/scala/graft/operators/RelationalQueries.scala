@@ -706,7 +706,54 @@ object RelationalQueries {
           when(col("r.violations") === 0, 1L).otherwise(0L).as("passed")))
   }
 
+  /** Benford first-significant-digit audit — the forensic data-quality
+    * screen for "does this numeric column look organically generated or
+    * fabricated/truncated": observed first-digit frequencies of
+    * o_totalprice vs Benford's law p(d) = log10(1 + 1/d), with the Pearson
+    * χ² contribution per digit. (TPC-H-style uniform prices should FAIL
+    * Benford loudly — the audit's job is to report the divergence, and a
+    * high χ² here is the fixture behaving honestly.)
+    *
+    * The digit extraction dodges cross-engine libm risk: first digit via
+    * floor(x/10^floor(log10 x)) puts a log10 ulp on a branch boundary, so
+    * instead both engines take the first character of the EXACT integer
+    * cents string (round(x·100) as bigint → varchar) — leading digit is
+    * invariant under ×100 and int→string is exact everywhere. Scale shape:
+    * map-side digit extraction, one 9-key map-combined aggregate, spine
+    * join for empty digits — one scan at any corpus size. */
+  val q171 = EngineQuery(
+    "q171_benford_audit",
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |           FROM orders),
+           |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+           |f AS (SELECT CAST(r.range + 1 AS INT) AS digit, CAST(coalesce(n, 0) AS BIGINT) AS n
+           |      FROM range(9) r LEFT JOIN c ON r.range + 1 = c.digit),
+           |tot AS (SELECT sum(n) AS nt FROM f)
+           |SELECT digit, n,
+           |       round(n / CAST(nt AS DOUBLE), 4) AS obs_p,
+           |       round(log10(1.0 + 1.0 / digit), 4) AS exp_p,
+           |       round(pow(n - nt * log10(1.0 + 1.0 / digit), 2)
+           |             / (nt * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+           |FROM f CROSS JOIN tot ORDER BY ALL""".stripMargin)) { t =>
+    val d = t.orders.select(
+      substring(round(col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val c = d.groupBy("digit").agg(count(lit(1)).as("n0"))
+    val spine = t.spark.range(9).select((col("id") + 1).cast("int").as("digit"))
+    val f = spine.join(c, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n0"), lit(0L)).as("n"))
+    val tot = f.agg(sum(col("n")).as("nt"))
+    val expP = log10(lit(1.0) + lit(1.0) / col("digit"))
+    orderedByAll(
+      f.crossJoin(broadcast(tot)).select(col("digit"), col("n"),
+        round4(col("n") / col("nt").cast("double")).as("obs_p"),
+        round4(expP).as("exp_p"),
+        round4(pow(col("n") - col("nt") * expP, 2) / (col("nt") * expP))
+          .as("chi2_term")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q10, q11, q12, q13, q16, q17,
-      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142, q155, q158)
+      q48, q53, q54, q56, q63, q64, q65, q98, q126, q138, q142, q155, q158,
+      q171)
 }

@@ -363,6 +363,53 @@ object TrainingDataQueries {
         .select(col("doc_id"), (col("off") + col("local")).as("gid")))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the stable
+    * routing function a corpus store uses so that ADDING a shard only moves
+    * ~1/(N+1) of the documents (classic hash-mod-N reshuffles almost
+    * everything): each doc goes to the shard maximizing
+    * hash(doc_id, shard). Assignment is a pure map-side array expression —
+    * the per-doc argmax runs over a literal sequence of shard ids, zero
+    * exchange — and the report is the 8-key shard aggregate: per shard of
+    * the N=8 placement, how many docs it holds and how many would leave if
+    * shard 8 joined (they can only move TO the new shard, one of HRW's
+    * guarantees). moved_frac ≈ 1/9 per shard is minimal-disruption
+    * working as designed.
+    *
+    * Engine/oracle hash parity needs no bigint convs: both engines compare
+    * the first 15 hex chars of md5("docId:shard") AS STRINGS — equal-length
+    * lowercase hex compares lexicographically exactly like the number it
+    * spells, on both sides. */
+  val q169 = EngineQuery(
+    "q169_rendezvous_shard",
+    Some("""WITH a AS (SELECT doc_id, r.range AS s,
+           |             substr(md5(doc_id::VARCHAR || ':' || r.range::VARCHAR), 1, 15) AS h
+           |           FROM documents CROSS JOIN range(9) r),
+           |s8 AS (SELECT doc_id, s AS shard8 FROM
+           |        (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+           |         FROM a WHERE s < 8) WHERE rn = 1),
+           |s9 AS (SELECT doc_id, s AS shard9 FROM
+           |        (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+           |         FROM a) WHERE rn = 1)
+           |SELECT CAST(shard8 AS INT) AS shard,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           |       round(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS moved_frac
+           |FROM s8 JOIN s9 USING (doc_id) GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    def hrw(nShards: Int) =
+      array_max(transform(sequence(lit(0), lit(nShards - 1)), s =>
+        struct(
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"), s.cast("string"))), 1, 15).as("h"),
+          s.as("s")))).getField("s")
+    val moved = col("shard8") =!= col("shard9")
+    orderedByAll(
+      t.documents.select(col("doc_id"), hrw(8).as("shard8"), hrw(9).as("shard9"))
+        .groupBy(col("shard8").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(moved, 1L).otherwise(0L)).as("n_moved"),
+          round4(sum(when(moved, 1L).otherwise(0L)) / count(lit(1)).cast("double"))
+            .as("moved_frac")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152)
+    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169)
 }

@@ -385,6 +385,45 @@ object WindowQueries {
             .as("sum_lag_sec")))
   }
 
+  /** Exponential moving average per key — the recursive smoother
+    * (ewma_t = α·x_t + (1−α)·ewma_{t−1}, α = 0.3, seeded with the first
+    * value) that no SQL window frame expresses directly because each output
+    * depends on ALL prior inputs with geometric weights. Two standard
+    * escapes exist: the closed-form window sum Σ x_i·(1−α)^(t−i) — which
+    * overflows/loses precision as (1−α)^(−i) grows — and the explicit
+    * left fold over the key's ordered history. This takes the fold: collect
+    * each customer's order totals sorted by (date, key) and fold
+    * `acc ← 0.3·x + 0.7·acc` with a higher-order `aggregate`.
+    *
+    * Determinism across engines is the fold itself: Spark's `aggregate`
+    * and DuckDB's `list_reduce` both left-fold seeded with element 1, so
+    * the doubles are BIT-IDENTICAL (same trick as dsl.foldSum) — a window
+    * sum would associate differently per engine. Scale shape: one shuffle
+    * keyed by o_custkey carrying (8B key, 8B ts, 8B id, 8B value); the
+    * per-key array is orders-per-customer — a bounded constant (~10) in
+    * this schema, so the fold is O(1) per key at any corpus size. */
+  val q170 = EngineQuery(
+    "q170_ewma",
+    Some("""WITH s AS (SELECT o_custkey, count(*) AS n_orders,
+           |            list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS vals
+           |          FROM orders GROUP BY 1)
+           |SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           |       round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+           |FROM s WHERE n_orders >= 10 ORDER BY ALL""".stripMargin)) { t =>
+    val grouped = t.orders.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sort_array(collect_list(struct(
+        col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))).as("xs"))
+    orderedByAll(
+      grouped.filter(col("n_orders") >= 10)
+        .withColumn("vals", transform(col("xs"), s => s.getField("o_totalprice")))
+        .select(col("o_custkey"), col("n_orders"),
+          round4(aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc)).as("ewma")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102, q163)
+    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102, q163, q170)
 }
