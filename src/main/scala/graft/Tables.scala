@@ -30,7 +30,7 @@ final class Tables(val spark: SparkSession, val dir: String) {
   lazy val part: DataFrame       = t("part")
   lazy val orders: DataFrame     = t("orders")
   lazy val lineitem: DataFrame   = t("lineitem")
-  lazy val events: DataFrame     = Tables.nanosToMicros(t("events"), "ts")
+  lazy val events: DataFrame     = Tables.normalizeTs(t("events"), "ts")
   lazy val documents: DataFrame  = t("documents")
   lazy val embeddings: DataFrame = t("embeddings")
 }
@@ -43,12 +43,26 @@ object Tables {
   def forPath(spark: SparkSession, dir: String): Tables =
     instances.get(spark, dir)(new Tables(spark, dir))
 
-  /** Lower a nanos-as-long column to a microsecond timestamp (exact long
-    * division — nanos ≈ 1.7e18 exceed double precision, so no `/`). */
-  def nanosToMicros(df: DataFrame, c: String): DataFrame =
-    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-    else df
+  /** Normalize the event-time column to `TimestampType` across every
+    * encoding the driver testdata has shipped with:
+    *   - TIMESTAMP(NANOS) read as nanos-as-long (legacy flag above):
+    *     exact long division — nanos ≈ 1.7e18 exceed double precision,
+    *     so no `/` — then `timestamp_micros`.
+    *   - timestamp[us] without UTC adjustment (pyarrow default), which
+    *     Spark 4 infers as TIMESTAMP_NTZ: cast to TimestampType. The
+    *     session TZ is pinned UTC everywhere (Verify, Bench, sbt), so
+    *     NTZ-as-UTC preserves exactly the instants DuckDB reads from the
+    *     same file (DuckDB sees naive µs either way — oracle unchanged).
+    *   - timestamp[us] UTC-adjusted (TimestampType): pass through.
+    * All three load identical instants (TsEncodingSpec). */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }
 
 /** Amortization cache keyed by (SparkSession, data dir) — the shared reuse

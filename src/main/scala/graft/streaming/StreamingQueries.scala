@@ -45,7 +45,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = Tables.nanosToMicros(
+    val stream = Tables.normalizeTs(
       spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
       .withWatermark("ts", "2 hours")
     aggShape(stream)
@@ -122,7 +122,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    def side = Tables.nanosToMicros(
+    def side = Tables.normalizeTs(
       spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
     val p = side.filter(col("event_type") === "purchase")
       .withWatermark("ts", "2 hours")
@@ -170,7 +170,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = Tables.nanosToMicros(
+    val stream = Tables.normalizeTs(
       spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
       .withWatermark("ts", "2 hours")
     slidingShape(stream)
@@ -227,7 +227,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = Tables.nanosToMicros(
+    val stream = Tables.normalizeTs(
       spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
     streamStaticShape(stream, customer)
@@ -322,7 +322,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    def side = Tables.nanosToMicros(
+    def side = Tables.normalizeTs(
       spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
     val p = side.filter(col("event_type") === "purchase")
       .withWatermark("ts", "2 hours")
@@ -383,7 +383,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = Tables.nanosToMicros(
+    val stream = Tables.normalizeTs(
       spark.readStream.schema(raw).parquet(streamDir.toString), "ts")
     StatefulFunnel.funnelStream(stream, java.time.Duration.ofDays(30)).toDF()
   }
