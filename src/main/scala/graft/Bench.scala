@@ -52,8 +52,13 @@ object Bench {
     // order is per-JVM nondeterministic, which made cross-round per-query
     // deltas ride on execution-order luck (cache/contention state differs by
     // position in the pass).
+    // Optional substring filter for local iteration (unset in driver runs):
+    // SPARK_GRAFT_ONLY=q108 times just the matching queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     def pass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(name.contains) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }

@@ -109,20 +109,22 @@ object KMeansTrainer {
     var members = IndexedSeq.fill(k)(0L)
     var sumD2 = IndexedSeq.fill(k)(0.0)
     while (iters < maxIters && shift >= tol) {
-      val centDf = cents.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cvec")
-      val dist = graft.dsl.foldSum(zip_with(col("embedding"), col("cvec"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
-      // ONE corpus pass: assign (partial-agg argmin), then cell partials.
-      // pos 0 additionally carries the per-cluster member count and d2 sum,
-      // so the driver reads everything from one k×dim collect.
-      val cells = e.crossJoin(broadcast(centDf))
-        .select(col("vec_id"), col("embedding"),
-          struct(dist.as("d2"), col("cid")).as("dc"))
-        .groupBy("vec_id")
-        .agg(min(col("dc")).as("m"), first(col("embedding")).as("emb"))
-        .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
-          posexplode(col("emb")).as(Seq("pos", "x")))
+      // Assignment is MAP-ONLY: the k×dim centroids ride the plan as
+      // literals (the q37/q127 serving shape), argmin = position of the
+      // array minimum (first minimum → lowest cid, the same tie rule as
+      // min(struct(d2, cid)) and assignLocal). The only exchange per
+      // superstep is the k×dim cell partial-aggregate below — the
+      // previous formulation crossJoined N×k rows and shuffled the whole
+      // corpus by vec_id every iteration just to pick each argmin.
+      // pos 0 additionally carries the per-cluster member count and d2
+      // sum, so the driver reads everything from one k×dim collect.
+      val cells = e
+        .select(col("embedding"), litD2s(col("embedding"), cents).as("ds"))
+        .select(
+          (array_position(col("ds"), array_min(col("ds"))) - 1)
+            .cast("int").as("cid"),
+          array_min(col("ds")).as("d2"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum(col("x").cast("double")).as("sx"),
           count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
@@ -149,17 +151,21 @@ object KMeansTrainer {
     Trained(cents, members, sumD2, iters)
   }
 
-  /** Squared L2 to every trained centroid as ONE literal-array expression:
-    * the k×dim model rides the plan as literals, so assignment is pure
-    * map-side compute — no centroid table, no crossJoin, no exchange. This
-    * is the serving-side shape (q37/q127 share it); the crossJoin+window
-    * formulation it replaces pushed N×k rows through a vec_id hash
-    * exchange just to pick each vector's argmin. */
-  def centroidD2s(emb: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column =
-    array(m.centroids.map { c =>
+  /** Squared L2 to every centroid as ONE literal-array expression: the
+    * k×dim model rides the plan as literals, so assignment is pure
+    * map-side compute — no centroid table, no crossJoin, no exchange.
+    * Shared by the trainer's per-superstep assignment and the serving
+    * side (q37/q127); same fixed fold order as [[d2]]. */
+  private def litD2s(emb: org.apache.spark.sql.Column,
+      cents: IndexedSeq[Array[Double]]): org.apache.spark.sql.Column =
+    array(cents.map { c =>
       graft.dsl.foldSum(zip_with(emb, typedLit(c.toSeq),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
     }: _*)
+
+  /** [[litD2s]] over a trained model — the serving-side entry point. */
+  def centroidD2s(emb: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column =
+    litD2s(emb, m.centroids)
 
   /** Nearest-centroid id — the vector's home IVF bucket, map-only.
     * Ties break on the LOWEST centroid id (array_position finds the first

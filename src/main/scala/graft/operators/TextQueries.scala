@@ -1320,6 +1320,58 @@ object TextQueries {
     * probe" degenerates to map-side array scans (see q157 scaladoc). */
   private val Bm25Terms = Seq("hash", "join", "vector")
 
+  /** The BM25 corpus CTEs (tokenize → per-term tf + doc length → one
+    * scalar stats row), shared VERBATIM by the q157 and q172 oracles so
+    * the lexical scores are the same expression tree in every query that
+    * ranks by them (the limit cutoffs depend on bit-identical doubles). */
+  private val Bm25SqlCtes: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |  ${Bm25Terms.map(w => s"CAST(len(list_filter(tk, x -> x = '$w')) AS BIGINT) AS tf_$w").mkString(",\n  ")}
+       |  FROM tk),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |  ${Bm25Terms.map(w => s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END) AS df_$w").mkString(",\n  ")}
+       |  FROM base)""".stripMargin
+
+  /** The summed per-term BM25 addends (k1=1.2, b=0.75) — SQL side. */
+  private val Bm25SqlScore: String = Bm25Terms.map { w =>
+    s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$w AS DOUBLE) + 0.5) / (CAST(df_$w AS DOUBLE) + 0.5) + 1.0)
+       | * (CAST(tf_$w AS DOUBLE) * 2.2)
+       | / (CAST(tf_$w AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+      .stripMargin.replace("\n", "")
+  }.mkString("\n   + ")
+
+  /** Engine twin of [[Bm25SqlCtes]]: the scored-corpus frame
+    * (doc_id, dl, tf_*) with the single stats row (n_docs, sum_dl, df_*)
+    * broadcast back — two corpus passes, zero corpus-keyed exchange. */
+  private def bm25Joined(t: graft.Tables): DataFrame = {
+    val tk = t.documents.select(col("doc_id"), toks(col("text")).as("tk"))
+    val base = tk.select(Seq(
+      col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
+      Bm25Terms.map(w =>
+        size(filter(col("tk"), x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.map(w =>
+          sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))): _*)
+    base.crossJoin(broadcast(stats))
+  }
+
+  /** Engine twin of [[Bm25SqlScore]] — identical addend order, so the
+    * doubles are bit-identical to the oracle's. */
+  private def bm25Score: Column = {
+    def addend(w: String): Column = {
+      val tf = col(s"tf_$w").cast("double")
+      val df = col(s"df_$w").cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs")))))
+    }
+    Bm25Terms.map(addend).reduce(_ + _)
+  }
+
   /** Okapi BM25 ranking (Robertson & Zaragoza, FnTIR 2009; k1=1.2, b=0.75)
     * of the corpus against a fixed multi-term query — the retrieval scorer
     * every RAG / data-curation pipeline runs before an embedding model sees
@@ -1342,51 +1394,99 @@ object TextQueries {
     * agree exactly across engines. */
   val q157 = EngineQuery(
     "q157_bm25",
-    Some {
-      val addends = Bm25Terms.map { w =>
-        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$w AS DOUBLE) + 0.5) / (CAST(df_$w AS DOUBLE) + 0.5) + 1.0)
-           | * (CAST(tf_$w AS DOUBLE) * 2.2)
-           | / (CAST(tf_$w AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
-          .stripMargin.replace("\n", "")
-      }
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-         |  ${Bm25Terms.map(w => s"CAST(len(list_filter(tk, x -> x = '$w')) AS BIGINT) AS tf_$w").mkString(",\n  ")}
-         |  FROM tk),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-         |  ${Bm25Terms.map(w => s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END) AS df_$w").mkString(",\n  ")}
-         |  FROM base)
+    Some(
+      s"""$Bm25SqlCtes
          |SELECT doc_id, dl,
          |  CAST(${Bm25Terms.map(w => s"(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_matched,
-         |  round(${addends.mkString("\n   + ")}, 4) AS score
+         |  round($Bm25SqlScore, 4) AS score
          |FROM base CROSS JOIN st
-         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
-    }) { t =>
-    val tk = t.documents.select(col("doc_id"), toks(col("text")).as("tk"))
-    val base = tk.select(Seq(
-      col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
-      Bm25Terms.map(w =>
-        size(filter(col("tk"), x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).as("sum_dl") +:
-        Bm25Terms.map(w =>
-          sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))): _*)
-    def addend(w: String): Column = {
-      val tf = col(s"tf_$w").cast("double")
-      val df = col(s"df_$w").cast("double")
-      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
-      idf * (tf * 2.2) /
-        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
-          (col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs")))))
-    }
-    base.crossJoin(broadcast(stats))
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)) { t =>
+    bm25Joined(t)
       .select(col("doc_id"), col("dl"),
         Bm25Terms.map(w => when(col(s"tf_$w") > 0, 1L).otherwise(0L))
           .reduce(_ + _).as("n_matched"),
-        round4(Bm25Terms.map(addend).reduce(_ + _)).as("score"))
+        round4(bm25Score).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
+  }
+
+  /** Hybrid retrieval fusion (Cormack et al., SIGIR 2009 — Reciprocal Rank
+    * Fusion): the lexical arm ranks the corpus by q157's BM25 scorer, the
+    * dense arm by cosine to a query embedding (vec_id 0 — the id-aligned
+    * `embeddings` row of the query document), and each doc's fused score is
+    * Σ 1/(60 + rank) over the arms that retrieved it. This is the shape
+    * every RAG curation pipeline runs: neither arm alone survives both
+    * paraphrase (kills lexical) and rare exact identifiers (kills dense).
+    *
+    * Scale shape: BOTH arms are map-only under broadcast state (the 1-row
+    * BM25 stats / the 1-row query vector) and their top-20 compiles to
+    * TakeOrderedAndProject — per-partition heaps, driver merge of 20-row
+    * partials, never a global sort. Rank assignment and the full-outer
+    * fusion join then touch 20-row frames (the unpartitioned row_number
+    * windows are POST-limit — bounded by construction, per the
+    * PlanMetricsSpec window discipline). At 100 TB the corpus is read
+    * twice, shuffled never.
+    *
+    * Determinism: both arms' scores are bit-identical expression trees
+    * across engines (Bm25SqlScore/bm25Score; CosineSimilarity ≡ the
+    * list_reduce fold — q25's contract), so the top-20 cutoffs and ranks
+    * agree exactly; ties break on doc_id. Docs outside an arm report rank
+    * 0 (output stays null-free) and contribute 0.0 to the fused score,
+    * summed lex-then-dense on both sides. */
+  val q172 = EngineQuery(
+    "q172_hybrid_fusion",
+    Some(
+      s"""$Bm25SqlCtes,
+         |lexs AS (SELECT doc_id, $Bm25SqlScore AS s FROM base CROSS JOIN st),
+         |lext AS (SELECT doc_id, s FROM lexs ORDER BY s DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS lex_rank FROM lext),
+         |qv AS (SELECT embedding AS qe,
+         |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |           (a, b) -> a + b)) AS qn
+         |       FROM embeddings WHERE vec_id = 0),
+         |den AS (SELECT e.vec_id AS doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(generate_series(1, 64),
+         |             i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+         |           (a, b) -> a + b)
+         |         / (qn * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |             (a, b) -> a + b))) AS c
+         |       FROM embeddings e CROSS JOIN qv),
+         |dent AS (SELECT doc_id, c FROM den ORDER BY c DESC, doc_id LIMIT 20),
+         |dense AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT) AS dense_rank FROM dent)
+         |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |       CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank,
+         |       CAST(coalesce(dense_rank, 0) AS INT) AS dense_rank,
+         |       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+         |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0), 4) AS rrf
+         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)) { t =>
+    val rankW = (s: Column) => Window.orderBy(s.desc, col("doc_id"))
+    val lex = bm25Joined(t).select(col("doc_id"), bm25Score.as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(rankW(col("s"))))
+      .select("doc_id", "lex_rank")
+    val qv = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val dense = t.embeddings.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.CosineSimilarity(col("q_emb"), col("embedding")).as("c"))
+      .orderBy(col("c").desc, col("doc_id")).limit(20)
+      .withColumn("dense_rank", row_number().over(rankW(col("c"))))
+      .select("doc_id", "dense_rank")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank_f"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank_f"),
+        round4(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0))).as("rrf"))
+      .withColumnRenamed("lex_rank_f", "lex_rank")
+      .withColumnRenamed("dense_rank_f", "dense_rank")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** Content-defined-chunking dedup accounting (FastCDC gear-hash family —
@@ -1430,5 +1530,5 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160)
+      q153, q157, q160, q172)
 }
