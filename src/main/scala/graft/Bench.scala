@@ -17,6 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The "No Partition Defined for Window operation" warning is pinned
+    // benign by PlanMetricsSpec (bounded-frame inventory; PLANS.md round 8)
+    // and would otherwise dominate the bench tail — hundreds of lines that
+    // risk burying/truncating the one-line JSON the driver parses.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen warmup so the first timed query doesn't absorb Spark
     // startup: one tiny scan+agg+window exercises the scan, hash-agg, sort
     // and window codepaths.

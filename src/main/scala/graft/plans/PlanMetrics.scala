@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Runtime plan-metrics evidence: execute a DataFrame's OWN physical plan
   * (so its operator metrics populate — `df.count()` would build a separate
@@ -53,5 +54,59 @@ object PlanMetrics {
         metric(e, "shuffleBytesWritten").getOrElse(0L) },
       shuffleRecordsWritten = all.collect { case e: ShuffleExchangeExec =>
         metric(e, "shuffleRecordsWritten").getOrElse(0L) })
+  }
+
+  /** Does the (pre-execution) physical plan contain a window with NO
+    * partition spec? Such a window funnels its whole input through ONE
+    * task — fine for group/histogram/top-k-scale frames, a scale-killer
+    * on corpus-scale ones. Detection only; pair with
+    * [[unpartitionedWindowInputs]] to bound what actually flowed. */
+  def hasUnpartitionedWindow(df: DataFrame): Boolean = {
+    // executedPlan, NOT sparkPlan: building it does not execute anything
+    // (AQE returns its initial tree), and unlike sparkPlan its DPP
+    // subqueries are already physical — sparkPlan's still wrap logical
+    // plans and traversing them throws (q133/q146).
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case other => other.children.flatMap(nodes)
+      }
+      (p +: below) ++ p.subqueries.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+  }
+
+  /** Execute `df` and report, for every unpartitioned window in the plan,
+    * the rows that flowed INTO it (nearest descendant with a populated
+    * row metric — the single-partition exchange or aggregate feeding it).
+    * -1 when no metric is reachable (nothing executed below the window). */
+  def unpartitionedWindowInputs(df: DataFrame): Seq[Long] = {
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case r: ReusedExchangeExec => nodes(r.child)
+        case other => other.children.flatMap(nodes)
+      }
+      (p +: below) ++ p.subqueries.flatMap(nodes)
+    }
+    def inputRows(p: SparkPlan): Option[Long] =
+      p.metrics.get("numOutputRows").map(_.value)
+        .orElse(p.metrics.get("shuffleRecordsWritten").map(_.value))
+        .orElse(p match {
+          case a: AdaptiveSparkPlanExec => inputRows(a.executedPlan)
+          case q: QueryStageExec => inputRows(q.plan)
+          case r: ReusedExchangeExec => inputRows(r.child)
+          case _ => p.children.view.flatMap(inputRows(_)).headOption
+        })
+    nodes(plan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        w.children.view.flatMap(inputRows(_)).headOption.getOrElse(-1L)
+    }
   }
 }

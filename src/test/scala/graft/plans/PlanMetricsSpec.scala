@@ -219,4 +219,32 @@ class PlanMetricsSpec extends SharedSparkSpec {
         s"$label stage exchanged ${r.shuffleBytesWritten.sum} bytes — map-only shape lost")
     }
   }
+
+  /** A window with no partition spec funnels its whole input through ONE
+    * task — a scale-killer if the input is corpus-scale. The discipline
+    * (PLANS.md "Unpartitioned windows"): such windows may only ever see
+    * bounded frames (post-limit top-k, scalar/group-scale intermediates).
+    * This pins it two ways: the INVENTORY of served plans containing one
+    * is closed (a new query sneaking an unpartitioned corpus window in
+    * fails here, not in a 100× scale-up), and each member's measured
+    * window input is bounded. Bench-tail "WindowExec: No Partition
+    * Defined" warnings beyond these come from BUILD-TIME histogram
+    * intermediates materialized under localCheckpoint (q104 cluster
+    * labels, q156/q161 value histograms, q166 key-frequency stats) —
+    * group/histogram-scale by construction, never served per-query. */
+  test("unpartitioned-window inventory is closed and every input is bounded") {
+    val expected = Set("q70_ntile_bucket", "q172_hybrid_fusion")
+    val found = graft.SparkEntry.engineQueries.flatMap { eq =>
+      val df = eq.run(spark, sf001)
+      if (PlanMetrics.hasUnpartitionedWindow(df)) Some(eq.name) else None
+    }.toSet
+    assert(found == expected,
+      s"unpartitioned-window inventory drifted: +${found -- expected} -${expected -- found}")
+    for (name <- expected) {
+      val ins = PlanMetrics.unpartitionedWindowInputs(
+        graft.SparkEntry.queries(name)(spark, sf001))
+      assert(ins.nonEmpty && ins.forall(_ <= 4096L),
+        s"$name unpartitioned window saw ${ins.mkString(",")} rows — not a bounded frame")
+    }
+  }
 }
