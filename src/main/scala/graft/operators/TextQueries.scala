@@ -1489,6 +1489,128 @@ object TextQueries {
       .limit(10)
   }
 
+  /** Character-entropy quality gate — the compressibility signal the
+    * Gopher/RefinedWeb-family curation rules use to kill boilerplate and
+    * generator spam: low-entropy text (repeated menus, template chatter,
+    * base64-ish blobs collapse the char distribution) scores far from
+    * natural prose. Per document: Shannon entropy of the character
+    * unigram distribution, plus the size of the character alphabet.
+    *
+    * Scale shape: ENTIRELY map-side — each doc's alphabet (≤27 here:
+    * lowercase + space) and frequency vector are array expressions inside
+    * whole-stage codegen; no explode, no exchange at any corpus size (the
+    * final total-order sort is the oracle harness, not the operator).
+    *
+    * Determinism: the entropy sum folds the per-char terms in SORTED
+    * alphabet order with a 0.0 seed on both engines (Spark `aggregate` ≡
+    * DuckDB `list_reduce` — the dsl.foldSum contract), chars extracted by
+    * position (`substr(text, i, 1)`), never by empty-separator split
+    * (engines disagree on trailing empties); text is ASCII by fixture so
+    * the sort collations agree. */
+  val q173 = EngineQuery(
+    "q173_char_entropy",
+    Some("""WITH c AS (SELECT doc_id, length(text) AS n,
+           |    list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cs
+           |  FROM documents),
+           |u AS (SELECT doc_id, n, cs, list_sort(list_distinct(cs)) AS uq FROM c),
+           |t AS (SELECT doc_id, n, len(uq) AS n_distinct,
+           |    list_transform(uq, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n) AS ps
+           |  FROM u)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           |  CAST(n_distinct AS BIGINT) AS n_distinct,
+           |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(ps, p -> p * log2(p))), (a, b) -> a + b), 4) AS entropy
+           |FROM t ORDER BY ALL""".stripMargin)) { t =>
+    val c = t.documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("cs",
+        transform(sequence(lit(1), col("n")), i => col("text").substr(i, lit(1))))
+      .withColumn("uq", array_sort(array_distinct(col("cs"))))
+    val ps = c.select(col("doc_id"), col("n"), size(col("uq")).as("n_distinct"),
+      transform(col("uq"),
+        ch => size(filter(col("cs"), x => x === ch)).cast("double") / col("n")).as("ps"))
+    orderedByAll(ps.select(
+      col("doc_id"),
+      col("n").cast("long").as("n_chars"),
+      col("n_distinct").cast("long").as("n_distinct"),
+      round4(-foldSum(transform(col("ps"), p => p * log2(p)))).as("entropy")))
+  }
+
+  /** Per-source token-distribution drift — KL(source ‖ corpus) over the
+    * top-32 corpus vocabulary: the domain-outlier detector a mixture
+    * curator runs before q85 rebalances anything (a source whose token
+    * distribution diverges from the corpus is template spam, the wrong
+    * language, or genuinely novel — all worth a human look). q168 is the
+    * same monitor for a numeric column over time; this is its text twin
+    * across sources.
+    *
+    * Scale shape: ONE corpus-scale combinable exchange (token counts —
+    * q47's tf-idf shape); the vocabulary cutoff is TakeOrdered (32 rows,
+    * broadcast back), per-(source, vocab-token) counts are a second
+    * bounded exchange (≤ sources×32 groups out), and the KL fold runs on
+    * source-scale 32-element arrays. Nothing downstream of the token
+    * count touches corpus-scale data again.
+    *
+    * Determinism: the vocab cutoff orders by exact integer (count, token)
+    * — no FP on the boundary; each source's KL folds its 32 terms in
+    * token-sorted order with a 0.0 seed (sort_array over token-first
+    * structs ≡ list(... ORDER BY token)); Laplace-smoothed (+0.5, +16)
+    * source probabilities keep every term finite on both engines. */
+  val q174 = EngineQuery(
+    "q174_source_kl",
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+           |corpus AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+           |vocab AS (SELECT token, n FROM corpus ORDER BY n DESC, token LIMIT 32),
+           |vt AS (SELECT sum(n) AS vtot FROM vocab),
+           |pc AS (SELECT token, CAST(n AS DOUBLE) / vtot AS p_c FROM vocab CROSS JOIN vt),
+           |sc AS (SELECT source, token, count(*) AS c_sv FROM tok
+           |       WHERE token IN (SELECT token FROM vocab) GROUP BY 1, 2),
+           |spine AS (SELECT s.source, p.token, p.p_c,
+           |            CAST(coalesce(c.c_sv, 0) AS BIGINT) AS c_sv
+           |          FROM (SELECT DISTINCT source FROM documents) s
+           |          CROSS JOIN pc p
+           |          LEFT JOIN sc c ON c.source = s.source AND c.token = p.token),
+           |tot AS (SELECT source, sum(c_sv) AS total_s FROM spine GROUP BY 1),
+           |arr AS (SELECT s.source, t.total_s,
+           |          list(struct_pack(token := s.token, c := s.c_sv, p := s.p_c)
+           |               ORDER BY s.token) AS xs
+           |        FROM spine s JOIN tot t ON s.source = t.source
+           |        GROUP BY 1, 2)
+           |SELECT source, CAST(total_s AS BIGINT) AS vocab_toks,
+           |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(xs, x ->
+           |      ((CAST(x.c AS DOUBLE) + 0.5) / (total_s + 16.0))
+           |      * ln(((CAST(x.c AS DOUBLE) + 0.5) / (total_s + 16.0)) / x.p))),
+           |    (a, b) -> a + b), 4) AS kl
+           |FROM arr ORDER BY ALL""".stripMargin)) { t =>
+    val tok = t.documents.select(col("source"), explode(toks(col("text"))).as("token"))
+    val corpus = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    val vocab = corpus.orderBy(col("n").desc, col("token")).limit(32)
+    val vt = vocab.agg(sum(col("n")).as("vtot"))
+    val pc = vocab.crossJoin(broadcast(vt))
+      .select(col("token"), (col("n").cast("double") / col("vtot")).as("p_c"))
+    val sc = tok.join(broadcast(vocab.select("token")), Seq("token"), "left_semi")
+      .groupBy("source", "token").agg(count(lit(1)).as("c_sv0"))
+    val spine = t.documents.select("source").distinct()
+      .crossJoin(broadcast(pc))
+      .join(sc, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), col("p_c"),
+        coalesce(col("c_sv0"), lit(0L)).as("c_sv"))
+    val tot = spine.groupBy("source").agg(sum(col("c_sv")).as("total_s"))
+    val arr = spine.join(tot, Seq("source"))
+      .groupBy(col("source"), col("total_s"))
+      .agg(sort_array(collect_list(
+        struct(col("token"), col("c_sv").as("c"), col("p_c").as("p")))).as("xs"))
+    def pS(c: Column): Column =
+      (c.cast("double") + 0.5) / (col("total_s") + 16.0)
+    orderedByAll(arr.select(
+      col("source"),
+      col("total_s").cast("long").as("vocab_toks"),
+      round4(foldSum(transform(col("xs"), x =>
+        pS(x.getField("c")) * log(pS(x.getField("c")) / x.getField("p")))))
+        .as("kl")))
+  }
+
   /** Content-defined-chunking dedup accounting (FastCDC gear-hash family —
     * see [[graft.functions.CdcChunks]]): chunk every document at
     * content-derived boundaries (min 8 B, ~32 B mask expectation, max
@@ -1530,5 +1652,5 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172)
+      q153, q157, q160, q172, q173, q174)
 }
