@@ -1611,6 +1611,47 @@ object TextQueries {
         .as("kl")))
   }
 
+  /** N-gram novelty score — the inverse of q36's overlap measure: the
+    * fraction of a document's distinct 3-gram shingles that appear in NO
+    * other document (corpus df = 1). Low novelty = template/near-dup
+    * content even when no single pair crosses a dedup threshold; the
+    * "how much of this doc is new text" column a curation pass ranks by
+    * alongside q32's quality and q173's entropy.
+    *
+    * Scale shape: q36/q47's two-exchange family — shingles ride as
+    * 8-byte xxhash64 values (never strings), ONE combinable hash-keyed
+    * exchange counts df, one doc-keyed exchange folds the per-doc
+    * fractions; the df side and the join side share the scan via Spark's
+    * exchange reuse. Hash-vs-string equivalence is q36's established
+    * oracle convention (collision-free at any plausible corpus). */
+  val q175 = EngineQuery(
+    "q175_ngram_novelty",
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+           |        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+           |      FROM tk WHERE len(tk) >= 3),
+           |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+           |df AS (SELECT g, count(*) AS d FROM e GROUP BY 1),
+           |j AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |        CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+           |      FROM e JOIN df ON e.g = df.g GROUP BY 1)
+           |SELECT doc_id, n_shingles, n_unique,
+           |  round(CAST(n_unique AS DOUBLE) / n_shingles, 4) AS novelty
+           |FROM j ORDER BY ALL""".stripMargin)) { t =>
+    val e = t.documents.select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("tk"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val dfreq = e.groupBy("h").agg(count(lit(1)).as("d"))
+    val perDoc = e.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_unique"))
+    orderedByAll(perDoc.select(
+      col("doc_id"), col("n_shingles"), col("n_unique"),
+      round4(col("n_unique").cast("double") / col("n_shingles")).as("novelty")))
+  }
+
   /** Content-defined-chunking dedup accounting (FastCDC gear-hash family —
     * see [[graft.functions.CdcChunks]]): chunk every document at
     * content-derived boundaries (min 8 B, ~32 B mask expectation, max
@@ -1652,5 +1693,5 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174)
+      q153, q157, q160, q172, q173, q174, q175)
 }

@@ -424,6 +424,58 @@ object WindowQueries {
             (acc, x) => lit(0.3) * x + lit(0.7) * acc)).as("ewma")))
   }
 
+  /** Event-rate spike detection — rolling z-score of each hour's event
+    * count per type against its trailing 24 hours (the streaming-ops
+    * anomaly monitor: ingestion spikes, bot bursts, pipeline stalls all
+    * show up as |z| outliers in the rate series before anything else).
+    *
+    * Scale shape: the corpus collapses FIRST through one combinable
+    * (type, hour) count — the only corpus-scale exchange; the rolling
+    * window then runs over the rate table, whose size is types × hours in
+    * retention (time-scale, not corpus-scale — unchanged by 100× event
+    * volume). Per-type series sort within one task is bounded by the
+    * retention window, the same discipline as q161's histogram windows.
+    *
+    * Determinism: mean and variance are derived from EXACT integer
+    * window sums (Σcnt, Σcnt² over ROWS 24..1 PRECEDING) through an
+    * identical expression tree on both engines — never from the engines'
+    * own avg/stddev accumulators, whose summation orders differ. The
+    * variance is +1.0-regularized so flat histories (var = 0) yield a
+    * finite damped z instead of a NaN on both sides. */
+  val q176 = EngineQuery(
+    "q176_rate_spike",
+    Some("""WITH c AS (SELECT event_type,
+           |    epoch_us(date_trunc('hour', ts))//1000000 AS hh,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |w AS (SELECT event_type, hh, cnt,
+           |    CAST(count(cnt) OVER win AS BIGINT) AS n_prev,
+           |    sum(cnt) OVER win AS s1,
+           |    sum(cnt * cnt) OVER win AS s2
+           |  FROM c
+           |  WINDOW win AS (PARTITION BY event_type ORDER BY hh
+           |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+           |SELECT event_type, hh, cnt, n_prev,
+           |  round((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n_prev)
+           |        / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prev)
+           |               / (n_prev - 1) + 1.0), 4) AS z
+           |FROM w WHERE n_prev >= 12 ORDER BY ALL""".stripMargin)) { t =>
+    val c = t.events
+      .groupBy(col("event_type"),
+        epochSec(date_trunc("hour", col("ts"))).as("hh"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy("event_type").orderBy("hh").rowsBetween(-24, -1)
+    val w = c.select(col("event_type"), col("hh"), col("cnt"),
+      count(col("cnt")).over(win).as("n_prev"),
+      sum(col("cnt")).over(win).as("s1"),
+      sum(col("cnt") * col("cnt")).over(win).as("s2"))
+    orderedByAll(w.filter(col("n_prev") >= 12).select(
+      col("event_type"), col("hh"), col("cnt"), col("n_prev"),
+      round4((col("cnt").cast("double") - col("s1").cast("double") / col("n_prev"))
+        / sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_prev"))
+          / (col("n_prev") - 1) + 1.0)).as("z")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102, q163, q170)
+    Seq(q09, q14, q15, q22, q43, q58, q59, q61, q62, q102, q163, q170, q176)
 }
