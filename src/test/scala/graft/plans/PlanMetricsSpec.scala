@@ -220,6 +220,33 @@ class PlanMetricsSpec extends SharedSparkSpec {
     }
   }
 
+  test("q173: entropy is map-only — the only exchange is the harness's output sort") {
+    val r = PlanMetrics.run(q("q173_char_entropy"))
+    // One doc in, one row out, and the sole shuffle is orderedByAll's range
+    // exchange carrying exactly the result rows — the entropy computation
+    // itself never exchanged anything.
+    assert(r.shuffleRecordsWritten.sum == r.rows,
+      s"q173 shuffled ${r.shuffleRecordsWritten.sum} records for ${r.rows} output rows — " +
+        "per-doc entropy must stay map-side")
+  }
+
+  test("q176: the corpus collapses before the window — exchanges are rate-table-scale") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val r = PlanMetrics.run(q("q176_rate_spike"))
+    // The combinable-exchange property: every shuffle carries at most
+    // groups × input-partitions records (each task emits each (type, hour)
+    // cell at most once), NEVER a function of corpus rows. At sf0.001 the
+    // rate table is ~80% of the corpus so a ratio test would be vacuous —
+    // the bound is what holds at 100×.
+    val t = graft.Tables.forPath(spark, sf001)
+    val groups = t.events
+      .select(col("event_type"), date_trunc("hour", col("ts"))).distinct().count()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(r.shuffleRecordsWritten.max <= groups * parts,
+      s"q176 shuffled ${r.shuffleRecordsWritten.max} records for $groups rate cells — " +
+        "the (type, hour) partial aggregate stopped combining map-side")
+  }
+
   /** A window with no partition spec funnels its whole input through ONE
     * task — a scale-killer if the input is corpus-scale. The discipline
     * (PLANS.md "Unpartitioned windows"): such windows may only ever see
