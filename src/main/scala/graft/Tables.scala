@@ -19,7 +19,13 @@ final class Tables(val spark: SparkSession, val dir: String) {
   // engines see identical instants (SURVEY.md §7.4.3).
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  // Every table normalizes ALL timestamp-NTZ columns on load, not just
+  // events.ts: the same regeneration that flipped events to µs-NTZ also
+  // ships orders.o_orderdate / lineitem.l_shipdate as µs-NTZ, which only
+  // keep working because no current query casts THEM to BIGINT. Uniform
+  // TimestampType (UTC session everywhere) closes the whole drift class.
+  private def t(name: String): DataFrame =
+    Tables.normalizeAllTs(spark.read.parquet(s"$dir/$name.parquet"))
   // lazy vals: file listing + footer/schema read happen once per table per
   // Tables instance; with Tables.forPath that is once per (session, dir) —
   // a 47-query bench run otherwise pays the footer read 47× per table.
@@ -63,6 +69,14 @@ object Tables {
         df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+
+  /** [[normalizeTs]] over every TIMESTAMP_NTZ column of a table (the
+    * nanos-as-long case stays events-specific — a bare LongType column is
+    * indistinguishable from a legitimate long). */
+  def normalizeAllTs(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => normalizeTs(d, c))
 }
 
 /** Amortization cache keyed by (SparkSession, data dir) — the shared reuse

@@ -66,4 +66,13 @@ class TsEncodingSpec extends SharedSparkSpec {
     // epochSec must analyze — the exact cast that broke under NTZ.
     assert(t.events.select(graft.dsl.epochSec(col("ts"))).count() > 0)
   }
+
+  test("no loaded table exposes a TIMESTAMP_NTZ column (whole drift class closed)") {
+    val t = Tables.forPath(spark, sf001)
+    for (df <- Seq(t.region, t.nation, t.customer, t.supplier, t.part,
+        t.orders, t.lineitem, t.events, t.documents, t.embeddings);
+        f <- df.schema.fields)
+      assert(f.dataType != TimestampNTZType,
+        s"column ${f.name} loaded as TIMESTAMP_NTZ — normalizeAllTs missed it")
+  }
 }
