@@ -442,9 +442,11 @@ object WindowQueries {
     * own avg/stddev accumulators, whose summation orders differ. The
     * variance is +1.0-regularized so flat histories (var = 0) yield a
     * finite damped z instead of a NaN on both sides. */
-  val q176 = EngineQuery(
-    "q176_rate_spike",
-    Some("""WITH c AS (SELECT event_type,
+  /** Shared with q177 (the stateful twin in graft.streaming) — both are
+    * gated by the SAME oracle, so declarative and arbitrary-state forms
+    * can never drift apart. */
+  private[graft] val RateSpikeSql: String =
+    """WITH c AS (SELECT event_type,
            |    epoch_us(date_trunc('hour', ts))//1000000 AS hh,
            |    CAST(count(*) AS BIGINT) AS cnt
            |  FROM events GROUP BY 1, 2),
@@ -459,7 +461,9 @@ object WindowQueries {
            |  round((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n_prev)
            |        / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prev)
            |               / (n_prev - 1) + 1.0), 4) AS z
-           |FROM w WHERE n_prev >= 12 ORDER BY ALL""".stripMargin)) { t =>
+           |FROM w WHERE n_prev >= 12 ORDER BY ALL""".stripMargin
+
+  val q176 = EngineQuery("q176_rate_spike", Some(RateSpikeSql)) { t =>
     val c = t.events
       .groupBy(col("event_type"),
         epochSec(date_trunc("hour", col("ts"))).as("hh"))

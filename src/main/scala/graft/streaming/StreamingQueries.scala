@@ -459,5 +459,19 @@ object StreamingQueries {
     chainedShape(stream)
   }
 
-  val all: Seq[EngineQuery] = Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147)
+  /** Stateful rate-anomaly monitor ([[StatefulRateMonitor]]) under the
+    * SAME oracle as q176 — the declarative and arbitrary-state forms of
+    * rolling z-scoring are pinned to each other through DuckDB, and
+    * StatefulRateMonitorSpec pins the watermark-driven streaming twin to
+    * this batch contract. */
+  val q177 = EngineQuery(
+    "q177_stateful_rate_spike",
+    Some(graft.operators.WindowQueries.RateSpikeSql)) { t =>
+    dsl.orderedByAll(StatefulRateMonitor.spikeBatch(t.events).toDF()
+      .select(col("event_type"), col("hh"), col("cnt"), col("n_prev"),
+        dsl.round4(col("z")).as("z")))
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147, q177)
 }
