@@ -410,6 +410,53 @@ object TrainingDataQueries {
             .as("moved_frac")))
   }
 
+  /** Vocabulary freeze + integer encoding — the word-level tokenizer step
+    * between curation and q84's packing: the top-256 corpus tokens become
+    * ids 1..256 (rank by exact (count DESC, token) — an integer cutoff, no
+    * FP on the boundary), everything else OOV id 0, and each document is
+    * re-emitted as its id sequence. q106/q107 are the subword (BPE) form;
+    * this is the frozen-vocab word form, and the id sequences ship as a
+    * space-joined STRING column (arrays don't survive the gate's
+    * cell-compare; a string hashes exactly).
+    *
+    * Scale shape: the vocab is ONE combinable token-count exchange +
+    * TakeOrdered (the q174 move), then collected — 256 rows, the
+    * driver-sized-model pattern of q37's centroids — and encoding is a
+    * map-only literal-map lookup: at 100 TB the encode pass touches every
+    * byte once and exchanges NOTHING. The oracle can't hold a literal map,
+    * so it derives the identical vocab in SQL and takes the positional-
+    * join path; same values, different (acceptable) plan. */
+  val q178 = EngineQuery(
+    "q178_vocab_encode",
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+           |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1
+           |      ORDER BY n DESC, token LIMIT 256),
+           |v AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS id FROM c),
+           |d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |e0 AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM d),
+           |e AS (SELECT doc_id, i, tk[i] AS t FROM e0),
+           |j AS (SELECT e.doc_id, e.i, coalesce(v.id, 0) AS id
+           |      FROM e LEFT JOIN v ON v.token = e.t)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS ids_str
+           |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val tok = t.documents.select(explode(toks(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(256)
+      .select("token").collect().map(_.getString(0))
+    val vmap = typedLit(vocab.zipWithIndex.map { case (w, i) => w -> (i + 1) }.toMap)
+    val enc = t.documents
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("ids", transform(col("tk"),
+        w => coalesce(element_at(vmap, w), lit(0))))
+    orderedByAll(enc.select(
+      col("doc_id"),
+      size(col("ids")).cast("long").as("n_toks"),
+      size(filter(col("ids"), i => i === 0)).cast("long").as("n_oov"),
+      concat_ws(" ", transform(col("ids"), i => i.cast("string"))).as("ids_str")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169)
+    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169, q178)
 }
