@@ -457,6 +457,47 @@ object TrainingDataQueries {
       concat_ws(" ", transform(col("ids"), i => i.cast("string"))).as("ids_str")))
   }
 
+  /** Train/val/test split leakage audit — the check a curation pipeline
+    * runs AFTER splitting and BEFORE training: duplicate clusters that
+    * span split boundaries leak eval answers into train. The cluster key
+    * here is the 8-token OPENING (shared boilerplate intros — the
+    * template-leakage proxy; q23's full-text digest finds zero dups in
+    * this fixture, and a vacuous audit gates nothing). Docs are split by
+    * the first hex nibble of md5(doc_id) (12/2/2 train/val/test — a pure
+    * function of the id, reproducible anywhere; hex-string comparison
+    * behaves identically on both engines per q169's convention); the
+    * report buckets duplicate clusters by how many splits they touch.
+    *
+    * Scale shape: one digest-keyed combinable exchange (q23's), then
+    * cluster-scale rollups — the corpus text never shuffles. At 100 TB
+    * the leakage check costs exactly one dedup pass. */
+  val q179 = EngineQuery(
+    "q179_split_leakage",
+    Some("""WITH s AS (SELECT doc_id,
+           |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS dg,
+           |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+           |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |g AS (SELECT dg, count(*) AS n_docs, count(DISTINCT split) AS n_splits
+           |      FROM s GROUP BY 1 HAVING count(*) >= 2)
+           |SELECT CAST(n_splits AS INT) AS n_splits,
+           |  CAST(count(*) AS BIGINT) AS n_clusters,
+           |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+           |FROM g GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val s = t.documents.select(col("doc_id"),
+      md5(concat_ws(" ", slice(toks(col("text")), 1, 8))).as("dg"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+        .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "val")
+        .otherwise("test").as("split"))
+    val g = s.groupBy("dg")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_docs") >= 2)
+    orderedByAll(g.groupBy(col("n_splits").cast("int").as("n_splits"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs")))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169, q178)
+    Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169, q178,
+      q179)
 }
