@@ -1223,8 +1223,67 @@ object AdvancedQueries {
         round4((pa - pb) * log(pa / pb)).as("psi_term")))
   }
 
+  /** Market-basket co-occurrence with lift — the co-purchase primitive
+    * under every "frequently bought together" recommender and the
+    * association-rule screen (lift > 1 = genuinely associated, not just
+    * both popular): for part pairs sharing an order, lift(a,b) =
+    * P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b).
+    *
+    * Scale shape — the self-join trap avoided: joining lineitem to itself
+    * on l_orderkey shuffles the fact table TWICE and re-materializes every
+    * basket as join rows. Instead ONE order-keyed exchange builds each
+    * basket's sorted distinct-part array, pairs explode MAP-SIDE from the
+    * array (per-basket quadratic, bounded by basket size — max 12 here,
+    * bounded by assortment in any real catalog), and everything after is
+    * pair/item-scale. The oracle states the same counts via the naive
+    * self-join — values agree, plans don't have to.
+    *
+    * Determinism: supports are exact integers; lift is ONE double division
+    * of exact integer products (bigint·bigint stays exact well past this
+    * cardinality), identical on both engines. */
+  val q180 = EngineQuery(
+    "q180_basket_lift",
+    Some("""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+           |i AS (SELECT l_partkey, count(*) AS n_i FROM d GROUP BY 1),
+           |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+           |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+           |                       AND a.l_partkey < b.l_partkey
+           |      GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+           |  round(CAST(n_ab * n_orders AS DOUBLE)
+           |        / CAST(ia.n_i * ib.n_i AS DOUBLE), 4) AS lift
+           |FROM p JOIN i ia ON p.pa = ia.l_partkey
+           |       JOIN i ib ON p.pb = ib.l_partkey
+           |       CROSS JOIN n
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val d = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = d.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+    val baskets = d.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val pairs = baskets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("arr")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("arr"))),
+          j => struct(element_at(col("arr"), i).as("pa"),
+            element_at(col("arr"), j).as("pb")))))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    orderedByAll(pairs
+      .join(items.select(col("l_partkey").as("pa"), col("n_i").as("na")), Seq("pa"))
+      .join(items.select(col("l_partkey").as("pb"), col("n_i").as("nb")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        round4((col("n_ab") * col("n_orders")).cast("double")
+          / (col("na") * col("nb")).cast("double")).as("lift")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
       q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
-      q165, q166, q168)
+      q165, q166, q168, q180)
 }
