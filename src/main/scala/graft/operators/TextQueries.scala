@@ -1511,7 +1511,7 @@ object TextQueries {
     "q173_char_entropy",
     Some("""WITH c AS (SELECT doc_id, length(text) AS n,
            |    list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS cs
-           |  FROM documents),
+           |  FROM documents WHERE length(text) >= 1),
            |u AS (SELECT doc_id, n, cs, list_sort(list_distinct(cs)) AS uq FROM c),
            |t AS (SELECT doc_id, n, len(uq) AS n_distinct,
            |    list_transform(uq, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n) AS ps
@@ -1521,7 +1521,12 @@ object TextQueries {
            |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            |    list_transform(ps, p -> p * log2(p))), (a, b) -> a + b), 4) AS entropy
            |FROM t ORDER BY ALL""".stripMargin)) { t =>
+    // length >= 1 guard on BOTH engines: Spark's sequence(1, 0) is the
+    // DESCENDING [1, 0] (shingles gotcha) while DuckDB's generate_series(1, 0)
+    // is empty, and ps would divide by n = 0 — degenerate docs must not reach
+    // either expression tree.
     val c = t.documents
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .withColumn("cs",
         transform(sequence(lit(1), col("n")), i => col("text").substr(i, lit(1))))

@@ -30,7 +30,10 @@ object StatefulRateMonitor {
   /** One raw event (streaming input). The ts column stays in the Dataset —
     * projecting it away would strip the watermark EventTimeTimeout needs. */
   final case class Ev(event_type: String, ts: java.sql.Timestamp) {
-    def hourSec: Long = ts.getTime / 1000L / 3600L * 3600L
+    // floorDiv, not /: integer division truncates toward zero, which for
+    // pre-1970 instants rounds the hour UP — diverging from the
+    // date_trunc('hour') floor the batch contract (q176) uses.
+    def hourSec: Long = Math.floorDiv(ts.getTime, 3600000L) * 3600L
   }
   /** One (type, hour) count cell (batch input — the rate table). */
   final case class RateCell(event_type: String, hh: Long, cnt: Long)

@@ -58,4 +58,19 @@ class StatefulRateMonitorSpec extends SharedSparkSpec {
       .filter(_._1 != "sentinel")
     assert(got == asSet(StatefulRateMonitor.spikeBatch(events).collect().toSeq))
   }
+
+  test("hourSec floors toward -inf for pre-epoch instants (date_trunc parity)") {
+    // 1969-12-31T23:30:00Z = -1800s; date_trunc('hour') floors it to -3600s.
+    // Truncating division would give 0 — one hour late.
+    val pre = StatefulRateMonitor.Ev("x", new java.sql.Timestamp(-1800L * 1000))
+    assert(pre.hourSec == -3600L)
+    val post = StatefulRateMonitor.Ev("x", new java.sql.Timestamp(1800L * 1000))
+    assert(post.hourSec == 0L)
+    // Cross-check against Spark's own date_trunc on the same instants.
+    val got = spark.sql(
+      """SELECT CAST(unix_seconds(date_trunc('hour',
+        |  timestamp_millis(-1800000))) AS BIGINT)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(got == pre.hourSec)
+  }
 }
