@@ -1106,16 +1106,20 @@ object TextQueries {
     * builds, warm calls measure index-served queries. */
   private val postingsLayouts = new graft.SessionCache[String]
 
+  /** The postings of `docs` — `(s = xxhash64(5-shingle), doc_id)`, distinct
+    * per doc by shingle construction. Shared by the full build (q144) and
+    * the delta append (q181) so the two write paths can never drift. */
+  private def invPostings(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks(col("text")).as("tk"))
+    .filter(size(col("tk")) >= 5)
+    .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
+    .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+
   private[graft] def postingsTable(t: graft.Tables): String =
     postingsLayouts.get(t.spark, t.dir)({
       val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
       val tbl = s"graft_postings_$tag"
-      val inv = t.documents
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("s"))
-      graft.sources.LayoutWriter.writeBucketed(inv, tbl, "s", 8)
+      graft.sources.LayoutWriter.writeBucketed(invPostings(t.documents), tbl, "s", 8)
       tbl
     })
 
@@ -1148,7 +1152,14 @@ object TextQueries {
            |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    val inv = t.spark.table(postingsTable(t))
+    servePostingsJaccard(t.spark.table(postingsTable(t)))
+  }
+
+  /** The index-served exact n-gram Jaccard query — q144's serving plan,
+    * shared verbatim by q181 so the incremental index answers through the
+    * identical join/aggregate tree. `inv` must be the stored postings
+    * table (bucketed by `s`). */
+  private def servePostingsJaccard(inv: DataFrame): DataFrame = {
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -1162,6 +1173,83 @@ object TextQueries {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
+  }
+
+  /** Build provenance of the incrementally-maintained postings index (q181):
+    * which files the base build wrote vs the delta append, and how many
+    * postings each phase produced — the evidence PostingsAppendSpec uses to
+    * prove the append touched only delta-sized data. */
+  final case class PostingsAppendStats(
+      table: String,
+      basePostings: Long,
+      deltaPostings: Long,
+      baseFiles: Set[String],
+      deltaFiles: Set[String])
+
+  private val appendedPostingsLayouts = new graft.SessionCache[PostingsAppendStats]
+
+  /** Incremental maintenance of the q144 index: the corpus is indexed in two
+    * generations — a base build (7/8 of docs, the expensive once-paid
+    * shuffle) and a DELTA APPEND (doc_id ≡ 0 (mod 8), the "daily batch"),
+    * written into the SAME bucketed table with the SAME bucket spec. The
+    * append job shingles and shuffles ONLY the delta docs; Spark routes the
+    * new postings into bucket-aligned files alongside the base generation
+    * (bucketing is table metadata, so every write honours it), and the base
+    * files are never rewritten. Serving reads the union of both generations
+    * through one bucketed scan — still no exchange on `s`. */
+  private[graft] def appendedPostingsStats(t: graft.Tables): PostingsAppendStats =
+    appendedPostingsLayouts.get(t.spark, t.dir)({
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val tbl = s"graft_postings_inc_$tag"
+      val isDelta = pmod(col("doc_id"), lit(8)) === 0
+      graft.sources.LayoutWriter.writeBucketed(
+        invPostings(t.documents.filter(!isDelta)), tbl, "s", 8)
+      val baseFiles = t.spark.table(tbl).inputFiles.toSet
+      val basePostings = t.spark.table(tbl).count()
+      graft.sources.LayoutWriter.writeBucketed(
+        invPostings(t.documents.filter(isDelta)), tbl, "s", 8, mode = "append")
+      val allFiles = t.spark.table(tbl).inputFiles.toSet
+      val total = t.spark.table(tbl).count()
+      PostingsAppendStats(tbl, basePostings, total - basePostings,
+        baseFiles, allFiles -- baseFiles)
+    })
+
+  /** q144's query served from the INCREMENTALLY-MAINTAINED postings index —
+    * the missing piece of the layout story: every other stored artifact
+    * (q137/q144/q145/q146/q159) is build-once, but a 100 TB corpus grows
+    * daily, and rebuilding a corpus-scale index to ingest a 1% delta is the
+    * difference between an hourly ingest SLA and a weekly one. Here the
+    * index is built as base + appended delta ([[appendedPostingsStats]]);
+    * the oracle is q36's SQL over the FULL corpus, so the hash-match proves
+    * the two-generation index answers exactly like a from-scratch build —
+    * the append is lossless and complete.
+    *
+    * Scale shape: append cost is delta-sized (only delta docs are shingled
+    * and shuffled — spec-asserted via file provenance); serving stays
+    * exchange-free off the table bucketing. With multiple generations the
+    * scan has >1 file per bucket, so Spark restores a LOCAL per-partition
+    * sort before the merge join — rows never cross the wire (q117's
+    * compaction is the maintenance pass that folds generations back to one
+    * file per bucket when the local-sort cost accretes). Reference context:
+    * A8's write path (reader.py:101-129) has no append surface at all. */
+  val q181 = EngineQuery(
+    "q181_postings_append",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    servePostingsJaccard(t.spark.table(appendedPostingsStats(t).table))
   }
 
   /** Jaccard threshold shared by q36/q144/q151. */
@@ -1698,5 +1786,5 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174, q175)
+      q153, q157, q160, q172, q173, q174, q175, q181)
 }
