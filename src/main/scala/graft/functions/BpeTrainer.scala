@@ -81,44 +81,57 @@ object BpeTrainer {
 
   /** Distributed trainer over a `text` column. Returns the learned merge
     * table (vocab-budget-bounded — inherently driver-sized, like q92's
-    * centroids). */
+    * centroids).
+    *
+    * The corpus-scale pass (word→frequency) is declarative DataFrame code —
+    * Catalyst's scan/shuffle planning matters there. The superstep loop then
+    * drops to the RDD API deliberately: its operators are already opaque
+    * imperative lambdas ([[applyMerge]] over Vector[String] — Catalyst can
+    * optimize nothing inside them), and at one Spark JOB per merge rank the
+    * per-job SQL planning overhead was the measured dominant cost (~0.2 s ×
+    * vocab budget ≫ the actual ~50 ms of work on the Zipf-bounded word
+    * table). reduceByKey+takeOrdered(1) is the same partial-agg + top-1
+    * physical shape the SQL formulation planned — minus the planner. */
   def train(docs: DataFrame, maxMerges: Int): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The ONLY corpus-scale pass: whitespace words -> frequency table.
-    var forms: Dataset[(Seq[String], Long)] = docs
+    // The word table is vocab-scale, so the superstep jobs run 4-way:
+    // per-task overhead, not data, dominates a 32-way shuffle of it.
+    var forms: org.apache.spark.rdd.RDD[(Vector[String], Long)] = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
-      // lazy: materializes under the first superstep's argmax job, so each
-      // superstep costs ONE job, not a checkpoint job plus the argmax
-      .localCheckpoint(eager = false)
+      .rdd
+      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+      .coalesce(4)
+    // marks for block-store checkpointing; materializes under the first
+    // superstep's argmax job, so each superstep costs ONE job
+    forms.localCheckpoint()
+    // Argmax order: max frequency, ties to the lexicographically smallest
+    // (left, right) — trainLocal's exact rule.
+    val byFreqThenPair: Ordering[((String, String), Long)] =
+      Ordering.by { case ((l, r), f) => (-f, l, r) }
     val out = Seq.newBuilder[Merge]
     var rank = 0
     var stop = false
     while (rank < maxMerges && !stop) {
-      // Superstep: distributed weighted pair-count, 1-row argmax back to
-      // the coordinator. orderBy+limit(1) plans as TakeOrderedAndProject —
-      // per-partition top-1, never a global sort.
+      // Superstep: distributed weighted pair-count (map-side combine via
+      // reduceByKey), per-partition top-1 via takeOrdered — never a global
+      // sort, one 1-element collect to the coordinator.
       val best = forms
         .flatMap { case (syms, c) =>
-          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+          (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
         }
-        .toDF("l", "r", "cnt")
-        .groupBy("l", "r").agg(sum("cnt").as("freq"))
-        .orderBy(desc("freq"), asc("l"), asc("r"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(byFreqThenPair)
         .headOption
       best match {
-        case Some((l, r, f)) if f >= 2 =>
+        case Some(((l, r), f)) if f >= 2 =>
           out += Merge(rank, l, r, f)
-          val next = forms
-            .map { case (syms, c) => (applyMerge(syms.toIndexedSeq, l, r): Seq[String], c) }
-            .localCheckpoint(eager = false)
+          val next = forms.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+          next.localCheckpoint() // superseded blocks freed by ContextCleaner
           forms = next
           rank += 1
         case _ => stop = true

