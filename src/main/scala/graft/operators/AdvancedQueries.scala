@@ -1257,11 +1257,40 @@ object AdvancedQueries {
            |       JOIN i ib ON p.pb = ib.l_partkey
            |       CROSS JOIN n
            |ORDER BY ALL""".stripMargin)) { t =>
-    val d = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    basketLift(
+      t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct(),
+      MaxBasketParts)
+  }
+
+  /** Per-basket part cap for q180's map-side pair explode. The explode is
+    * per-basket quadratic, which is the right trade for real baskets (the
+    * fixture maxes at 12 parts) but would hand one task cap-free m²/2 pair
+    * rows on a pathological m-part basket (a crawler cart, a test order).
+    * Baskets above the cap degrade to their [[MaxBasketParts]]
+    * HIGHEST-SUPPORT parts (ties to the larger partkey — one deterministic
+    * total order): the high-support parts are the ones whose pairs can
+    * still clear the global n_ab ≥ 2 support floor, so the slice sheds the
+    * pairs least likely to survive it. 64²/2 = 2048 pair rows per basket
+    * worst-case — task-bounded at any corpus size. */
+  val MaxBasketParts = 64
+
+  /** q180's lift computation over a distinct (l_orderkey, l_partkey) table,
+    * with the [[MaxBasketParts]] degrade path — factored for the spec to
+    * drive with a pathological synthetic basket. */
+  private[operators] def basketLift(
+      d: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
     val nOrders = d.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val items = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
-    val baskets = d.groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("arr"))
+    // The support join costs one partkey exchange of the distinct pair
+    // table (reusable with the n_i aggregation's); the slice then bounds
+    // every downstream task. At fixture scale the cap never triggers, so
+    // the DuckDB oracle (uncapped) stays an exact hash-match.
+    val baskets = d.join(items, Seq("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(collect_set(struct(col("n_i"), col("l_partkey"))).as("sup"))
+      .select(sort_array(transform(
+        slice(sort_array(col("sup"), asc = false), 1, cap),
+        s => s.getField("l_partkey"))).as("arr"))
       .filter(size(col("arr")) >= 2)
     val pairs = baskets
       .select(explode(flatten(transform(

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, GenerateExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -21,7 +21,8 @@ object PlanMetrics {
       scanOutputRows: Seq[Long],
       filterOutputRows: Seq[Long],
       shuffleBytesWritten: Seq[Long],
-      shuffleRecordsWritten: Seq[Long])
+      shuffleRecordsWritten: Seq[Long],
+      generateOutputRows: Seq[Long])
 
   /** Execute `df` via its own executed plan (RDD count — no driver
     * materialization of the result set) and collect operator metrics. */
@@ -53,7 +54,9 @@ object PlanMetrics {
       shuffleBytesWritten = all.collect { case e: ShuffleExchangeExec =>
         metric(e, "shuffleBytesWritten").getOrElse(0L) },
       shuffleRecordsWritten = all.collect { case e: ShuffleExchangeExec =>
-        metric(e, "shuffleRecordsWritten").getOrElse(0L) })
+        metric(e, "shuffleRecordsWritten").getOrElse(0L) },
+      generateOutputRows = all.collect { case g: GenerateExec =>
+        metric(g, "numOutputRows").getOrElse(0L) })
   }
 
   /** Does the (pre-execution) physical plan contain a window with NO
