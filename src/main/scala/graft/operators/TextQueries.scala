@@ -1432,7 +1432,7 @@ object TextQueries {
   /** Engine twin of [[Bm25SqlCtes]]: the scored-corpus frame
     * (doc_id, dl, tf_*) with the single stats row (n_docs, sum_dl, df_*)
     * broadcast back — two corpus passes, zero corpus-keyed exchange. */
-  private def bm25Joined(t: graft.Tables): DataFrame = {
+  private[operators] def bm25Joined(t: graft.Tables): DataFrame = {
     val tk = t.documents.select(col("doc_id"), toks(col("text")).as("tk"))
     val base = tk.select(Seq(
       col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
@@ -1448,7 +1448,7 @@ object TextQueries {
 
   /** Engine twin of [[Bm25SqlScore]] — identical addend order, so the
     * doubles are bit-identical to the oracle's. */
-  private def bm25Score: Column = {
+  private[operators] def bm25Score: Column = {
     def addend(w: String): Column = {
       val tf = col(s"tf_$w").cast("double")
       val df = col(s"df_$w").cast("double")
