@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private val NumHashes = 64
-  private val Bands = 16 // × 4 rows per band: P(candidate | J=0.8) ≈ 1 - 3e-4
+  private[graft] val Bands = 16 // × 4 rows per band: P(candidate | J=0.8) ≈ 1 - 3e-4
 
   /** doc_id + distinct 5-token shingle set, docs with >= 5 tokens. Tokens
     * are materialized as a column first — see dsl.shingles. */
@@ -563,21 +563,64 @@ object SimilarityQueries {
     * (bh-only bucketing re-shuffled both sides — measured). */
   private val minhashLayouts = new graft.SessionCache[String]
 
+  /** The stored-index rows of `docs` — (band, bh, doc_id), [[Bands]] rows
+    * per eligible doc. Shared by the full build (q145) and the delta
+    * append (q183) so the two write paths cannot drift. */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sigs = shingled(docs)
+      .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 + 1 to b * 4 + 4).map(j => element_at(col("sig"), j)): _*).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("x.band").as("band"), col("x.bh").as("bh"), col("doc_id"))
+  }
+
   private[graft] def minhashBandTable(t: graft.Tables): String =
     minhashLayouts.get(t.spark, t.dir)({
       val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
       val tbl = s"graft_mh_bands_$tag"
-      val sigs = shingled(t.documents)
-        .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
-      val bandCols = (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * 4 + 1 to b * 4 + 4).map(j => element_at(col("sig"), j)): _*).as("bh"))
-      }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
-        .select(col("x.band").as("band"), col("x.bh").as("bh"), col("doc_id"))
-      graft.sources.LayoutWriter.writeBucketed(bands, tbl, Seq("band", "bh"), 8, "overwrite")
+      graft.sources.LayoutWriter.writeBucketed(
+        bandRows(t.documents), tbl, Seq("band", "bh"), 8, "overwrite")
       tbl
+    })
+
+  /** Build provenance of the incrementally-maintained band index (q183) —
+    * the q181 evidence shape: which files each generation wrote and how
+    * many band rows, so MinhashAppendSpec can prove the append touched
+    * only delta-sized data. */
+  final case class BandAppendStats(
+      table: String,
+      baseRows: Long,
+      deltaRows: Long,
+      baseFiles: Set[String],
+      deltaFiles: Set[String])
+
+  private val appendedBandLayouts = new graft.SessionCache[BandAppendStats]
+
+  /** q181's incremental-maintenance mechanism applied to the OTHER stored
+    * similarity index: the minhash band table grows by a delta-batch append
+    * (doc_id ≡ 0 (mod 8) — the same "daily batch" split) into the same
+    * (band, bh)-bucketed table. Only the delta docs are shingled, signed
+    * and banded; their rows land in bucket-aligned files next to the base
+    * generation, and serving reads the union through one bucketed scan
+    * with no exchange on the band keys. */
+  private[graft] def appendedBandStats(t: graft.Tables): BandAppendStats =
+    appendedBandLayouts.get(t.spark, t.dir)({
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val tbl = s"graft_mh_bands_inc_$tag"
+      val isDelta = pmod(col("doc_id"), lit(8)) === 0
+      graft.sources.LayoutWriter.writeBucketed(
+        bandRows(t.documents.filter(!isDelta)), tbl, Seq("band", "bh"), 8, "overwrite")
+      val baseFiles = t.spark.table(tbl).inputFiles.toSet
+      val baseRows = t.spark.table(tbl).count()
+      graft.sources.LayoutWriter.writeBucketed(
+        bandRows(t.documents.filter(isDelta)), tbl, Seq("band", "bh"), 8, "append")
+      val allFiles = t.spark.table(tbl).inputFiles.toSet
+      val total = t.spark.table(tbl).count()
+      BandAppendStats(tbl, baseRows, total - baseRows, baseFiles, allFiles -- baseFiles)
     })
 
   /** q24's MinHash near-dup pairs served from the STORED band index: once
@@ -594,7 +637,13 @@ object SimilarityQueries {
     * row-for-row equality); no SQL oracle for the same reason q24 has
     * none. */
   val q145 = EngineQuery("q145_minhash_layout", None) { t =>
-    val idx = t.spark.table(minhashBandTable(t))
+    serveBandIndex(t.spark.table(minhashBandTable(t)), t)
+  }
+
+  /** The index-served near-dup query — q145's serving plan, shared verbatim
+    * by q183 so the incremental index answers through the identical
+    * candidate join + exact-Jaccard verification tail. */
+  private def serveBandIndex(idx: DataFrame, t: graft.Tables): DataFrame = {
     val cand = idx.as("l")
       .join(idx.as("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id"))
@@ -603,6 +652,17 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = false)
     orderedByAll(verifyCandidates(cand, shingled(t.documents)))
+  }
+
+  /** q145's near-dup query served from the INCREMENTALLY-MAINTAINED band
+    * index ([[appendedBandStats]]) — q181's append mechanism on the second
+    * stored similarity artifact, closing the "every layout is write-once"
+    * gap for the LSH path too. Same output as q24/q145 by construction
+    * (same bands, same threshold — MinhashAppendSpec pins row-for-row
+    * equality, delta-sized append provenance, and the exchange-free
+    * serve); no SQL oracle for the same reason q24 has none. */
+  val q183 = EngineQuery("q183_minhash_append", None) { t =>
+    serveBandIndex(t.spark.table(appendedBandStats(t).table), t)
   }
 
   /** The residual IVF-PQ index AT REST — inverted lists as PARTITION
@@ -782,5 +842,5 @@ object SimilarityQueries {
 
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164)
+      q154, q164, q183)
 }

@@ -472,6 +472,67 @@ object StreamingQueries {
         dsl.round4(col("z")).as("z")))
   }
 
+  /** Chained aggregation over the RATE table — q147's two-stage stateful
+    * shape applied to q176/q177's input: stage 1 collapses the corpus to
+    * hourly (type, hour) counts (the rate table both monitors read), stage
+    * 2 rolls the hours up to per-(type, day) operational stats (observed
+    * hours, peak hourly rate, daily total). This is the aggregate feed a
+    * rate DASHBOARD reads next to the spike monitor's alerts — and the
+    * streaming form ([[rateRollupStream]]) closes the one chained-agg twin
+    * the round-8 audit found missing: both stages run stateful in ONE
+    * append-mode query, each day finalized when the watermark passes its
+    * end (q147's two-sentinel staging drives the spec).
+    *
+    * Scale shape: identical to q147 — the only corpus-scale exchange is
+    * stage 1's combinable hourly count; stage 2 aggregates the TIME-scale
+    * rate table (types × hours, unchanged by 100× event volume). All
+    * outputs are exact integers — no FP boundary anywhere. */
+  val q182 = EngineQuery(
+    "q182_rate_rollup",
+    Some("""WITH h AS (
+           |  SELECT epoch_us(ts)//1000000//3600*3600 AS hh, event_type,
+           |         count(*) AS cnt
+           |  FROM events GROUP BY 1, 2)
+           |SELECT hh//86400*86400 AS ds, event_type,
+           |       CAST(count(*) AS BIGINT) AS n_hours,
+           |       CAST(max(cnt) AS BIGINT) AS max_hourly,
+           |       CAST(sum(cnt) AS BIGINT) AS total
+           |FROM h GROUP BY 1, 2 ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(rateRollupShape(t.events))
+  }
+
+  private def rateRollupShape(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("wh"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(window(window_time(col("wh")), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        max(col("cnt")).cast("long").as("max_hourly"),
+        sum(col("cnt")).cast("long").as("total"))
+      .select(epochSec(col("w.start")).as("ds"), col("event_type"),
+        col("n_hours"), col("max_hourly"), col("total"))
+
+  /** Streaming twin of q182 — [[chainedWindowStream]]'s two-sentinel
+    * staging (watermark eviction runs against the PREVIOUS batch's
+    * watermark, so sentinel one advances it and sentinel two flushes the
+    * cascade; callers drop the sentinel rows post-collection, never
+    * pre-watermark). Watermark delay covers the day-scale stage-2 window. */
+  def rateRollupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = new Tables(spark, sfDir).events
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_raterollup")
+    events.coalesce(1).write.parquet(s"$streamDir/b1_events")
+    for ((h, b) <- Seq(50 -> "b2_sentinel", 100 -> "b3_sentinel2"))
+      events.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr(s"interval $h hours"))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.parquet(s"$streamDir/$b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$streamDir/b*")
+      .withWatermark("ts", "2 hours")
+    rateRollupShape(stream)
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147, q177)
+    Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147, q177, q182)
 }

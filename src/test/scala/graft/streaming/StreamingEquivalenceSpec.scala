@@ -266,4 +266,23 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q182 rate-rollup streaming twin (chained aggs over the rate table) equals batch") {
+    val batch = StreamingQueries.q182.run(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val q = StreamingQueries.rateRollupStream(spark, sf001)
+      .writeStream
+      .format("memory")
+      .queryName("q182_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // Sentinel days dropped post-collection (the q147 rule: a pre-agg
+    // filter would prune the sentinel file below the watermark).
+    val streamed = spark.table("q182_stream_test").collect().map(_.toSeq)
+      .filterNot(_(1) == "sentinel").toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
