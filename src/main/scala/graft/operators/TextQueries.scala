@@ -1214,6 +1214,81 @@ object TextQueries {
         baseFiles, allFiles -- baseFiles)
     })
 
+  /** Compaction provenance for q184: file counts before/after folding the
+    * multi-generation index back to one file per bucket. */
+  final case class PostingsCompactStats(
+      table: String, filesBefore: Int, filesAfter: Int)
+
+  private val compactedPostingsLayouts = new graft.SessionCache[PostingsCompactStats]
+
+  /** The maintenance pass that CLOSES the q181 append cycle: generations
+    * accrete files per bucket (each append adds up to one file per bucket
+    * per writing task), and a multi-file bucket costs the serving join a
+    * LOCAL re-sort (Spark reports a bucketed scan's output as sorted only
+    * when every bucket holds ≤1 file). Folding the generations back is one
+    * index-sized repartition on the bucket key — `repartition(8, s)` uses
+    * the SAME Murmur3-pmod partitioning the bucketed write computes, so
+    * each task receives exactly one bucket's rows and writes exactly one
+    * file: 1 file/bucket, sorted within, and the serving join drops BOTH
+    * the exchange and the sort. The corpus text is never touched — the
+    * q117 economics (compaction reads/writes only the compact artifact). */
+  private[graft] def compactedPostingsStats(t: graft.Tables): PostingsCompactStats =
+    compactedPostingsLayouts.get(t.spark, t.dir)({
+      val src = appendedPostingsStats(t)
+      val before = t.spark.table(src.table).inputFiles.length
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val tbl = s"graft_postings_cmp_$tag"
+      // NO exchange: the source table is already bucketed by s, so the
+      // planner collapses the explicit repartition(8, s) — the bucketing IS
+      // the required distribution — and each write task streams exactly one
+      // bucket's generation files into one fresh file (q117's no-shuffle
+      // compaction economics, here preserving the bucket metadata). The
+      // auto-bucketed-scan heuristic must be pinned on for the write: left
+      // to itself it sees "no join/aggregate needs the bucketing", reads
+      // the table as plain file splits, and the bucket↔task alignment (and
+      // the 1-file-per-bucket fold) is lost.
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = t.spark.conf.getOption(key)
+      try {
+        t.spark.conf.set(key, "false")
+        graft.sources.LayoutWriter.writeBucketed(
+          t.spark.table(src.table).repartition(8, col("s")), tbl, "s", 8)
+      } finally prev match {
+        case Some(v) => t.spark.conf.set(key, v)
+        case None => t.spark.conf.unset(key)
+      }
+      PostingsCompactStats(tbl, before, t.spark.table(tbl).inputFiles.length)
+    })
+
+  /** q144's query served from the COMPACTED two-generation index — the
+    * third act of the index lifecycle (build q144 → append q181 → compact
+    * q184): after the fold each bucket is one sorted file again, so the
+    * serving join needs no exchange and its per-partition sort collapses
+    * to a single sorted run (and is ELIDED outright under Spark's
+    * bucketed-scan outputOrdering flag — PostingsCompactSpec asserts the
+    * exact contrast: sort-free post-compaction, local sorts still required
+    * on the multi-generation table). Oracle: q36's SQL over the full
+    * corpus, as q181 — the hash-match proves compaction lost nothing. */
+  val q184 = EngineQuery(
+    "q184_postings_compact",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    servePostingsJaccard(t.spark.table(compactedPostingsStats(t).table))
+  }
+
   /** q144's query served from the INCREMENTALLY-MAINTAINED postings index —
     * the missing piece of the layout story: every other stored artifact
     * (q137/q144/q145/q146/q159) is build-once, but a 100 TB corpus grows
@@ -1786,5 +1861,5 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174, q175, q181)
+      q153, q157, q160, q172, q173, q174, q175, q181, q184)
 }
