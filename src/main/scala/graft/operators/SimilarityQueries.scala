@@ -766,6 +766,93 @@ object SimilarityQueries {
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped")))
   }
 
+  /** The drops of INCREMENTAL SemDeDup (q185): the base corpus's retained
+    * set is FROZEN state (built once by q154's rule on the base alone), and
+    * a delta vector is dropped iff it near-dups (cos ≥ [[NearDupT]]) a
+    * retained base member of its cluster or an earlier-id delta member —
+    * q90's store-vs-batch ingest asymmetry lifted to the semantic level.
+    * Exposed for SemDedupIncrementalSpec's parity assertions. */
+  private[graft] def semdedupIncrementalDropped(t: graft.Tables): DataFrame = {
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    val isDelta = pmod(col("vec_id"), lit(8)) === 0
+    val e = t.embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
+    val base = e.filter(!isDelta)
+    val delta = e.filter(isDelta)
+    // Base-internal dedup (q154's rule over base alone) fixes the frozen
+    // retained set — in production this is the stored state, not recomputed.
+    val baseRetained =
+      base.join(semdedupDroppedOf(t, onlyBase = true), Seq("vec_id"), "left_anti")
+    // Every retained base member precedes every delta member; within the
+    // delta the lower id precedes (ga flags the generation).
+    val earlier = baseRetained
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), lit(0).as("ga"))
+      .unionAll(delta.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), lit(1).as("ga")))
+    earlier
+      .join(broadcast(delta.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))), Seq("bucket"))
+      .filter(col("ga") === 0 || col("vec_a") < col("vec_b"))
+      .filter(round4(cosine(col("ea"), col("eb"))) >= NearDupT)
+      .select(col("bucket"), col("vec_b").as("vec_id"))
+      .distinct()
+  }
+
+  /** Incremental SemDeDup — the DAILY-BATCH form of q154 and the semantic
+    * member of the incremental-dedup family (q90 exact digests, q125 fuzzy
+    * minhash, q185 embeddings): the corpus's retained set is frozen state;
+    * only the delta batch is scored, each delta vector against the retained
+    * members of its own trained cluster plus earlier delta members. The
+    * audit reports, per cluster, the frozen size, the batch size, and how
+    * many of the batch SemDeDup refuses.
+    *
+    * Scale shape: the DELTA side broadcasts (a daily batch vs a 100 TB
+    * store); the frozen corpus streams map-side through the bucket-keyed
+    * join — no corpus-scale shuffle, no base×base pairs ever re-formed
+    * (the base dedup ran when the store was built; here it is re-derived
+    * once because the engine owns no cross-query state). Candidate work is
+    * Σ_c delta_c × (retained_c + delta_c) — delta-sized, the exact q90
+    * asymmetry. No SQL oracle (embedding math, like q154);
+    * SemDedupIncrementalSpec pins parity vs a local reference of the same
+    * frozen-state rule and the dropped-set/audit consistency. */
+  val q185 = EngineQuery("q185_semdedup_incremental", None) { t =>
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    val isDelta = pmod(col("vec_id"), lit(8)) === 0
+    val e = t.embeddings.select(col("vec_id"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"),
+      isDelta.as("is_delta"))
+    val drops = semdedupIncrementalDropped(t)
+      .groupBy("bucket").agg(count(lit(1)).as("n_delta_dropped"))
+    // n_base_retained mirrors the frozen store's per-cluster size.
+    val baseDroppedIds = semdedupDroppedOf(t, onlyBase = true)
+    val sizes = e.join(baseDroppedIds.select(col("vec_id"), lit(1).as("bd")),
+        Seq("vec_id"), "left")
+      .groupBy("bucket")
+      .agg(sum(when(!col("is_delta") && col("bd").isNull, 1L).otherwise(0L))
+        .as("n_base_retained"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+    orderedByAll(
+      sizes.join(drops, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_base_retained"), col("n_delta"),
+          coalesce(col("n_delta_dropped"), lit(0L)).as("n_delta_dropped")))
+  }
+
+  /** Base-only variant of [[semdedupDropped]] (q185's frozen store). */
+  private def semdedupDroppedOf(t: graft.Tables, onlyBase: Boolean): DataFrame = {
+    val m = graft.functions.KMeansTrainer.trainedModel(t)
+    val src = t.embeddings.select(col("vec_id"), col("embedding"))
+    val filtered = if (onlyBase) src.filter(pmod(col("vec_id"), lit(8)) =!= 0) else src
+    val e = filtered.select(col("vec_id"), col("embedding"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round4(cosine(col("ea"), col("eb"))) >= NearDupT)
+      .select(col("vec_b").as("vec_id")).distinct()
+  }
+
   /** Johnson–Lindenstrauss projection dims: d=64 in, k=8 out (8× cheaper
     * downstream distance math; JL distortion ε ~ sqrt(ln n / k)). */
   private val JlD = 64
@@ -842,5 +929,5 @@ object SimilarityQueries {
 
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183)
+      q154, q164, q183, q185)
 }
