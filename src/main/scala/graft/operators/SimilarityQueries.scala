@@ -674,21 +674,66 @@ object SimilarityQueries {
     * trained models), this layout is their at-rest complement. */
   private val ivfpqLayouts = new graft.SessionCache[String]
 
+  /** (vec_id, bucket, codes) of `vecs` under the FROZEN models — shared by
+    * the full build (q146) and the delta append (q186) so the two encode
+    * paths cannot drift. */
+  private def encodedCodes(vecs: DataFrame,
+      km: graft.functions.KMeansTrainer.Trained,
+      pqr: graft.functions.PqIndex.Model): DataFrame =
+    vecs
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.KMeansTrainer.residualTo(
+          col("embedding"), col("bucket"), km).as("res"))
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.PqIndex.encodeExpr(col("res"), pqr).as("codes"))
+
   private[graft] def ivfpqCodesDir(t: graft.Tables): String =
     ivfpqLayouts.get(t.spark, t.dir)({
       val km = graft.functions.KMeansTrainer.trainedModel(t)
       val pqr = graft.functions.PqIndex.trainedResidualModel(t)
       val out = java.nio.file.Files.createTempDirectory("graft_q146_ivfpq").toString
-      t.embeddings.select(col("vec_id"), col("embedding"))
-        .select(col("vec_id"), col("embedding"),
-          graft.functions.KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
-        .select(col("vec_id"), col("bucket"),
-          graft.functions.KMeansTrainer.residualTo(
-            col("embedding"), col("bucket"), km).as("res"))
-        .select(col("vec_id"), col("bucket"),
-          graft.functions.PqIndex.encodeExpr(col("res"), pqr).as("codes"))
+      encodedCodes(t.embeddings.select(col("vec_id"), col("embedding")), km, pqr)
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
       out
+    })
+
+  /** Build provenance of the incrementally-maintained code layout (q186). */
+  final case class CodesAppendStats(
+      dir: String,
+      baseRows: Long,
+      deltaRows: Long,
+      baseFiles: Set[String],
+      deltaFiles: Set[String])
+
+  private val appendedIvfpqLayouts = new graft.SessionCache[CodesAppendStats]
+
+  /** q181/q183's append mechanism on the THIRD stored artifact — and the
+    * second layout MECHANISM: the IVF-PQ lists are PARTITION DIRECTORIES
+    * (not a bucketed table), and a partitioned parquet write in append mode
+    * lands the delta batch's code files inside the existing `bucket=<cell>/`
+    * dirs without touching a base file. Models are FROZEN (the versioned
+    * quantizer every production ANN ingest encodes against — retraining
+    * per batch would invalidate every stored code); only the delta vectors
+    * (vec_id ≡ 0 (mod 8)) are assigned/encoded, and DPP partition skipping
+    * serves the union exactly as it served the one-shot build. */
+  private[graft] def appendedCodesStats(t: graft.Tables): CodesAppendStats =
+    appendedIvfpqLayouts.get(t.spark, t.dir)({
+      val km = graft.functions.KMeansTrainer.trainedModel(t)
+      val pqr = graft.functions.PqIndex.trainedResidualModel(t)
+      val out = java.nio.file.Files.createTempDirectory("graft_q186_ivfpq").toString
+      val isDelta = pmod(col("vec_id"), lit(8)) === 0
+      val e = t.embeddings.select(col("vec_id"), col("embedding"))
+      encodedCodes(e.filter(!isDelta), km, pqr)
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      val baseFiles = t.spark.read.parquet(out).inputFiles.toSet
+      val baseRows = t.spark.read.parquet(out).count()
+      encodedCodes(e.filter(isDelta), km, pqr)
+        .write.mode("append").partitionBy("bucket").parquet(out)
+      val allFiles = t.spark.read.parquet(out).inputFiles.toSet
+      val total = t.spark.read.parquet(out).count()
+      CodesAppendStats(out, baseRows, total - baseRows, baseFiles, allFiles -- baseFiles)
     })
 
   /** q140's residual IVF-PQ served from the STORED code partitions with the
@@ -703,10 +748,16 @@ object SimilarityQueries {
     * partition filter, and build-once memoization); no oracle for the same
     * reason q140 has none. */
   val q146 = EngineQuery("q146_ivfpq_layout", None) { t =>
+    serveIvfpqDir(ivfpqCodesDir(t), t)
+  }
+
+  /** The DPP-pruned ADC serve off a stored code directory — q146's serving
+    * plan, shared verbatim by q186. */
+  private def serveIvfpqDir(dir: String, t: graft.Tables): DataFrame = {
     val km = graft.functions.KMeansTrainer.trainedModel(t)
     val pqr = graft.functions.PqIndex.trainedResidualModel(t)
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
-    val enc = t.spark.read.parquet(ivfpqCodesDir(t))
+    val enc = t.spark.read.parquet(dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(graft.functions.KMeansTrainer
@@ -717,6 +768,19 @@ object SimilarityQueries {
       .select(col("query_id"), col("q_emb"), col("bucket"),
         graft.functions.PqIndex.lutExpr(col("qres"), pqr).as("lut"))
     adcRerank(enc.join(broadcast(q), "bucket"), e)
+  }
+
+  /** q146's ANN query served from the INCREMENTALLY-MAINTAINED code layout
+    * ([[appendedCodesStats]]) — with q181 (bucketed postings), q183
+    * (bucketed bands) and q184 (compaction), every stored index artifact
+    * now has a rebuild-free ingest path across BOTH layout mechanisms
+    * (bucketed tables and partition directories). Same output as q146 by
+    * construction (frozen models, codes union ≡ one-shot encode —
+    * IvfpqAppendSpec pins row-for-row equality, delta-file provenance
+    * under the existing bucket dirs, and the surviving DPP prune); no
+    * oracle for the same reason q140/q146 have none. */
+  val q186 = EngineQuery("q186_ivfpq_append", None) { t =>
+    serveIvfpqDir(appendedCodesStats(t).dir, t)
   }
 
   /** Cosine threshold shared by q38 (exact blocked), q49 (LSH) and q154
@@ -929,5 +993,5 @@ object SimilarityQueries {
 
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183, q185)
+      q154, q164, q183, q185, q186)
 }
