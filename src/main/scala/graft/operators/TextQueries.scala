@@ -1109,7 +1109,7 @@ object TextQueries {
   /** The postings of `docs` — `(s = xxhash64(5-shingle), doc_id)`, distinct
     * per doc by shingle construction. Shared by the full build (q144) and
     * the delta append (q181) so the two write paths can never drift. */
-  private def invPostings(docs: DataFrame): DataFrame = docs
+  private[graft] def invPostings(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), toks(col("text")).as("tk"))
     .filter(size(col("tk")) >= 5)
     .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
@@ -1159,7 +1159,7 @@ object TextQueries {
     * shared verbatim by q181 so the incremental index answers through the
     * identical join/aggregate tree. `inv` must be the stored postings
     * table (bucketed by `s`). */
-  private def servePostingsJaccard(inv: DataFrame): DataFrame = {
+  private[graft] def servePostingsJaccard(inv: DataFrame): DataFrame = {
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -1287,6 +1287,63 @@ object TextQueries {
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
     servePostingsJaccard(t.spark.table(compactedPostingsStats(t).table))
+  }
+
+  /** Ingest provenance for q187: per-generation row counts of the
+    * continuously-grown index. */
+  final case class PostingsIngestStats(table: String, generationRows: Seq[Long])
+
+  private val ingestedPostingsLayouts = new graft.SessionCache[PostingsIngestStats]
+
+  /** The q181 append cycle run CONTINUOUSLY: the corpus arrives as four
+    * generations (doc_id mod 4 — "every micro-batch", not "the daily
+    * batch"), each appended into the same bucketed table as it lands. This
+    * is exactly the loop a [[graft.streaming]] foreachBatch sink drives —
+    * StreamIngestSpec runs the REAL structured-streaming form (file source,
+    * one generation per trigger, batchId 0 overwrites, later batches
+    * append) through this same write path and pins the result equal; the
+    * engine body is the deterministic batch form of that contract, per the
+    * q177 convention. Each append shingles only its generation — the index
+    * build cost is spread over arrival instead of paid as one rebuild. */
+  private[graft] def ingestedPostingsStats(t: graft.Tables): PostingsIngestStats =
+    ingestedPostingsLayouts.get(t.spark, t.dir)({
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val tbl = s"graft_postings_ing_$tag"
+      val rows = (0 until 4).map { g =>
+        graft.sources.LayoutWriter.writeBucketed(
+          invPostings(t.documents.filter(pmod(col("doc_id"), lit(4)) === g)),
+          tbl, "s", 8, if (g == 0) "overwrite" else "append")
+        t.spark.table(tbl).count()
+      }
+      PostingsIngestStats(tbl,
+        rows.zip(0L +: rows.dropRight(1)).map { case (after, before) => after - before })
+    })
+
+  /** q144's query served from the CONTINUOUSLY-INGESTED index (4 appended
+    * generations — the micro-batch form of q181's daily batch; the same
+    * serving join, now over 4 generations of bucket-aligned files). Oracle:
+    * q36's SQL over the full corpus — the hash-match proves an index grown
+    * one arrival at a time answers exactly like a one-shot build, however
+    * many generations deep it is. StreamIngestSpec drives the identical
+    * write path from a real foreachBatch sink. */
+  val q187 = EngineQuery(
+    "q187_postings_stream_ingest",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    servePostingsJaccard(t.spark.table(ingestedPostingsStats(t).table))
   }
 
   /** q144's query served from the INCREMENTALLY-MAINTAINED postings index —
@@ -1861,5 +1918,5 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174, q175, q181, q184)
+      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187)
 }
