@@ -1311,8 +1311,86 @@ object AdvancedQueries {
           / (col("na") * col("nb")).cast("double")).as("lift")))
   }
 
+  /** Sorted-neighborhood candidate window for q188: each record is compared
+    * to its next [[ErWindow]] neighbors in (name, key) order within its
+    * block. Candidate volume is EXACTLY n×[[ErWindow]] — linear in the
+    * corpus — and a run of k identical names still links transitively
+    * (row i pairs with i+1, so the run forms a connected chain even when
+    * k ≫ [[ErWindow]]); that chain property is what lets SNM replace the
+    * within-block quadratic pairing of naive blocking (EntityResolutionSpec
+    * proves both the bound and the chain connectivity). */
+  val ErWindow = 4
+
+  /** q188: entity resolution / record linkage over the `part` catalog —
+    * blocked sorted-neighborhood matching (Hernández & Stolfo's SNM, the
+    * textbook linear-time linkage plan). Duplicate-key products are the
+    * catalog's dirty reality: 200 parts share 64 distinct names at
+    * sf0.001, so "which keys name the same product" is a real linkage
+    * problem. Plan shape, at 100 TB:
+    *  - BLOCK on the category token (last name token): one hash exchange
+    *    of (key, name) pairs — id-scale, never the wide rows;
+    *  - per-block SORT by (name, key) — a partitioned window, never a
+    *    global sort; each row emits its next [[ErWindow]] neighbors via
+    *    `lead`, so candidate generation is map-side after the one
+    *    exchange and TOTAL candidates are n×[[ErWindow]] (linear — the
+    *    whole point of SNM vs naive within-block pairing, which is
+    *    Σ_b n_b² and dies on a 200k-row category);
+    *  - score candidates with `levenshtein` (codegen'd Catalyst
+    *    expression), keep pairs at edit distance ≤ 3: dist 0 = same-name
+    *    entities under different keys (exact-duplicate listings), 1–3 =
+    *    near-miss variants for review — the match/possible split every
+    *    linkage pipeline hands downstream.
+    * A block so hot it outgrows one task degrades gracefully: SNM's sort
+    * key is (name, key), so the standard fix — range-split the block on a
+    * name prefix with an [[ErWindow]]-row overlap — preserves the window
+    * semantics; documented, not needed at catalog scale (largest block
+    * here is vocabulary-bounded).
+    * Determinism: the (name, key) sort is a unique total order on both
+    * engines; levenshtein is exact integer edit distance. */
+  val q188 = EngineQuery(
+    "q188_entity_resolution",
+    Some("""WITH p AS (SELECT p_partkey, p_name,
+           |        string_split(p_name, ' ')[-1] AS block FROM part),
+           |w AS (SELECT block, p_partkey AS key_a, p_name AS name_a,
+           |        lead(p_name, 1) OVER win AS n1, lead(p_partkey, 1) OVER win AS k1,
+           |        lead(p_name, 2) OVER win AS n2, lead(p_partkey, 2) OVER win AS k2,
+           |        lead(p_name, 3) OVER win AS n3, lead(p_partkey, 3) OVER win AS k3,
+           |        lead(p_name, 4) OVER win AS n4, lead(p_partkey, 4) OVER win AS k4
+           |      FROM p WINDOW win AS (PARTITION BY block ORDER BY p_name, p_partkey)),
+           |c AS (SELECT block, key_a, name_a, k1 AS key_b, n1 AS name_b FROM w
+           |      UNION ALL SELECT block, key_a, name_a, k2, n2 FROM w
+           |      UNION ALL SELECT block, key_a, name_a, k3, n3 FROM w
+           |      UNION ALL SELECT block, key_a, name_a, k4, n4 FROM w)
+           |SELECT block, key_a, key_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+           |FROM c WHERE key_b IS NOT NULL AND levenshtein(name_a, name_b) <= 3
+           |ORDER BY ALL""".stripMargin)) { t =>
+    erMatches(
+      t.part.select(col("p_partkey").as("key"), col("p_name").as("name"),
+        element_at(split(col("p_name"), " "), -1).as("block")),
+      ErWindow)
+  }
+
+  /** q188's SNM core over a (key, name, block) table — factored for the
+    * spec to drive candidate-bound and chain-connectivity checks. */
+  private[operators] def erMatches(
+      recs: org.apache.spark.sql.DataFrame, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("block").orderBy(col("name"), col("key"))
+    val cands = recs
+      .withColumn("cands", array((1 to w).map(i =>
+        struct(lead(col("key"), i).over(win).as("k"),
+          lead(col("name"), i).over(win).as("n"))): _*))
+      .select(col("block"), col("key").as("key_a"), col("name").as("name_a"),
+        explode(col("cands")).as("c"))
+      .filter(col("c.k").isNotNull)
+    orderedByAll(cands
+      .withColumn("dist", levenshtein(col("name_a"), col("c.n")).cast("int"))
+      .filter(col("dist") <= 3)
+      .select(col("block"), col("key_a"), col("c.k").as("key_b"), col("dist")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
       q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
-      q165, q166, q168, q180)
+      q165, q166, q168, q180, q188)
 }

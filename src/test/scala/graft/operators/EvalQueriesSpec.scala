@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SharedSparkSpec
+import org.apache.spark.sql.functions._
+
+/** q190/q192/q193 statistical-evaluation queries: the oracle gate proves
+  * engine≡DuckDB; these tests pin the STATISTICAL contracts the SQL match
+  * alone doesn't — bootstrap interval coverage, calibration-table
+  * completeness, anomaly-flag consistency.
+  */
+class EvalQueriesSpec extends SharedSparkSpec {
+
+  test("q192: bootstrap CI brackets the point estimate and is ordered") {
+    val out = graft.SparkEntry.queries("q192_bootstrap_ci")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mean, lo, hi) =
+        (r.getAs[Double]("mean"), r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi, s"interval inverted: $r")
+      // Poisson-bootstrap p05/p95 of a mean over hundreds of rows must
+      // bracket the point estimate — if it doesn't, the replicate weights
+      // are correlated (the bug this spec guards: an LCG increment too
+      // small to decorrelate replicates shifts every replicate the same
+      // way and the interval detaches from the estimate).
+      assert(lo <= mean && mean <= hi,
+        s"CI [$lo, $hi] must contain point estimate $mean")
+    }
+  }
+
+  test("q190: calibration buckets partition the corpus and rates are probabilities") {
+    val t = graft.Tables.forPath(spark, sf001)
+    val out = graft.SparkEntry.queries("q190_calibration")(spark, sf001).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === t.embeddings.count())
+    out.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 9)
+      val ms = r.getAs[Double]("mean_score")
+      assert(ms >= b / 10.0 - 1e-9 && ms <= (b + 1) / 10.0 + 1e-9,
+        s"mean score $ms outside its own bucket $b")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
+  test("q193: anomaly flag agrees with the reported z at the 1.5 threshold") {
+    val out = graft.SparkEntry.queries("q193_seasonal_anomaly")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val z = r.getAs[Double]("z")
+      val flag = r.getAs[Int]("is_anomaly")
+      // round4(z) vs the unrounded flag threshold can only disagree inside
+      // a 1e-4 band around 1.5 — assert agreement outside it.
+      if (math.abs(math.abs(z) - 1.5) > 1e-3)
+        assert(flag === (if (math.abs(z) >= 1.5) 1 else 0), s"flag mismatch: $r")
+    }
+  }
+}
