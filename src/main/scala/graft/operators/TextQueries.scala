@@ -1915,8 +1915,131 @@ object TextQueries {
         col("dup_bytes"), col("min_len"), col("max_len")))
   }
 
+  /** q191: INCREMENTAL connected components — the graph member of the
+    * incremental-dedup family (q90 exact digests, q125 fuzzy minhash,
+    * q185 semantic embeddings; q191 maintains the cluster LABELING
+    * itself). q60's transitive dedup groups are union-find state; when a
+    * delta batch lands, a production pipeline must merge the new docs into
+    * the FROZEN component labels without re-running label propagation over
+    * the corpus. Mechanism:
+    *  - frozen state: base labels (here recomputed over the 7/8 base split
+    *    to simulate yesterday's run, the q125/q185 convention — production
+    *    reads them from storage);
+    *  - delta edges only: delta postings join the full inverted index
+    *    (work ∝ delta-side postings — base×base pairs are never formed)
+    *    plus the delta×delta self-join; Jaccard uses per-doc shingle
+    *    counts, which are split-independent;
+    *  - CONTRACT each base endpoint to its frozen label (singletons stay
+    *    themselves) and propagate min-labels over the contracted graph —
+    *    nodes are delta ids + touched base labels, so the propagation is
+    *    DELTA-scale, not corpus-scale;
+    *  - final sizes: untouched frozen clusters pass through unchanged;
+    *    touched nodes carry their frozen cluster's size (or 1 for a doc
+    *    first clustered today) into their merged component.
+    * Labels stay canonical (min doc_id of the component): a frozen label
+    * is its base component's min, so the contracted min is the global min.
+    * Oracle = q60's SQL over the FULL corpus: the hash-match proves the
+    * incremental merge ≡ a from-scratch rebuild. */
+  val q191 = EngineQuery(
+    "q191_cc_incremental",
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+           |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM lab GROUP BY cluster ORDER BY ALL""".stripMargin)) { t =>
+    orderedByAll(ccIncremental(t.documents, col("doc_id") % 8 === 0))
+  }
+
+  /** q191's merge core over an arbitrary docs table and delta predicate —
+    * factored for CcIncrementalSpec's constructed merge scenarios. */
+  private[operators] def ccIncremental(
+      docs: org.apache.spark.sql.DataFrame,
+      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    // Frozen state: yesterday's labels over the base split only.
+    val baseLabels = propagateMinLabels(
+      ngramJaccardPairs(docs.filter(!isDelta))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      maxIters = 40, doublingAfter = DoublingAfter)._1
+    // Shared inverted index + split-independent set sizes (q36's shape).
+    val inv = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"), isDelta.as("is_delta"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), col("is_delta"), explode(shingles(col("tk"), 5)).as("sh"))
+      .select(col("doc_id"), col("is_delta"), xxhash64(col("sh")).as("s"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val deltaInv = inv.filter(col("is_delta")).select(col("doc_id"), col("s"))
+    val baseInv = inv.filter(!col("is_delta")).select(col("doc_id"), col("s"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common")).cast("double")
+    def jacFilter(common: org.apache.spark.sql.DataFrame) = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    // delta×base: each (delta, base) pair counted once per common shingle —
+    // the delta side drives, so the join's work is delta-sized.
+    val db = jacFilter(deltaInv.as("a").hint("shuffle_hash")
+      .join(baseInv.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common")))
+    // delta×delta: q36's ordered self-join on the delta slice alone.
+    val dd = jacFilter(deltaInv.as("a").hint("shuffle_hash")
+      .join(deltaInv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common")))
+    // Contract base endpoints to their frozen labels (clustered docs) or
+    // themselves (base singletons first clustered today).
+    val la = baseLabels.select(col("doc_id").as("ka"), col("label").as("lab_a"))
+    val lb = baseLabels.select(col("doc_id").as("kb"), col("label").as("lab_b"))
+    val contracted = db.union(dd)
+      .join(la, col("doc_a") === col("ka"), "left")
+      .join(lb, col("doc_b") === col("kb"), "left")
+      .select(coalesce(col("lab_a"), col("doc_a")).as("a"),
+        coalesce(col("lab_b"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // Delta-scale min-label propagation over the contracted graph. A delta
+    // batch touching nothing leaves an empty edge set — pass it through
+    // (propagateMinLabels' fixpoint sum has no zero-edge case).
+    val merged =
+      if (contracted.isEmpty)
+        contracted.select(col("a").as("doc_id"), col("a").as("label"))
+      else
+        propagateMinLabels(
+          contracted, maxIters = 40, doublingAfter = DoublingAfter)._1
+    // Node weights: a frozen label carries its base cluster's size; every
+    // other node (delta doc, base singleton) carries 1.
+    val baseCounts = baseLabels.groupBy(col("label").as("node"))
+      .agg(count(lit(1)).as("n_base"))
+    val untouched = baseCounts
+      .join(merged, col("node") === col("doc_id"), "left_anti")
+      .select(col("node").as("cluster"), col("n_base").as("cnt"))
+    val touched = merged
+      .join(baseCounts, col("doc_id") === col("node"), "left")
+      .select(col("label").as("cluster"), coalesce(col("n_base"), lit(1L)).as("cnt"))
+    untouched.union(touched)
+      .groupBy("cluster").agg(sum(col("cnt")).as("n_docs"))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187)
+      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187, q191)
 }
