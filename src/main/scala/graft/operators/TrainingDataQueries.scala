@@ -497,7 +497,34 @@ object TrainingDataQueries {
       .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs")))
   }
 
+  /** q189: train the fastText-style linear quality classifier — the
+    * distill-a-heuristic-into-a-cheap-filter step of a pretraining data
+    * pipeline (the corpus filters behind GPT-3/LLaMA-class models are
+    * linear classifiers over hashed text features). Full-batch logistic
+    * GD, [[graft.functions.LogRegTrainer]]'s one-job-per-iteration /
+    * no-shuffle / driver-sized-model shape; the target label is the
+    * stopword-density quality rule, which is LINEAR in the hashed feature
+    * space — so training accuracy far above the base rate is the
+    * correctness signal LogRegTrainSpec pins (plus 1e-8 weight parity vs
+    * the single-node reference). Output is the training report: metrics
+    * are exact counts or 4dp-rounded scalars. No oracle: feature hashing
+    * (MurmurHash3) is not expressible in ANSI SQL — spec-verified like
+    * q106/q108. */
+  val q189 = EngineQuery("q189_quality_classifier", None) { t =>
+    val m = graft.functions.LogRegTrainer.trained(t)
+    val spark = t.spark
+    import spark.implicits._
+    orderedByAll(Seq(
+      ("accuracy", BigDecimal(m.accuracy).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("base_rate", BigDecimal(m.nPos.toDouble / m.nDocs).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("iters", m.losses.length.toDouble),
+      ("loss_final", BigDecimal(m.losses.last).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("loss_first", BigDecimal(m.losses.head).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("n_docs", m.nDocs.toDouble),
+      ("n_pos", m.nPos.toDouble)).toDF("metric", "value"))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169, q178,
-      q179)
+      q179, q189)
 }
