@@ -204,6 +204,11 @@ object LogRegTrainer {
     Trained(w, losses.result(), nDocs, nPos, hits.toDouble / nDocs)
   }
 
+  /** Serving-side score: sigmoid(w·featurize(text)) — the single scoring
+    * definition q194's filter pass and the spec's parity check share. */
+  def score(w: Array[Double], text: String): Double =
+    sigmoid(dot(w, featurize(text)._1))
+
   private val trainedCache = new graft.SessionCache[Trained]
 
   /** Memoized per (session, dir) — the train-once-serve-many amortization

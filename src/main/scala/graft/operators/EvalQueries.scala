@@ -160,26 +160,32 @@ object EvalQueries {
     * one combinable exchange; baseline join and z-math are calendar-scale.
     * Weekday alignment: Spark dayofweek() is 1..7 Sunday-first, DuckDB's
     * 0..6 — the Spark side subtracts 1 (join-internal only, not output). */
+  /** q193's DuckDB mirror — shared with its streaming twin q195 (the
+    * q176/q177 `RateSpikeSql` convention): both forms must hash-match the
+    * same batch truth. */
+  val SeasonalAnomalySql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |               count(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, dayofweek(day) AS dow,
+      |        CAST(count(*) AS BIGINT) AS n_days,
+      |        avg(cnt) AS mean_raw,
+      |        stddev_pop(cnt) AS std_cnt
+      |      FROM d GROUP BY 1, 2)
+      |SELECT d.event_type, CAST(epoch(d.day) AS BIGINT) AS day_sec,
+      |  CAST(d.cnt AS BIGINT) AS cnt, b.n_days,
+      |  round(b.mean_raw, 4) AS mean_cnt,
+      |  round((d.cnt - b.mean_raw) / b.std_cnt, 4) AS z,
+      |  CAST(CASE WHEN abs((d.cnt - b.mean_raw) / b.std_cnt) >= 1.5
+      |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+      |FROM d JOIN b ON d.event_type = b.event_type
+      |            AND dayofweek(d.day) = b.dow
+      |WHERE b.std_cnt > 0
+      |ORDER BY ALL""".stripMargin
+
   val q193 = EngineQuery(
     "q193_seasonal_anomaly",
-    Some("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
-           |               count(*) AS cnt
-           |           FROM events GROUP BY 1, 2),
-           |b AS (SELECT event_type, dayofweek(day) AS dow,
-           |        CAST(count(*) AS BIGINT) AS n_days,
-           |        avg(cnt) AS mean_raw,
-           |        stddev_pop(cnt) AS std_cnt
-           |      FROM d GROUP BY 1, 2)
-           |SELECT d.event_type, CAST(epoch(d.day) AS BIGINT) AS day_sec,
-           |  CAST(d.cnt AS BIGINT) AS cnt, b.n_days,
-           |  round(b.mean_raw, 4) AS mean_cnt,
-           |  round((d.cnt - b.mean_raw) / b.std_cnt, 4) AS z,
-           |  CAST(CASE WHEN abs((d.cnt - b.mean_raw) / b.std_cnt) >= 1.5
-           |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
-           |FROM d JOIN b ON d.event_type = b.event_type
-           |            AND dayofweek(d.day) = b.dow
-           |WHERE b.std_cnt > 0
-           |ORDER BY ALL""".stripMargin)) { t =>
+    Some(SeasonalAnomalySql)) { t =>
     // b derives FROM d: rename b's keys so the join resolves against two
     // distinct attribute sets (Spark's derived-self-join ambiguity).
     val d = t.events

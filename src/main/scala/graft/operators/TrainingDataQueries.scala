@@ -524,7 +524,45 @@ object TrainingDataQueries {
       ("n_pos", m.nPos.toDouble)).toDF("metric", "value"))
   }
 
+  /** q194: SERVE the trained quality classifier — the filter pass that
+    * actually curates the corpus (q189 is train, q194 is the other half of
+    * the train→serve split this engine applies to every model family:
+    * q92/q108 k-means, q106/q107 BPE, q146/q186 PQ). The memoized model's
+    * weights ship to executors once (driver-sized broadcast); scoring +
+    * thresholding run inside one mapPartitions pass over the corpus using
+    * the SAME featurize as training (shared single definition — serving
+    * skew between train- and serve-time features is the classic production
+    * failure this kills); the only exchange is the per-(source, lang)
+    * retention rollup, combinable and id-scale. Output: the per-slice
+    * retention report a curation run publishes — n_docs, n_kept, kept
+    * fraction, mean score. No oracle (hashed features, like q189) —
+    * LogRegTrainSpec pins scoring parity and the retention invariants. */
+  val q194 = EngineQuery("q194_classifier_filter", None) { t =>
+    val m = graft.functions.LogRegTrainer.trained(t)
+    val spark = t.spark
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(m.weights)
+    val scored = t.documents
+      .select(col("source"), col("lang"), col("text"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val w = bc.value
+        it.map { case (source, lang, text) =>
+          val s = graft.functions.LogRegTrainer.score(w, text)
+          (source, lang, s, if (s >= 0.5) 1L else 0L)
+        }
+      }
+      .toDF("source", "lang", "score", "kept")
+    orderedByAll(scored
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        round4(sum(col("kept")).cast("double") / count(lit(1))).as("retention"),
+        round4(avg(col("score"))).as("mean_score")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q83, q84, q85, q89, q100, q106, q107, q111, q115, q152, q169, q178,
-      q179, q189)
+      q179, q189, q194)
 }

@@ -533,6 +533,73 @@ object StreamingQueries {
     rateRollupShape(stream)
   }
 
+  /** q195: streaming twin of q193's seasonal anomaly monitor — the shape a
+    * LIVE traffic monitor actually runs: daily counts accumulate stateful
+    * (1-day tumbling window, append mode), and as the watermark closes each
+    * day the finalized count joins the FROZEN seasonal baseline (a static
+    * broadcast — the operational "yesterday's model scores today's stream"
+    * asymmetry, same frozen-state economics as q185/q186) to emit its
+    * z-score and anomaly flag. The join runs POST-aggregation, so sentinel
+    * rows still advance the watermark before the inner join drops them
+    * (no pre-agg filter — the q147 pruning rule). Batch body = the same
+    * window()-shaped plan over the batch table; oracle = q193's SQL, so
+    * the gate proves twin ≡ batch ≡ DuckDB. */
+  val q195 = EngineQuery(
+    "q195_stream_seasonal_anomaly",
+    Some(graft.operators.EvalQueries.SeasonalAnomalySql)) { t =>
+    orderedByAll(seasonalShape(t.events, seasonalBaseline(t.events)))
+  }
+
+  /** (type, weekday) baseline over daily counts — computed from the batch
+    * history table in BOTH forms (the frozen-model side of the twin). */
+  private def seasonalBaseline(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type").as("b_type"),
+        (dayofweek(col("day")) - 1).as("b_dow"))
+      .agg(count(lit(1)).as("n_days"), avg(col("cnt")).as("mean_raw"),
+        stddev_pop(col("cnt")).as("std_cnt"))
+
+  /** Shared batch/stream plan: 1-day tumbling counts (epoch-aligned, ≡
+    * date_trunc('day')) joined to the static baseline. */
+  private def seasonalShape(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val z = (col("cnt") - col("mean_raw")) / col("std_cnt")
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("w.start").as("day"), col("cnt"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .join(broadcast(baseline),
+        col("event_type") === col("b_type") && col("dow") === col("b_dow"))
+      .filter(col("std_cnt") > 0)
+      .select(col("event_type"), epochSec(col("day")).as("day_sec"),
+        col("cnt"), col("n_days"), round4(col("mean_raw")).as("mean_cnt"),
+        round4(z).as("z"),
+        when(abs(z) >= 1.5, 1).otherwise(0).cast("int").as("is_anomaly"))
+  }
+
+  /** Structured-streaming form for the spec: file source (one generation
+    * per trigger), watermark-driven day finalization, two-sentinel staging
+    * (the q147/q182 rule: sentinel one advances the watermark, sentinel two
+    * flushes the cascade; the post-agg inner join drops them — no pre-agg
+    * filter that would prune the sentinel file below the watermark). */
+  def seasonalStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = new Tables(spark, sfDir).events
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_seasonal")
+    events.coalesce(1).write.parquet(s"$streamDir/b1_events")
+    for ((h, b) <- Seq(50 -> "b2_sentinel", 100 -> "b3_sentinel2"))
+      events.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr(s"interval $h hours"))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.parquet(s"$streamDir/$b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$streamDir/b*")
+      .withWatermark("ts", "2 hours")
+    seasonalShape(stream, seasonalBaseline(events))
+  }
+
   val all: Seq[EngineQuery] =
-    Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147, q177, q182)
+    Seq(q21, q46, q52, q73, q74, q80, q124, q141, q147, q177, q182, q195)
 }

@@ -45,6 +45,26 @@ class LogRegTrainSpec extends SharedSparkSpec {
       s"loss ${dist.losses.head} -> ${dist.losses.last}")
   }
 
+  test("q194 filter pass: retention consistent with driver-side scoring") {
+    val out = graft.SparkEntry.queries("q194_classifier_filter")(spark, sf001)
+      .collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val kept = out.map(_.getAs[Long]("n_kept")).sum
+    assert(total === t.documents.count())
+    // Same scoring function, driver-side, must produce the same kept count.
+    val localKept = t.documents.select("text").collect().count { r =>
+      LogRegTrainer.score(dist.weights, r.getString(0)) >= 0.5 }
+    assert(kept === localKept)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+    }
+    // The trained filter keeps a non-trivial fraction and drops some: the
+    // corpus has both classes and accuracy > 0.9 pins the split realistic.
+    assert(kept > 0 && kept < total)
+  }
+
   test("q189 report is well-formed") {
     val rows = graft.SparkEntry.queries("q189_quality_classifier")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -285,4 +285,23 @@ class StreamingEquivalenceSpec extends SharedSparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q195 seasonal-anomaly streaming twin (stateful day counts + static baseline) equals batch") {
+    val batch = StreamingQueries.q195.run(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val q = StreamingQueries.seasonalStream(spark, sf001)
+      .writeStream
+      .format("memory")
+      .queryName("q195_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // Sentinel days never reach the sink: the post-agg inner join against
+    // the baseline (which has no 'sentinel' type) drops them AFTER they
+    // advanced the watermark — so no post-collection filter is needed.
+    val streamed = spark.table("q195_stream_test").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
