@@ -206,5 +206,184 @@ object EvalQueries {
         when(abs(z) >= 1.5, 1).otherwise(0).cast("int").as("is_anomaly")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q190, q192, q193)
+  /** q196: EXACT global AUC of the frozen release classifier — the other
+    * half of q190's eval story (calibration says "are the probabilities
+    * honest", AUC says "does the ranking discriminate"). Exact AUC is the
+    * normalized Mann-Whitney rank-sum, which naively needs a GLOBAL rank —
+    * i.e. a corpus-scale unpartitioned window, the one plan shape this
+    * engine bans. The scale path is q152's global-index machinery:
+    * repartitionByRange on (score, id) + per-partition local ids + a
+    * collected #partitions-row offset table (driver-sized) turns global
+    * ranking into a map-side add — no single-reducer sort anywhere.
+    * AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊·n₋). Ties break on vec_id in
+    * both engines (scores are continuous — real ties don't arise; the
+    * deterministic break makes the contract total anyway). */
+  val q196 = EngineQuery(
+    "q196_auc_exact",
+    Some("""WITH s AS (
+           |  SELECT vec_id, label,
+           |    1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(generate_series(1, 64),
+           |        j -> (CAST(((j-1)*37) % 19 AS DOUBLE) - 9.0) / 10.0
+           |             * CAST(embedding[j] AS DOUBLE))),
+           |      (a, b) -> a + b)))) AS score
+           |  FROM embeddings),
+           |r AS (SELECT label,
+           |        row_number() OVER (ORDER BY score, vec_id) AS rn
+           |      FROM s),
+           |a AS (SELECT count(*) AS n,
+           |        count(*) FILTER (WHERE label < 5) AS np,
+           |        count(*) FILTER (WHERE label >= 5) AS nn,
+           |        sum(CASE WHEN label < 5 THEN rn ELSE 0 END) AS rp
+           |      FROM r)
+           |SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           |  round((rp - np*(np+1)/2.0) / (np*nn), 4) AS auc,
+           |  round(2.0*(rp - np*(np+1)/2.0) / (np*nn) - 1.0, 4) AS gini
+           |FROM a""".stripMargin)) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val scored = t.embeddings
+      .select(col("vec_id"), col("label"), frozenScore(col("embedding")).as("score"))
+    // q152's rank plan: range exchange + local sort + driver-sized offsets.
+    val sorted = scored
+      .repartitionByRange(32, col("score"), col("vec_id"))
+      .sortWithinPartitions(col("score"), col("vec_id"))
+      .localCheckpoint()
+    val local = sorted
+      .select(col("label"), monotonically_increasing_id().as("mid"))
+      .select(col("label"),
+        shiftright(col("mid"), 33).as("pid"),
+        col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    val ranked = local.join(offDf, "pid")
+      .select(col("label"), (col("off") + col("local") + 1).as("rn"))
+    val isPos = col("label") < 5
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(isPos, 1L).otherwise(0L)).as("np"),
+      sum(when(!isPos, 1L).otherwise(0L)).as("nn"),
+      sum(when(isPos, col("rn")).otherwise(0L)).as("rp"))
+    val aucExpr = (col("rp") - col("np") * (col("np") + 1) / 2.0) /
+      (col("np") * col("nn"))
+    agg.select(col("n"), col("np").as("n_pos"),
+      round4(aucExpr).as("auc"),
+      round4(aucExpr * 2.0 - 1.0).as("gini"))
+  }
+
+  /** q197: Hill tail-index estimator per event type — the heavy-tail
+    * monitor a metrics pipeline runs before trusting any mean (q192's CI
+    * assumes finite variance; a Hill α ≤ 2 says the mean estimator itself
+    * is broken). H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top k=50 order
+    * statistics, α = 1/H. The top-(k+1) extraction is the classic
+    * two-stage exact top-k: stage 1 ranks within (type, INPUT PARTITION) —
+    * bounded rows per window — keeping ≤ (k+1)·#partitions survivors per
+    * type; stage 2 ranks the survivor set (window partitions of ≤ 51×32
+    * rows). No corpus-scale sort: the group top-(k+1) is always contained
+    * in the union of per-partition top-(k+1)s. Ties break on event_id in
+    * both engines. */
+  val q197 = EngineQuery(
+    "q197_hill_tail",
+    Some("""WITH p AS (SELECT event_type, event_id, value FROM events WHERE value > 0),
+           |r AS (SELECT event_type, value,
+           |        row_number() OVER (PARTITION BY event_type
+           |                           ORDER BY value DESC, event_id) AS rn
+           |      FROM p),
+           |t AS (SELECT event_type, value, rn FROM r WHERE rn <= 51),
+           |x AS (SELECT event_type, min(CASE WHEN rn = 51 THEN value END) AS xk1
+           |      FROM t GROUP BY 1),
+           |h AS (SELECT t.event_type, avg(ln(t.value / x.xk1)) AS hill
+           |      FROM t JOIN x ON t.event_type = x.event_type
+           |      WHERE t.rn <= 50 GROUP BY 1)
+           |SELECT h.event_type, CAST(50 AS INT) AS k, round(x.xk1, 4) AS xk1,
+           |  round(h.hill, 4) AS hill, round(1.0 / h.hill, 4) AS alpha
+           |FROM h JOIN x ON h.event_type = x.event_type
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val k = 50
+    val p = t.events.filter(col("value") > 0)
+      .select(col("event_type"), col("event_id"), col("value"))
+    // Stage 1: per-(type, input-partition) top-(k+1) — window partitions
+    // are task-bounded; survivors ≤ (k+1) × #partitions per type.
+    val w1 = Window.partitionBy(col("event_type"), spark_partition_id())
+      .orderBy(col("value").desc, col("event_id"))
+    val survivors = p.withColumn("prn", row_number().over(w1))
+      .filter(col("prn") <= k + 1)
+    // Stage 2: exact rank over the survivor set (tiny windows).
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val topk = survivors.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k + 1)
+      .select(col("event_type"), col("value"), col("rn"))
+    val xk1 = topk.groupBy(col("event_type").as("x_type"))
+      .agg(min(when(col("rn") === k + 1, col("value"))).as("xk1"))
+    val hill = topk.filter(col("rn") <= k)
+      .join(broadcast(xk1), col("event_type") === col("x_type"))
+      .groupBy(col("event_type"))
+      .agg(avg(log(col("value") / col("xk1"))).as("hill"),
+        first(col("xk1")).as("xk1v"))
+    orderedByAll(hill.select(col("event_type"),
+      lit(k).cast("int").as("k"), round4(col("xk1v")).as("xk1"),
+      round4(col("hill")).as("hill"),
+      round4(lit(1.0) / col("hill")).as("alpha")))
+  }
+
+  /** q198: diurnal autocorrelation of the hourly rate table — does traffic
+    * actually have the 24 h structure q193's weekday baseline assumes?
+    * Pearson r between each hour's count and the count 1 h / 24 h earlier,
+    * over a DENSE hour spine (q62's gapfill shape: zero-count hours are
+    * real observations — computing lag over only non-empty hours silently
+    * misaligns the series). Corpus collapses to (type, hour) counts in one
+    * combinable exchange; the spine, lag joins and corr aggregate are all
+    * TIME-scale. Lag alignment is an exact hh−Δ equijoin, not `lag()` —
+    * positional lag over a sparse series is the classic off-by-gap bug the
+    * dense spine exists to kill. */
+  val q198 = EngineQuery(
+    "q198_rate_autocorr",
+    Some("""WITH h AS (SELECT event_type, epoch_us(ts)//1000000//3600*3600 AS hh,
+           |               count(*) AS cnt
+           |           FROM events GROUP BY 1, 2),
+           |span AS (SELECT event_type, min(hh) AS h0, max(hh) AS h1 FROM h GROUP BY 1),
+           |spine AS (SELECT s.event_type, unnest(generate_series(s.h0, s.h1, 3600)) AS hh
+           |          FROM span s),
+           |d AS (SELECT sp.event_type, sp.hh, coalesce(h.cnt, 0) AS cnt
+           |      FROM spine sp LEFT JOIN h
+           |        ON sp.event_type = h.event_type AND sp.hh = h.hh),
+           |j AS (SELECT a.event_type, a.cnt AS c0, b1.cnt AS c1, b24.cnt AS c24
+           |      FROM d a
+           |      LEFT JOIN d b1 ON a.event_type = b1.event_type
+           |                    AND b1.hh = a.hh - 3600
+           |      LEFT JOIN d b24 ON a.event_type = b24.event_type
+           |                     AND b24.hh = a.hh - 86400)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           |  round(corr(c0, c1), 4) AS r_lag1,
+           |  round(corr(c0, c24), 4) AS r_lag24
+           |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin)) { t =>
+    val h = t.events
+      .groupBy(col("event_type"),
+        (epochSec(col("ts")).divide(3600)).cast("long").multiply(3600).as("hh"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = h.groupBy(col("event_type"))
+      .agg(min(col("hh")).as("h0"), max(col("hh")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hh"))
+    val d = spine
+      .join(h.select(col("event_type").as("h_type"), col("hh").as("h_hh"), col("cnt")),
+        col("event_type") === col("h_type") && col("hh") === col("h_hh"), "left")
+      .select(col("event_type"), col("hh"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    def lagged(delta: Long, cn: String) = d.select(
+      col("event_type").as(s"${cn}_type"), col("hh").as(s"${cn}_hh"), col("cnt").as(cn))
+    val j = d
+      .join(lagged(3600, "c1"),
+        col("event_type") === col("c1_type") && col("c1_hh") === col("hh") - 3600, "left")
+      .join(lagged(86400, "c24"),
+        col("event_type") === col("c24_type") && col("c24_hh") === col("hh") - 86400, "left")
+    orderedByAll(j.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round4(corr(col("cnt"), col("c1"))).as("r_lag1"),
+        round4(corr(col("cnt"), col("c24"))).as("r_lag24")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q190, q192, q193, q196, q197, q198)
 }

@@ -1940,6 +1940,14 @@ object TextQueries {
     * is its base component's min, so the contracted min is the global min.
     * Oracle = q60's SQL over the FULL corpus: the hash-match proves the
     * incremental merge ≡ a from-scratch rebuild. */
+  /** q191's frozen base labels, memoized per (session, dir) — the
+    * "yesterday's labels read from the store" semantics (identical
+    * economics to [[postingsLayouts]]: the expensive state is built once
+    * per corpus generation, every ingest run reuses it). The cached value
+    * is propagateMinLabels' localCheckpointed output — clustered-population
+    * sized, not corpus sized. */
+  private val frozenBaseLabels = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
   val q191 = EngineQuery(
     "q191_cc_incremental",
     Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
@@ -1965,27 +1973,48 @@ object TextQueries {
            |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
            |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
            |FROM lab GROUP BY cluster ORDER BY ALL""".stripMargin)) { t =>
-    orderedByAll(ccIncremental(t.documents, col("doc_id") % 8 === 0))
+    val isDelta = col("doc_id") % 8 === 0
+    val frozen = frozenBaseLabels.get(t.spark, s"${t.dir}#q191base")(
+      computeBaseLabels(t.documents, isDelta))
+    orderedByAll(ccIncrementalFrom(t.documents, isDelta, frozen))
   }
 
-  /** q191's merge core over an arbitrary docs table and delta predicate —
-    * factored for CcIncrementalSpec's constructed merge scenarios. */
-  private[operators] def ccIncremental(
+  /** Yesterday's labels over the base split only — the frozen state. */
+  private def computeBaseLabels(
       docs: org.apache.spark.sql.DataFrame,
-      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    // Frozen state: yesterday's labels over the base split only.
-    val baseLabels = propagateMinLabels(
+      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    propagateMinLabels(
       ngramJaccardPairs(docs.filter(!isDelta))
         .select(col("doc_a").as("a"), col("doc_b").as("b")),
       maxIters = 40, doublingAfter = DoublingAfter)._1
+
+  /** q191's merge core over an arbitrary docs table and delta predicate —
+    * factored for CcIncrementalSpec's constructed merge scenarios (which
+    * build the frozen state fresh rather than through the cache). */
+  private[operators] def ccIncremental(
+      docs: org.apache.spark.sql.DataFrame,
+      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    ccIncrementalFrom(docs, isDelta, computeBaseLabels(docs, isDelta))
+
+  private def ccIncrementalFrom(
+      docs: org.apache.spark.sql.DataFrame,
+      isDelta: org.apache.spark.sql.Column,
+      baseLabels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // Shared inverted index + split-independent set sizes (q36's shape).
     val inv = docs
       .select(col("doc_id"), toks(col("text")).as("tk"), isDelta.as("is_delta"))
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), col("is_delta"), explode(shingles(col("tk"), 5)).as("sh"))
       .select(col("doc_id"), col("is_delta"), xxhash64(col("sh")).as("s"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The corpus-scale shingle explode feeds FIVE consumers (sizes ×2 pair
+    // sets ×2 join sides, both delta join sides); uncheckpointed, Catalyst
+    // re-explodes the corpus for each. Hold the two REUSED derivations at
+    // their natural state size: `sizes` is id-scale, `deltaInv` is
+    // delta-scale postings (the q90 batch-side asymmetry — the base-side
+    // postings stream through their single join unmaterialized).
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint()
     val deltaInv = inv.filter(col("is_delta")).select(col("doc_id"), col("s"))
+      .localCheckpoint()
     val baseInv = inv.filter(!col("is_delta")).select(col("doc_id"), col("s"))
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common")).cast("double")

@@ -42,6 +42,39 @@ class EvalQueriesSpec extends SharedSparkSpec {
     }
   }
 
+  test("q196: range-partitioned rank-sum AUC equals a driver-side sort") {
+    val out = graft.SparkEntry.queries("q196_auc_exact")(spark, sf001).collect()
+    assert(out.length === 1)
+    val row = out.head
+    val t = graft.Tables.forPath(spark, sf001)
+    // Independent reference: collect raw vectors, score with the same
+    // closed-form weights (identical ascending fold), sort locally and run
+    // Mann-Whitney by hand — proves the distributed global-rank machinery
+    // itself, not just engine≡DuckDB agreement on the same plan family.
+    val data = t.embeddings.collect().map { r =>
+      val emb = r.getAs[scala.collection.Seq[Float]]("embedding")
+      var dot = 0.0
+      var j = 0
+      while (j < 64) {
+        dot += ((j * 37 % 19) - 9) / 10.0 * emb(j).toDouble
+        j += 1
+      }
+      (1.0 / (1.0 + math.exp(-dot)), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("label") < 5)
+    }
+    val ranked = data.sortBy { case (s, id, _) => (s, id) }.zipWithIndex
+    val np = data.count(_._3).toLong
+    val nn = data.length - np
+    val rp = ranked.collect { case ((_, _, true), i) => i.toLong + 1 }.sum
+    val aucLocal = (rp - np * (np + 1) / 2.0) / (np * nn)
+    assert(row.getAs[Long]("n") === data.length.toLong)
+    assert(row.getAs[Long]("n_pos") === np)
+    assert(math.abs(row.getAs[Double]("auc") - aucLocal) < 1e-4,
+      s"distributed auc ${row.getAs[Double]("auc")} vs local $aucLocal")
+    assert(math.abs(row.getAs[Double]("gini")
+      - (2 * row.getAs[Double]("auc") - 1)) < 2e-4)
+  }
+
   test("q193: anomaly flag agrees with the reported z at the 1.5 threshold") {
     val out = graft.SparkEntry.queries("q193_seasonal_anomaly")(spark, sf001).collect()
     assert(out.nonEmpty)
