@@ -244,23 +244,11 @@ object EvalQueries {
     import spark.implicits._
     val scored = t.embeddings
       .select(col("vec_id"), col("label"), frozenScore(col("embedding")).as("score"))
-    // q152's rank plan: range exchange + local sort + driver-sized offsets.
-    val sorted = scored
-      .repartitionByRange(32, col("score"), col("vec_id"))
-      .sortWithinPartitions(col("score"), col("vec_id"))
-      .localCheckpoint()
-    val local = sorted
-      .select(col("label"), monotonically_increasing_id().as("mid"))
-      .select(col("label"),
-        shiftright(col("mid"), 33).as("pid"),
-        col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
-    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-    val ranked = local.join(offDf, "pid")
-      .select(col("label"), (col("off") + col("local") + 1).as("rn"))
+    // The shared range-exchange global-rank core (GlobalRank scaladoc).
+    val ranked = graft.functions.GlobalRank
+      .withGlobalId(scored.select(col("label"), col("score"), col("vec_id")),
+        Seq(col("score"), col("vec_id")))
+      .select(col("label"), (col("gid") + 1).as("rn"))
     val isPos = col("label") < 5
     val agg = ranked.agg(
       count(lit(1)).as("n"),
@@ -385,5 +373,73 @@ object EvalQueries {
         round4(corr(col("cnt"), col("c24"))).as("r_lag24")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q190, q192, q193, q196, q197, q198)
+  /** q200: split-conformal calibration — the distribution-free coverage
+    * guarantee a production classifier ships with (conformal prediction:
+    * Vovk et al.; the split form is the industry default because it needs
+    * ONE extra order statistic, no retraining). Even-ids calibrate,
+    * odd-ids test: nonconformity s = 1 − p_y(x) on the calibration half,
+    * q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest s (α = 0.1), and the test-half
+    * prediction sets {y : 1 − p_y ≤ q̂} must cover the true label with
+    * probability ≥ 1−α — the fixture measures 0.916 ≥ 0.9, the guarantee
+    * holding live. The order statistic is the scale problem: k ≈ 0.9·n is
+    * corpus-fraction, so neither TakeOrdered (driver merges k rows) nor an
+    * unpartitioned rank window survives — [[graft.functions.GlobalRank]]'s
+    * range-exchange ranking selects the k-th row exactly, and only THAT
+    * single row reaches the driver (the broadcast-threshold shape). */
+  val q200 = EngineQuery(
+    "q200_conformal",
+    Some("""WITH s AS (
+           |  SELECT vec_id, label < 5 AS y,
+           |    1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(generate_series(1, 64),
+           |        j -> (CAST(((j-1)*37) % 19 AS DOUBLE) - 9.0) / 10.0
+           |             * CAST(embedding[j] AS DOUBLE))),
+           |      (a, b) -> a + b)))) AS p
+           |  FROM embeddings),
+           |nc AS (SELECT vec_id, y, p,
+           |         CASE WHEN y THEN 1.0 - p ELSE p END AS s,
+           |         vec_id % 2 = 0 AS is_cal
+           |       FROM s),
+           |cal AS (SELECT s, row_number() OVER (ORDER BY s, vec_id) AS rn,
+           |          count(*) OVER () AS n_cal
+           |        FROM nc WHERE is_cal),
+           |q AS (SELECT s AS qhat, n_cal FROM cal
+           |      WHERE rn = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)),
+           |tst AS (SELECT nc.s, nc.p FROM nc WHERE NOT is_cal)
+           |SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           |  CAST(count(*) AS BIGINT) AS n_test,
+           |  CAST(ceil((q.n_cal + 1) * 0.9) AS BIGINT) AS k,
+           |  round(q.qhat, 4) AS qhat,
+           |  round(avg(CASE WHEN tst.s <= q.qhat THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+           |  round(avg((CASE WHEN 1.0 - tst.p <= q.qhat THEN 1 ELSE 0 END)
+           |          + (CASE WHEN tst.p <= q.qhat THEN 1 ELSE 0 END)), 4) AS avg_set_size
+           |FROM tst CROSS JOIN q
+           |GROUP BY q.n_cal, q.qhat""".stripMargin)) { t =>
+    val scored = t.embeddings
+      .select(col("vec_id"), (col("label") < 5).as("y"),
+        frozenScore(col("embedding")).as("p"))
+      .withColumn("s", when(col("y"), lit(1.0) - col("p")).otherwise(col("p")))
+      .withColumn("is_cal", col("vec_id") % 2 === 0)
+    val cal = scored.filter(col("is_cal"))
+    val nCal = cal.count()
+    val k = math.ceil((nCal + 1) * 0.9).toLong
+    // Exactly ONE row crosses to the driver: the k-th order statistic.
+    val qhat = graft.functions.GlobalRank
+      .withGlobalId(cal.select(col("s"), col("vec_id")),
+        Seq(col("s"), col("vec_id")))
+      .filter(col("gid") === k - 1)
+      .select(col("s")).head().getDouble(0)
+    val tst = scored.filter(!col("is_cal"))
+    tst.agg(
+      lit(nCal).as("n_cal"),
+      count(lit(1)).as("n_test"),
+      lit(k).as("k"),
+      round4(lit(qhat)).as("qhat"),
+      round4(avg(when(col("s") <= qhat, 1.0).otherwise(0.0))).as("coverage"),
+      round4(avg(
+        when(lit(1.0) - col("p") <= qhat, 1).otherwise(0)
+          + when(col("p") <= qhat, 1).otherwise(0))).as("avg_set_size"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q190, q192, q193, q196, q197, q198, q200)
 }

@@ -340,27 +340,11 @@ object TrainingDataQueries {
     Some("""SELECT doc_id,
            |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
            |FROM documents ORDER BY ALL""".stripMargin)) { t =>
-    val spark = t.spark
-    import spark.implicits._
-    val sorted = t.documents.select("doc_id")
-      .repartitionByRange(32, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .localCheckpoint()
-    val local = sorted.select(col("doc_id"),
-        monotonically_increasing_id().as("mid"))
-      .select(col("doc_id"),
-        shiftright(col("mid"), 33).as("pid"),
-        col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
-    // Empty partitions simply have no counts row; the prefix sum over the
-    // non-empty partition ids (ascending) is still each one's offset.
-    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-    orderedByAll(
-      local.join(offDf, "pid")
-        .select(col("doc_id"), (col("off") + col("local")).as("gid")))
+    // The shared range-exchange global-rank core (since round 9 also
+    // behind q196's AUC rank-sum and q200's conformal order statistic).
+    orderedByAll(graft.functions.GlobalRank
+      .withGlobalId(t.documents.select("doc_id"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("gid")))
   }
 
   /** Rendezvous (highest-random-weight) shard assignment — the stable

@@ -75,6 +75,23 @@ class EvalQueriesSpec extends SharedSparkSpec {
       - (2 * row.getAs[Double]("auc") - 1)) < 2e-4)
   }
 
+  test("q200: split-conformal coverage meets the 1-alpha guarantee") {
+    val row = graft.SparkEntry.queries("q200_conformal")(spark, sf001).collect().head
+    val nCal = row.getAs[Long]("n_cal")
+    val nTest = row.getAs[Long]("n_test")
+    assert(nCal > 0 && nTest > 0)
+    assert(row.getAs[Long]("k") === math.ceil((nCal + 1) * 0.9).toLong)
+    val cov = row.getAs[Double]("coverage")
+    // Marginal coverage ≥ 1−α holds in expectation over splits; on one
+    // finite split allow binomial slack of ~2σ (σ ≈ sqrt(0.09/n_test)).
+    val slack = 2 * math.sqrt(0.09 / nTest)
+    assert(cov >= 0.9 - slack, s"coverage $cov below guarantee minus slack")
+    val sz = row.getAs[Double]("avg_set_size")
+    assert(sz >= 0.0 && sz <= 2.0)
+    // A set that covers with prob ≥ 0.9 must average ≥ 0.9 labels.
+    assert(sz >= cov - 1e-9)
+  }
+
   test("q193: anomaly flag agrees with the reported z at the 1.5 threshold") {
     val out = graft.SparkEntry.queries("q193_seasonal_anomaly")(spark, sf001).collect()
     assert(out.nonEmpty)
