@@ -991,7 +991,103 @@ object SimilarityQueries {
           round4(max(col("ratio"))).as("max_ratio")))
   }
 
+  /** q199 knobs: candidate pool per query, MMR picks, relevance/diversity
+    * trade-off (the standard λ=0.7 default). */
+  val MmrPool = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+
+  /** q199: MMR diversified rerank — the serving step between ANN recall
+    * and the user (RAG context assembly, dedup'd search results):
+    * Maximal Marginal Relevance (Carbonell & Goldstein '98) greedily picks
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), trading relevance
+    * against redundancy with what's already selected. Scale shape: the
+    * pool stage is q25's broadcast-queries map-only scan + per-query
+    * top-[[MmrPool]] (bounded windows); the iterative selection — which
+    * no relational plan expresses — runs INSIDE a per-query group
+    * (`flatMapGroups`), pool-bounded work per group, distributed across
+    * any number of queries. The rerank never sees more than
+    * [[MmrPool]] rows per query, so 10⁹ queries cost 10⁹ × O(pool²·k)
+    * with zero cross-query state. Ties resolve to the
+    * (higher-relevance, lower-id) candidate — one deterministic order.
+    * No oracle (greedy iterative argmax is not reasonably expressible in
+    * ANSI SQL) — MmrSpec pins a hand-computed diversification case, the
+    * flatMapGroups plumbing against a driver-side run of the SAME
+    * selection function, and the diversity property vs plain top-k. */
+  val q199 = EngineQuery("q199_mmr_rerank", None) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val out = mmrPool(t).as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.map { case (_, id, rel, emb) =>
+          (id, rel, emb.map(_.toDouble).toArray)
+        }.toArray.sortBy(c => (-c._2, c._1))
+        mmrSelect(cands, MmrK, MmrLambda).zipWithIndex.map {
+          case ((id, rel, mmr), i) => (qid, i + 1, id, rel, mmr)
+        }
+      }
+      .toDF("query_id", "rn", "neighbor_id", "cos_sim", "mmr")
+    orderedByAll(out.select(col("query_id"), col("rn"), col("neighbor_id"),
+      round4(col("cos_sim")).as("cos_sim"), round4(col("mmr")).as("mmr")))
+  }
+
+  /** q25's scored candidates, cut to the per-query MMR pool (embedding
+    * carried for the candidate-candidate sims) — factored for MmrSpec. */
+  private[operators] def mmrPool(t: graft.Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrPool)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("embedding"))
+  }
+
+  /** Greedy MMR over a candidate pool sorted by (rel desc, id asc) — the
+    * single selection definition the engine's per-group rerank and the
+    * spec's driver-side reference share. Returns (id, rel, mmrScore) in
+    * pick order; first-maximum-wins over the sorted pool gives the
+    * (higher-rel, lower-id) tie rule. */
+  private[operators] def mmrSelect(
+      cands: Array[(Long, Double, Array[Double])], k: Int,
+      lambda: Double): Seq[(Long, Double, Double)] = {
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val pickedEmb = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val used = new Array[Boolean](cands.length)
+    while (picked.length < math.min(k, cands.length)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!used(i)) {
+          var maxSim = 0.0
+          pickedEmb.foreach { s =>
+            val cs = cosLocal(cands(i)._3, s); if (cs > maxSim) maxSim = cs
+          }
+          val score = lambda * cands(i)._2 - (1 - lambda) * maxSim
+          if (score > bestScore) { bestScore = score; bestIdx = i }
+        }
+        i += 1
+      }
+      used(bestIdx) = true
+      picked += ((cands(bestIdx)._1, cands(bestIdx)._2, bestScore))
+      pickedEmb += cands(bestIdx)._3
+    }
+    picked.toSeq
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183, q185, q186)
+      q154, q164, q183, q185, q186, q199)
 }
