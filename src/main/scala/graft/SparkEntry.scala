@@ -23,7 +23,8 @@ object SparkEntry {
       operators.AdvancedQueries.all ++
       operators.TrainingDataQueries.all ++
       operators.GraphQueries.all ++
-      operators.EvalQueries.all
+      operators.EvalQueries.all ++
+      operators.ExperimentQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
