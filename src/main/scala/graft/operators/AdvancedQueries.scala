@@ -1277,14 +1277,18 @@ object AdvancedQueries {
   /** q180's lift computation over a distinct (l_orderkey, l_partkey) table,
     * with the [[MaxBasketParts]] degrade path — factored for the spec to
     * drive with a pathological synthetic basket. */
-  private[operators] def basketLift(
-      d: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
-    val nOrders = d.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val items = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+  /** Capped co-occurrence pairs (pa < pb, n_ab ≥ 2) over a distinct
+    * (l_orderkey, l_partkey) table — the shared explode core of q180
+    * (lift) and q204 (item-item CF). See [[MaxBasketParts]] for the
+    * degrade path. */
+  private[operators] def basketPairs(
+      d: org.apache.spark.sql.DataFrame,
+      items: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
     // The support join costs one partkey exchange of the distinct pair
     // table (reusable with the n_i aggregation's); the slice then bounds
     // every downstream task. At fixture scale the cap never triggers, so
-    // the DuckDB oracle (uncapped) stays an exact hash-match.
+    // the DuckDB oracles (uncapped) stay exact hash-matches.
     val baskets = d.join(items, Seq("l_partkey"))
       .groupBy("l_orderkey")
       .agg(collect_set(struct(col("n_i"), col("l_partkey"))).as("sup"))
@@ -1292,7 +1296,7 @@ object AdvancedQueries {
         slice(sort_array(col("sup"), asc = false), 1, cap),
         s => s.getField("l_partkey"))).as("arr"))
       .filter(size(col("arr")) >= 2)
-    val pairs = baskets
+    baskets
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("arr")) - 1),
         i => transform(
@@ -1302,6 +1306,13 @@ object AdvancedQueries {
       .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
+  }
+
+  private[operators] def basketLift(
+      d: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
+    val nOrders = d.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+    val pairs = basketPairs(d, items, cap)
     orderedByAll(pairs
       .join(items.select(col("l_partkey").as("pa"), col("n_i").as("na")), Seq("pa"))
       .join(items.select(col("l_partkey").as("pb"), col("n_i").as("nb")), Seq("pb"))
@@ -1389,8 +1400,57 @@ object AdvancedQueries {
       .select(col("block"), col("key_a"), col("c.k").as("key_b"), col("dist")))
   }
 
+  /** q204: item-item collaborative filtering — the co-occurrence cosine
+    * recommender ("customers also bought", Linden et al.'s Amazon
+    * item-to-item CF): sim(a,b) = n_ab/√(n_a·n_b) over distinct baskets,
+    * top-3 neighbors per item. Same ONE-exchange capped basket explode as
+    * q180 ([[basketPairs]] — map-side pairs, [[MaxBasketParts]] degrade),
+    * then symmetrize and rank per item: window partitions are
+    * item-neighborhood-sized (bounded by the support floor — a neighbor
+    * list, never the corpus). Cosine ties rank identically on both
+    * engines: n_ab/√(n_a·n_b) from the same exact integers is the same
+    * IEEE double everywhere, and the tie falls to the smaller neighbor
+    * id. */
+  val q204 = EngineQuery(
+    "q204_item_cf",
+    Some("""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |i AS (SELECT l_partkey, count(*) AS n_i FROM d GROUP BY 1),
+           |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+           |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+           |                       AND a.l_partkey < b.l_partkey
+           |      GROUP BY 1, 2 HAVING count(*) >= 2),
+           |sym AS (SELECT pa AS item, pb AS neighbor, n_ab FROM p
+           |        UNION ALL SELECT pb, pa, n_ab FROM p),
+           |sc AS (SELECT s.item, s.neighbor, s.n_ab,
+           |         CAST(s.n_ab AS DOUBLE) / sqrt(ia.n_i * ib.n_i) AS cos
+           |       FROM sym s JOIN i ia ON s.item = ia.l_partkey
+           |                  JOIN i ib ON s.neighbor = ib.l_partkey),
+           |r AS (SELECT item, neighbor, n_ab, cos,
+           |        row_number() OVER (PARTITION BY item
+           |                           ORDER BY cos DESC, neighbor) AS rn
+           |      FROM sc)
+           |SELECT item, CAST(rn AS INT) AS rn, neighbor,
+           |  CAST(n_ab AS BIGINT) AS n_ab, round(cos, 4) AS cos_sim
+           |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val d = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val items = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+    val pairs = basketPairs(d, items, MaxBasketParts)
+    val sym = pairs.select(col("pa").as("item"), col("pb").as("neighbor"), col("n_ab"))
+      .unionByName(pairs.select(col("pb").as("item"), col("pa").as("neighbor"), col("n_ab")))
+    val sc = sym
+      .join(items.select(col("l_partkey").as("item"), col("n_i").as("na")), "item")
+      .join(items.select(col("l_partkey").as("neighbor"), col("n_i").as("nb")), "neighbor")
+      .withColumn("cos", col("n_ab").cast("double") / sqrt(col("na") * col("nb")))
+    val w = Window.partitionBy("item").orderBy(col("cos").desc, col("neighbor"))
+    orderedByAll(sc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("item"), col("rn").cast("int").as("rn"), col("neighbor"),
+        col("n_ab"), round4(col("cos")).as("cos_sim")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
       q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
-      q165, q166, q168, q180, q188)
+      q165, q166, q168, q180, q188, q204)
 }
