@@ -441,5 +441,49 @@ object EvalQueries {
           + when(col("p") <= qhat, 1).otherwise(0))).as("avg_set_size"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q190, q192, q193, q196, q197, q198, q200)
+  /** q205: multiwindow SLO burn-rate alerting (the Google SRE workbook
+    * rule): burn = observed error ratio / error budget (25% here), alert
+    * only when BOTH the fast window (1 h — catches the spike) and the slow
+    * window (6 h — filters blips) burn ≥ 1.2. The corpus collapses to the
+    * hourly (err, tot) table in one combinable exchange; the 6 h rolling
+    * ratio is a RANGE frame over the hour VALUE (not ROWS — positional
+    * frames over a sparse hour series misalign across gaps, the same bug
+    * class q198's dense spine kills; RANGE handles gaps by construction).
+    * The unpartitioned window scans observation-window-hours rows — the
+    * pinned-benign time-scale class (q202's note). */
+  val q205 = EngineQuery(
+    "q205_slo_burn",
+    Some("""WITH h AS (SELECT epoch_us(ts)//1000000//3600*3600 AS hh,
+           |        count(*) AS tot,
+           |        count(*) FILTER (WHERE event_type = 'error') AS err
+           |      FROM events GROUP BY 1),
+           |r AS (SELECT hh, err, tot,
+           |        CAST(sum(err) OVER w6 AS DOUBLE) / sum(tot) OVER w6 AS ratio6,
+           |        CAST(err AS DOUBLE) / tot AS ratio1
+           |      FROM h WINDOW w6 AS (ORDER BY hh
+           |        RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW))
+           |SELECT hh, CAST(err AS BIGINT) AS err, CAST(tot AS BIGINT) AS tot,
+           |  round(ratio1 / 0.25, 4) AS burn_1h,
+           |  round(ratio6 / 0.25, 4) AS burn_6h,
+           |  CAST(CASE WHEN ratio1 / 0.25 >= 1.2 AND ratio6 / 0.25 >= 1.2
+           |    THEN 1 ELSE 0 END AS INT) AS alert
+           |FROM r ORDER BY ALL""".stripMargin)) { t =>
+    val h = t.events
+      .groupBy((epochSec(col("ts")).divide(3600)).cast("long").multiply(3600).as("hh"))
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+    val w6 = Window.orderBy("hh").rangeBetween(-18000, 0)
+    val ratio1 = col("err").cast("double") / col("tot")
+    val ratio6 = sum(col("err")).over(w6).cast("double") / sum(col("tot")).over(w6)
+    orderedByAll(h
+      .withColumn("ratio1", ratio1)
+      .withColumn("ratio6", ratio6)
+      .select(col("hh"), col("err"), col("tot"),
+        round4(col("ratio1") / 0.25).as("burn_1h"),
+        round4(col("ratio6") / 0.25).as("burn_6h"),
+        when(col("ratio1") / 0.25 >= 1.2 && col("ratio6") / 0.25 >= 1.2, 1)
+          .otherwise(0).cast("int").as("alert")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q190, q192, q193, q196, q197, q198, q200, q205)
 }
