@@ -1449,8 +1449,59 @@ object AdvancedQueries {
         col("n_ab"), round4(col("cos")).as("cos_sim")))
   }
 
+  /** q206: trending items — the "movers" dashboard every commerce/content
+    * platform runs: per month, the top-3 parts by distinct order volume,
+    * each carrying its previous-month rank (−1 = unranked then) so the
+    * dashboard can mark new entries vs steady leaders. One corpus exchange
+    * builds the (month, part) distinct-order counts; ranking windows
+    * partition per month (catalog-sized, never the corpus) and the
+    * previous-rank lookup is a calendar-exact equijoin on
+    * (part, month − 1) — month-item-scale. The join's right side re-ranks
+    * the SAME window table, so both sides are dataframe-aliased (the
+    * derived-self-join resolution rule, q193's lesson). */
+  val q206 = EngineQuery(
+    "q206_trending",
+    Some("""WITH m AS (SELECT date_trunc('month', o.o_orderdate) AS mon, l.l_partkey,
+           |        count(DISTINCT l.l_orderkey) AS n_orders
+           |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |      GROUP BY 1, 2),
+           |r AS (SELECT mon, l_partkey, n_orders,
+           |        row_number() OVER (PARTITION BY mon
+           |                           ORDER BY n_orders DESC, l_partkey) AS rnk
+           |      FROM m),
+           |t AS (SELECT * FROM r WHERE rnk <= 3),
+           |p AS (SELECT t.mon, t.l_partkey, t.n_orders, t.rnk,
+           |        prev.rnk AS prev_rnk
+           |      FROM t LEFT JOIN r prev
+           |        ON prev.l_partkey = t.l_partkey
+           |       AND prev.mon = t.mon - INTERVAL 1 MONTH)
+           |SELECT CAST(epoch(mon) AS BIGINT) AS mon_sec, l_partkey,
+           |  CAST(n_orders AS BIGINT) AS n_orders, CAST(rnk AS INT) AS rnk,
+           |  CAST(coalesce(prev_rnk, -1) AS INT) AS prev_rnk
+           |FROM p ORDER BY ALL""".stripMargin)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val m = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"), col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val w = Window.partitionBy("mon").orderBy(col("n_orders").desc, col("l_partkey"))
+    val r = m.withColumn("rnk", row_number().over(w))
+    val top = r.filter(col("rnk") <= 3).as("t")
+    val prev = r.as("p")
+    orderedByAll(top
+      .join(prev,
+        col("p.l_partkey") === col("t.l_partkey")
+          && col("p.mon") === add_months(col("t.mon"), -1).cast("timestamp"),
+        "left")
+      .select(epochSec(col("t.mon")).as("mon_sec"),
+        col("t.l_partkey").as("l_partkey"),
+        col("t.n_orders").as("n_orders"),
+        col("t.rnk").cast("int").as("rnk"),
+        coalesce(col("p.rnk"), lit(-1)).cast("int").as("prev_rnk")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q76, q77, q78, q79, q81, q82, q88,
       q96, q103, q113, q116, q120, q128, q134, q139, q150, q156, q161, q162,
-      q165, q166, q168, q180, q188, q204)
+      q165, q166, q168, q180, q188, q204, q206)
 }
