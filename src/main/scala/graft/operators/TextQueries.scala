@@ -2067,8 +2067,62 @@ object TextQueries {
       .groupBy("cluster").agg(sum(col("cnt")).as("n_docs"))
   }
 
+  /** q207: corpus datasheet — the per-source table a dataset release
+    * publishes (Gebru et al., "Datasheets for Datasets"): volume (docs,
+    * tokens, mean length), NEAR-duplication exposure (share of docs in a
+    * q36 Jaccard cluster — the fixture has zero EXACT text dups, so digest
+    * dup-rate would be a vacuous column; near-dup share is the number a
+    * curation decision actually needs), and language mix. Engine side
+    * reuses the MEMOIZED cluster labels (q60/q87/q104's shared artifact —
+    * the datasheet is exactly the kind of downstream view the label cache
+    * exists for); everything else is one source-keyed combinable rollup.
+    * Oracle rebuilds the labels with q60's recursive CTE. */
+  val q207 = EngineQuery(
+    "q207_datasheet",
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |lab AS (SELECT DISTINCT a AS doc_id FROM sym),
+           |d AS (SELECT d.source, d.lang, len(string_split(d.text, ' ')) AS ntok,
+           |        CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+           |      FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ntok) AS BIGINT) AS tokens,
+           |  round(avg(ntok), 4) AS avg_tokens,
+           |  round(avg(CAST(is_dup AS DOUBLE)), 4) AS near_dup_share,
+           |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_share
+           |FROM d GROUP BY source ORDER BY ALL""".stripMargin)) { t =>
+    val clustered = dedupClusterLabels(t).select(col("doc_id"))
+      .withColumn("is_dup_flag", lit(1))
+    orderedByAll(t.documents
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(toks(col("text"))).as("ntok"))
+      .join(clustered, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("tokens"),
+        round4(avg(col("ntok"))).as("avg_tokens"),
+        round4(avg(when(col("is_dup_flag").isNotNull, 1.0).otherwise(0.0)))
+          .as("near_dup_share"),
+        round4(avg(when(col("lang") === "en", 1.0).otherwise(0.0)))
+          .as("en_share")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187, q191)
+      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187, q191, q207)
 }

@@ -260,7 +260,12 @@ class PlanMetricsSpec extends SharedSparkSpec {
     * labels, q156/q161 value histograms, q166 key-frequency stats) —
     * group/histogram-scale by construction, never served per-query. */
   test("unpartitioned-window inventory is closed and every input is bounded") {
-    val expected = Set("q70_ntile_bucket", "q172_hybrid_fusion")
+    // q202/q205 (round 9) are the TIME-SCALE class: their windows run over
+    // the (day)- / (hour)-grain life/rate tables — rows bounded by the
+    // observation window's calendar span (30 days / 720 hours at any
+    // corpus volume), which the ≤4096 input bound below still covers.
+    val expected = Set("q70_ntile_bucket", "q172_hybrid_fusion",
+      "q202_kaplan_meier", "q205_slo_burn")
     val found = graft.SparkEntry.engineQueries.flatMap { eq =>
       val df = eq.run(spark, sf001)
       if (PlanMetrics.hasUnpartitionedWindow(df)) Some(eq.name) else None
