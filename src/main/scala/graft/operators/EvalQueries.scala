@@ -485,5 +485,55 @@ object EvalQueries {
           .otherwise(0).cast("int").as("alert")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q190, q192, q193, q196, q197, q198, q200, q205)
+  /** q208: approximate-quantile audit — measure percentile_approx's actual
+    * rank error against EXACT order statistics before trusting it at
+    * 100 TB (the audit-your-sketches discipline: the approx path is the
+    * only one that scales, so its error contract must be verified where
+    * exact ground truth is still computable). For each accuracy knob
+    * (100 / 1000 / 10000) and percentile (p50 / p90 / p99): the exact
+    * value comes from [[graft.functions.GlobalRank]] (range-exchange
+    * order statistic, driver sees 3 rows), the approx value from the
+    * GK-sketch aggregate, and the audit row reports the approx value's
+    * realized rank error vs the documented ε·n bound (rank via one
+    * map-side 9-condition count pass — the 9 approx values are a
+    * driver-sized broadcast). No oracle: the sketch's outputs are
+    * engine-specific by design — EvalQueriesSpec asserts every realized
+    * error is within its bound, which is the point of the query. */
+  val q208 = EngineQuery("q208_quantile_audit", None) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val vals = t.lineitem.select(col("l_extendedprice").as("v"))
+    val n = vals.count()
+    val ps = Seq(0.5, 0.9, 0.99)
+    val accs = Seq(100, 1000, 10000)
+    // Exact order statistics: range-exchange ranking, 3 rows to the driver.
+    val targetRanks = ps.map(p => math.ceil(p * n).toLong)
+    val exact = graft.functions.GlobalRank.withGlobalId(vals, Seq(col("v")))
+      .filter(col("gid").isin(targetRanks.map(_ - 1): _*))
+      .select(col("gid"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // One GK-sketch aggregate per accuracy knob — 3 arrays to the driver.
+    val approxCols = accs.zipWithIndex.map { case (acc, i) =>
+      percentile_approx(col("v"), typedLit(ps), lit(acc)).as(s"a$i") }
+    val approxRow = vals.agg(approxCols.head, approxCols.tail: _*).collect().head
+    val audits = accs.zipWithIndex.flatMap { case (acc, i) =>
+      val arr = approxRow.getSeq[Double](i)
+      ps.zip(arr).map { case (p, av) => (acc, p, av) }
+    }
+    // Realized rank of all 9 approx values in ONE map-side count pass.
+    val rankCols = audits.zipWithIndex.map { case ((_, _, av), idx) =>
+      sum(when(col("v") <= av, 1L).otherwise(0L)).as(s"r$idx") }
+    val rankRow = vals.agg(rankCols.head, rankCols.tail: _*).collect().head
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    orderedByAll(audits.zipWithIndex.map { case ((acc, p, av), idx) =>
+      val target = math.ceil(p * n).toLong
+      val rank = rankRow.getLong(idx)
+      (acc, p, r4(exact(target - 1)), r4(av),
+        math.abs(rank - target), math.ceil(n.toDouble / acc).toLong)
+    }.toDF("accuracy", "p", "exact_v", "approx_v", "rank_err", "bound"))
+  }
+
+  val all: Seq[EngineQuery] =
+    Seq(q190, q192, q193, q196, q197, q198, q200, q205, q208)
 }

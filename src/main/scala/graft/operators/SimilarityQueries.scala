@@ -1087,7 +1087,43 @@ object SimilarityQueries {
     picked.toSeq
   }
 
+  /** q209: MinHash calibration audit — how well do the 64-hash signature
+    * estimates track EXACT Jaccard on the pairs the dedup pipeline acts
+    * on? The sketch theory says per-pair σ = √(J(1−J)/64) ≤ 0.0625; this
+    * query measures the realized bias / MAE / worst case on the q36 exact
+    * pair set (the ground truth that stops being computable at 100 TB —
+    * audit the sketch where exact still runs, then trust it at scale, the
+    * same discipline as q208). Plan: exact pairs from the shared
+    * inverted-index core, signatures map-only ([[graft.functions
+    * .MinHashSignature]]), two id-keyed joins fetch each pair's
+    * signatures, the component-agreement fold is per-row array math, and
+    * the report is one aggregate row. Everything after the (already
+    * audited) exact-pair formation is pair-scale. No oracle (MinHash is
+    * the part SQL can't express — the exact side is q36's oracled SQL);
+    * MinhashCalibrationSpec pins the realized errors inside the
+    * theoretical envelope. */
+  val q209 = EngineQuery("q209_minhash_calibration", None) { t =>
+    val pairs = TextQueries.ngramJaccardPairs(t.documents)
+    val sigs = shingled(t.documents)
+      .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
+    val est = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, x) => a + x).cast("double") / NumHashes
+    val joined = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("jac"), est.as("est"))
+      .withColumn("err", col("est") - col("jac"))
+    joined.agg(
+      count(lit(1)).as("n_pairs"),
+      round4(avg(col("jac"))).as("mean_jac"),
+      round4(avg(col("est"))).as("mean_est"),
+      round4(avg(col("err"))).as("bias"),
+      round4(avg(abs(col("err")))).as("mae"),
+      round4(max(abs(col("err")))).as("max_abs_err"))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183, q185, q186, q199)
+      q154, q164, q183, q185, q186, q199, q209)
 }

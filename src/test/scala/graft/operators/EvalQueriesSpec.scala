@@ -92,6 +92,37 @@ class EvalQueriesSpec extends SharedSparkSpec {
     assert(sz >= cov - 1e-9)
   }
 
+  test("q208: every approx-quantile rank error is within its documented bound") {
+    val rows = graft.SparkEntry.queries("q208_quantile_audit")(spark, sf001).collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      // percentile_approx's contract: rank error ≤ n/accuracy.
+      assert(r.getAs[Long]("rank_err") <= r.getAs[Long]("bound"),
+        s"approx quantile broke its accuracy contract: $r")
+    }
+    // Higher accuracy must not categorically worsen the audit: the
+    // tightest knob's worst error stays under the loosest knob's bound.
+    val worst10k = rows.filter(_.getAs[Int]("accuracy") == 10000)
+      .map(_.getAs[Long]("rank_err")).max
+    val bound100 = rows.filter(_.getAs[Int]("accuracy") == 100)
+      .map(_.getAs[Long]("bound")).head
+    assert(worst10k <= bound100)
+  }
+
+  test("q209: minhash estimates sit inside the 64-hash theoretical envelope") {
+    val r = graft.SparkEntry.queries("q209_minhash_calibration")(spark, sf001)
+      .collect().head
+    val n = r.getAs[Long]("n_pairs")
+    assert(n > 0)
+    // Per-pair σ = √(J(1−J)/64) ≤ 0.0625; the audited pairs have J ≥ 0.5.
+    assert(math.abs(r.getAs[Double]("bias")) <= 0.05,
+      s"minhash bias out of envelope: $r")
+    assert(r.getAs[Double]("mae") <= 0.1, s"minhash MAE out of envelope: $r")
+    assert(r.getAs[Double]("max_abs_err") <= 0.35,
+      s"minhash worst-case error out of envelope: $r")
+    assert(r.getAs[Double]("mean_jac") >= 0.5)
+  }
+
   test("q193: anomaly flag agrees with the reported z at the 1.5 threshold") {
     val out = graft.SparkEntry.queries("q193_seasonal_anomaly")(spark, sf001).collect()
     assert(out.nonEmpty)
