@@ -1123,7 +1123,36 @@ object SimilarityQueries {
       round4(max(abs(col("err")))).as("max_abs_err"))
   }
 
+  /** q210: ANN recall audit — the third member of the sketch-calibration
+    * family (q208 quantiles, q209 minhash, q210 vector search): recall@5
+    * of the trained multi-probe IVF path (q37) against the exact cosine
+    * baseline (q25), per query and overall. This is the number an ANN
+    * deployment publishes with every index build — serving switches to
+    * the approximate path only because this audit says what it loses.
+    * Both sides are existing audited plans; the audit itself is one
+    * query-keyed join of two 50-row result sets plus a rollup. The
+    * summary row (query_id = −1) carries the mean recall. */
+  val q210 = EngineQuery("q210_ann_recall_audit", None) { t =>
+    val exact = q25.run(t.spark, t.dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = q37.run(t.spark, t.dir)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    val hits = exact
+      .join(approx,
+        col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_nid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", round4(col("n_hit").cast("double") / col("n_exact")))
+    val overall = hits.agg(
+      lit(-1L).as("query_id"), sum(col("n_exact")).as("n_exact"),
+      sum(col("n_hit")).as("n_hit"),
+      round4(sum(col("n_hit")).cast("double") / sum(col("n_exact"))).as("recall"))
+    orderedByAll(hits.unionByName(overall))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183, q185, q186, q199, q209)
+      q154, q164, q183, q185, q186, q199, q209, q210)
 }

@@ -123,6 +123,25 @@ class EvalQueriesSpec extends SharedSparkSpec {
     assert(r.getAs[Double]("mean_jac") >= 0.5)
   }
 
+  test("q210: IVF recall audit is internally consistent and clears the trained floor") {
+    val rows = graft.SparkEntry.queries("q210_ann_recall_audit")(spark, sf001)
+      .collect()
+    val overall = rows.filter(_.getLong(0) == -1L)
+    assert(overall.length === 1)
+    val per = rows.filterNot(_.getLong(0) == -1L)
+    assert(per.length === 10)
+    per.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    assert(overall.head.getAs[Long]("n_exact") ===
+      per.map(_.getAs[Long]("n_exact")).sum)
+    // The trained multi-probe floor KnnSpec pins on the same fixture.
+    assert(overall.head.getAs[Double]("recall") >= 0.6,
+      s"IVF recall collapsed: ${overall.head}")
+  }
+
   test("q193: anomaly flag agrees with the reported z at the 1.5 threshold") {
     val out = graft.SparkEntry.queries("q193_seasonal_anomaly")(spark, sf001).collect()
     assert(out.nonEmpty)
