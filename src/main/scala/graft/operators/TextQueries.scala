@@ -1940,6 +1940,12 @@ object TextQueries {
     * is its base component's min, so the contracted min is the global min.
     * Oracle = q60's SQL over the FULL corpus: the hash-match proves the
     * incremental merge ≡ a from-scratch rebuild. */
+  /** Contracted-graph size below which q191 merges with a driver-side
+    * union-find instead of distributed label propagation. 100k edges ≈
+    * 1.6 MB collected — comfortably driver-sized; a delta batch producing
+    * more falls back to the distributed loop automatically. */
+  private[operators] val DriverUnionFindMax = 100000L
+
   /** q191's frozen base labels, memoized per (session, dir) — the
     * "yesterday's labels read from the store" semantics (identical
     * economics to [[postingsLayouts]]: the expensive state is built once
@@ -2044,15 +2050,44 @@ object TextQueries {
       .select(coalesce(col("lab_a"), col("doc_a")).as("a"),
         coalesce(col("lab_b"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b"))
-    // Delta-scale min-label propagation over the contracted graph. A delta
-    // batch touching nothing leaves an empty edge set — pass it through
-    // (propagateMinLabels' fixpoint sum has no zero-edge case).
+    // Delta-scale min-label propagation over the contracted graph — with
+    // an ADAPTIVE escape hatch (the broadcast-threshold analogue): the
+    // contracted graph's node set is delta ids + touched frozen labels,
+    // so a normal daily batch leaves it tiny. Below [[DriverUnionFindMax]]
+    // edges, a driver-side union-find replaces 3–5 distributed supersteps
+    // (each a join + agg + checkpoint) with one collect of an
+    // already-delta-sized edge list; above it, the distributed min-label
+    // loop takes over unchanged. Labels are identical either way: min
+    // doc_id per component.
+    val edges = contracted.localCheckpoint()
+    val nEdges = edges.count()
     val merged =
-      if (contracted.isEmpty)
-        contracted.select(col("a").as("doc_id"), col("a").as("label"))
-      else
+      if (nEdges == 0)
+        edges.select(col("a").as("doc_id"), col("a").as("label"))
+      else if (nEdges <= DriverUnionFindMax) {
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElseUpdate(x, x)
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val labels = parent.keys.toSeq.map(n => (n, find(n)))
+        val minOfRoot = labels.groupBy(_._2).map { case (root, ns) =>
+          root -> ns.map(_._1).min }
+        val spark = docs.sparkSession
+        import spark.implicits._
+        labels.map { case (n, root) => (n, minOfRoot(root)) }
+          .toDF("doc_id", "label")
+      } else
         propagateMinLabels(
-          contracted, maxIters = 40, doublingAfter = DoublingAfter)._1
+          edges, maxIters = 40, doublingAfter = DoublingAfter)._1
     // Node weights: a frozen label carries its base cluster's size; every
     // other node (delta doc, base singleton) carries 1.
     val baseCounts = baseLabels.groupBy(col("label").as("node"))
