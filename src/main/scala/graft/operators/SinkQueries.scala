@@ -508,7 +508,107 @@ object SinkQueries {
           epochSec(max(col("ts"))).as("last_sec")))
   }
 
+  /** The CDC change feed for q211: key-disjoint deletes (k ≡ 1 mod 11),
+    * updates (k ≡ 0 mod 5, not deleted) and inserts (new keys from
+    * k ≡ 3 mod 7), each tagged with the micro-batch generation it arrives
+    * in (key mod 3). Key-disjointness makes the final state independent of
+    * arrival order — the property that lets the spec replay generations
+    * through a real stream and still demand byte-equal results. */
+  private[graft] def cdcChanges(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"))
+    val del = base.filter(col("o_orderkey") % 11 === 1)
+      .select(lit("D").as("op"), col("o_orderkey"),
+        lit(null).cast("string").as("prio"), lit(null).cast("double").as("total"))
+    val upd = base.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 11 =!= 1)
+      .select(lit("U").as("op"), col("o_orderkey"),
+        lit("X-UPDATED").as("prio"), (col("o_totalprice") + 500).as("total"))
+    val ins = base.filter(col("o_orderkey") % 7 === 3)
+      .select(lit("I").as("op"), (col("o_orderkey") + 200000000L).as("o_orderkey"),
+        col("o_orderpriority").as("prio"), col("o_totalprice").as("total"))
+    del.unionByName(upd).unionByName(ins)
+      .withColumn("gen", (col("o_orderkey") % 3).cast("int"))
+  }
+
+  /** Apply ONE change micro-batch to the partitioned store: read back only
+    * the AFFECTED partitions (semi-join on the batch's p set — at 100 TB
+    * this is the difference between touching the changed slices and
+    * rewriting the table), apply delete/update keys, append inserts, and
+    * dynamic-partition-overwrite exactly those partitions. */
+  private[graft] def cdcApplyBatch(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val b = batch.withColumn("p", (col("o_orderkey") % 8).cast("int"))
+      .localCheckpoint()
+    val parts = b.select(col("p")).distinct()
+    val current = spark.read.parquet(storeDir)
+      .join(broadcast(parts), Seq("p"), "left_semi")
+    val dels = b.filter(col("op") === "D")
+      .select(col("o_orderkey").as("d_key"))
+    val upds = b.filter(col("op") === "U")
+      .select(col("o_orderkey").as("u_key"), col("prio").as("u_prio"),
+        col("total").as("u_total"))
+    val merged = current
+      .join(broadcast(dels), col("o_orderkey") === col("d_key"), "left_anti")
+      .join(broadcast(upds), col("o_orderkey") === col("u_key"), "left")
+      .select(col("p"), col("o_orderkey"),
+        org.apache.spark.sql.functions.coalesce(col("u_prio"), col("prio")).as("prio"),
+        org.apache.spark.sql.functions.coalesce(col("u_total"), col("total")).as("total"))
+      .unionByName(b.filter(col("op") === "I")
+        .select(col("p"), col("o_orderkey"), col("prio"), col("total")))
+    graft.sources.LayoutWriter.upsertPartitions(merged, storeDir, Seq("p"))
+  }
+
+  private val cdcStores = new graft.SessionCache[String]
+
+  /** q211: CONTINUOUS CDC apply against a partitioned parquet store — the
+    * MUTATION member of the ingest family (q181/q183/q186/q187 append,
+    * q184/q117 compact, q211 updates AND deletes): the change feed arrives
+    * as three key-disjoint micro-batches, each applied by rewriting ONLY
+    * its affected hash partitions (dynamic partition overwrite — the
+    * no-table-format lakehouse mutation primitive q93 established, here
+    * driven incrementally with delete semantics parquet alone cannot
+    * express in place). The oracle is the logical full-outer merge SQL, so
+    * the hash-match proves three partition-sliced generation applies ≡ one
+    * logical merge — and StreamCdcSpec replays the same generations
+    * through a REAL readStream/foreachBatch pipeline, pins stream ≡ batch,
+    * and proves untouched partitions' files survive byte-identical. */
+  val q211 = EngineQuery(
+    "q211_cdc_stream_apply",
+    Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+           |upd AS (SELECT o_orderkey, 'X-UPDATED' AS prio, o_totalprice + 500 AS total
+           |        FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 1),
+           |ins AS (SELECT o_orderkey + 200000000 AS o_orderkey,
+           |               o_orderpriority AS prio, o_totalprice AS total
+           |        FROM base WHERE o_orderkey % 7 = 3),
+           |kept AS (SELECT b.o_orderkey,
+           |                coalesce(u.prio, b.o_orderpriority) AS prio,
+           |                coalesce(u.total, b.o_totalprice) AS total
+           |         FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+           |         WHERE b.o_orderkey % 11 <> 1),
+           |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+           |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           |  round(sum(total) / 1000000, 4) AS total_m
+           |FROM fin GROUP BY prio ORDER BY ALL""".stripMargin)) { t =>
+    val store = cdcStores.get(t.spark, s"${t.dir}#cdcstore") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q211_cdc").toString
+      val base = t.orders
+        .select((col("o_orderkey") % 8).cast("int").as("p"), col("o_orderkey"),
+          col("o_orderpriority").as("prio"), col("o_totalprice").as("total"))
+      graft.sources.LayoutWriter.writePartitioned(base, dir, Seq("p"))
+      val changes = cdcChanges(t).localCheckpoint()
+      for (g <- 0 until 3)
+        cdcApplyBatch(t.spark, dir, changes.filter(col("gen") === g))
+      dir
+    }
+    orderedByAll(t.spark.read.parquet(store)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("total")) / 1000000, 4).as("total_m")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q30, q75, q91, q93, q94, q114, q117, q123, q129, q130, q132, q133,
-      q137, q159)
+      q137, q159, q211)
 }
