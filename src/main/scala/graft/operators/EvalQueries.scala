@@ -240,8 +240,6 @@ object EvalQueries {
            |  round((rp - np*(np+1)/2.0) / (np*nn), 4) AS auc,
            |  round(2.0*(rp - np*(np+1)/2.0) / (np*nn) - 1.0, 4) AS gini
            |FROM a""".stripMargin)) { t =>
-    val spark = t.spark
-    import spark.implicits._
     val scored = t.embeddings
       .select(col("vec_id"), col("label"), frozenScore(col("embedding")).as("score"))
     // The shared range-exchange global-rank core (GlobalRank scaladoc).
