@@ -197,5 +197,57 @@ object ExperimentQueries {
       when(abs(z) >= 1.96, 1).otherwise(0).cast("int").as("significant"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q201, q202, q203)
+  /** q212: conversion-lag percentiles — the timing half of the funnel
+    * story (q59/q141 count who converts, q202 models who hasn't yet; q212
+    * reports HOW LONG converters take): per user, the lag from first view
+    * to the first subsequent purchase, summarized as exact p50/p90/mean.
+    * The corpus collapses to user-scale (view, purchase) firsts in two
+    * combinable exchanges + one user-keyed join; the exact percentiles
+    * are order statistics over the user-scale lag table — corpus-fraction
+    * ranks, so the shared [[graft.functions.GlobalRank]] core selects
+    * them (no TakeOrdered driver merge, no unpartitioned rank window),
+    * and ONE aggregate row leaves the cluster. µs precision on both
+    * engines (unix_micros ≡ epoch_us — second-truncated arithmetic would
+    * mis-rank near-tied lags). */
+  val q212 = EngineQuery(
+    "q212_conversion_lag",
+    Some("""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           |           WHERE event_type = 'view' GROUP BY 1),
+           |p AS (SELECT e.user_id, min(e.ts) AS tp
+           |      FROM events e JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1),
+           |l AS (SELECT v.user_id,
+           |        (epoch_us(p.tp) - epoch_us(v.tv)) / 1000000.0 AS lag_sec
+           |      FROM v JOIN p ON v.user_id = p.user_id),
+           |r AS (SELECT user_id, lag_sec,
+           |        row_number() OVER (ORDER BY lag_sec, user_id) AS rn,
+           |        count(*) OVER () AS n FROM l)
+           |SELECT CAST(max(n) AS BIGINT) AS n_users,
+           |  round(min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN lag_sec END), 4) AS p50_sec,
+           |  round(min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN lag_sec END), 4) AS p90_sec,
+           |  round(avg(lag_sec), 4) AS mean_sec
+           |FROM r""".stripMargin)) { t =>
+    val v = t.events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .join(v.withColumnRenamed("user_id", "v_uid"),
+        col("user_id") === col("v_uid") && col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val l = v
+      .join(p.withColumnRenamed("user_id", "p_uid"), col("user_id") === col("p_uid"))
+      .select(col("user_id"),
+        ((unix_micros(col("tp")) - unix_micros(col("tv"))) / 1000000.0).as("lag_sec"))
+    val n = l.count()
+    val k50 = math.ceil(n * 0.5).toLong
+    val k90 = math.ceil(n * 0.9).toLong
+    val ranked = graft.functions.GlobalRank
+      .withGlobalId(l, Seq(col("lag_sec"), col("user_id")))
+    ranked.agg(
+      lit(n).as("n_users"),
+      round4(min(when(col("gid") === k50 - 1, col("lag_sec")))).as("p50_sec"),
+      round4(min(when(col("gid") === k90 - 1, col("lag_sec")))).as("p90_sec"),
+      round4(avg(col("lag_sec"))).as("mean_sec"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q201, q202, q203, q212)
 }

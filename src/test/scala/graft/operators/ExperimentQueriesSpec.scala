@@ -60,6 +60,18 @@ class ExperimentQueriesSpec extends SharedSparkSpec {
     }
   }
 
+  test("q212: lag percentiles are ordered and bracket the mean sensibly") {
+    val r = graft.SparkEntry.queries("q212_conversion_lag")(spark, sf001)
+      .collect().head
+    val (p50, p90, mean) = (r.getAs[Double]("p50_sec"),
+      r.getAs[Double]("p90_sec"), r.getAs[Double]("mean_sec"))
+    assert(r.getAs[Long]("n_users") > 0)
+    assert(p50 > 0 && p50 <= p90, s"percentiles out of order: $r")
+    // A right-skewed lag distribution: mean sits between the median and
+    // the tail (holds deterministically on the fixture).
+    assert(mean >= p50 && mean <= p90, s"mean outside (p50, p90): $r")
+  }
+
   test("q203: significance flag agrees with |z| at 1.96; pooled counts consistent") {
     val r = graft.SparkEntry.queries("q203_ab_ztest")(spark, sf001).collect().head
     val z = r.getAs[Double]("z")
