@@ -249,5 +249,52 @@ object ExperimentQueries {
       round4(avg(col("lag_sec"))).as("mean_sec"))
   }
 
-  val all: Seq[EngineQuery] = Seq(q201, q202, q203, q212)
+  /** q213: per-priority ship-latency percentiles — exact p50/p90/p99 of
+    * order→ship lag through the THIRD exact-percentile mechanism in the
+    * engine (q40's percentile aggregate, q196/q200/q212's GlobalRank
+    * order statistics, and here the BOUNDED-DOMAIN HISTOGRAM: lags are
+    * integer days, so the corpus collapses to per-(priority, day) counts
+    * in one combinable exchange and the percentile is a cumulative-count
+    * threshold over ≤ a-few-thousand day rows per priority — domain-scale
+    * windows, no ranking machinery at all). The right mechanism whenever
+    * the value domain is small relative to the corpus (days, ages, status
+    * codes): at 100 TB the histogram is the ONLY exact-percentile path
+    * whose state doesn't grow with rows. Both engines compute day lags as
+    * DATE differences (µs-time truncation identical). */
+  val q213 = EngineQuery(
+    "q213_ship_latency",
+    Some("""WITH lag AS (SELECT o.o_orderpriority AS prio,
+           |        datediff('day', CAST(o.o_orderdate AS DATE),
+           |                 CAST(l.l_shipdate AS DATE)) AS d
+           |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |h AS (SELECT prio, d, count(*) AS c FROM lag GROUP BY 1, 2),
+           |cum AS (SELECT prio, d, c,
+           |        sum(c) OVER (PARTITION BY prio ORDER BY d
+           |                     ROWS UNBOUNDED PRECEDING) AS cc,
+           |        sum(c) OVER (PARTITION BY prio) AS n
+           |      FROM h)
+           |SELECT prio, CAST(max(n) AS BIGINT) AS n_items,
+           |  CAST(min(CASE WHEN cc >= ceil(n * 0.5) THEN d END) AS INT) AS p50_days,
+           |  CAST(min(CASE WHEN cc >= ceil(n * 0.9) THEN d END) AS INT) AS p90_days,
+           |  CAST(min(CASE WHEN cc >= ceil(n * 0.99) THEN d END) AS INT) AS p99_days
+           |FROM cum GROUP BY prio ORDER BY ALL""".stripMargin)) { t =>
+    val lag = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("d"))
+    val h = lag.groupBy(col("prio"), col("d")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("prio").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("prio")
+    val cum = h
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    orderedByAll(cum.groupBy(col("prio"))
+      .agg(max(col("n")).as("n_items"),
+        min(when(col("cc") >= ceil(col("n") * 0.5), col("d"))).cast("int").as("p50_days"),
+        min(when(col("cc") >= ceil(col("n") * 0.9), col("d"))).cast("int").as("p90_days"),
+        min(when(col("cc") >= ceil(col("n") * 0.99), col("d"))).cast("int").as("p99_days")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q201, q202, q203, q212, q213)
 }

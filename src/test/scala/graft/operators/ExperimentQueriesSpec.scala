@@ -72,6 +72,31 @@ class ExperimentQueriesSpec extends SharedSparkSpec {
     assert(mean >= p50 && mean <= p90, s"mean outside (p50, p90): $r")
   }
 
+  test("q213: histogram percentiles are ordered and match a driver-side sort") {
+    val rows = graft.SparkEntry.queries("q213_ship_latency")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // Independent reference: exact percentile by sorting the raw lags.
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables.forPath(spark, sf001)
+    val lags = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val sorted = lags(prio).map(_._2).sorted
+      def pct(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+      assert(r.getAs[Long]("n_items") === sorted.length.toLong)
+      assert(r.getAs[Int]("p50_days") === pct(0.5), s"p50 mismatch for $prio")
+      assert(r.getAs[Int]("p90_days") === pct(0.9), s"p90 mismatch for $prio")
+      assert(r.getAs[Int]("p99_days") === pct(0.99), s"p99 mismatch for $prio")
+      assert(r.getAs[Int]("p50_days") <= r.getAs[Int]("p90_days"))
+      assert(r.getAs[Int]("p90_days") <= r.getAs[Int]("p99_days"))
+    }
+  }
+
   test("q203: significance flag agrees with |z| at 1.96; pooled counts consistent") {
     val r = graft.SparkEntry.queries("q203_ab_ztest")(spark, sf001).collect().head
     val z = r.getAs[Double]("z")
