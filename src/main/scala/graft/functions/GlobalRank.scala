@@ -22,7 +22,15 @@ object GlobalRank {
   /** Returns `df` with an additional 0-based `gid` column: the row's rank
     * in the total order of `sortCols`. */
   def withGlobalId(df: DataFrame, sortCols: Seq[Column],
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32): DataFrame =
+    withGlobalIdAndCount(df, sortCols, partitions)._1
+
+  /** Like [[withGlobalId]], but ALSO returns the total row count — the
+    * offset pass already sums per-partition counts, so callers that need n
+    * (percentile target ranks: q200/q208/q212) get it for free instead of
+    * running a separate count() job over the corpus first. */
+  def withGlobalIdAndCount(df: DataFrame, sortCols: Seq[Column],
+      partitions: Int = 32): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val sorted = df
@@ -40,8 +48,9 @@ object GlobalRank {
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    local.join(offDf, "__pid")
+    val ranked = local.join(offDf, "__pid")
       .withColumn("gid", col("__off") + col("__local"))
       .drop("__mid", "__pid", "__local", "__off")
+    (ranked, acc)
   }
 }

@@ -90,8 +90,11 @@ object EvalQueries {
     * independent Poisson(1) weight per (row, replicate), which is
     * MAP-SIDE: each row derives its 32 weights from a deterministic
     * integer hash (LCG over event_id and replicate — identical BIGINT
-    * arithmetic on both engines, mod-before-multiply so nothing exceeds
-    * 2^62), and the replicate means partial-aggregate in the same stage.
+    * arithmetic on both engines; the mod-before-multiply keeps the peak
+    * intermediate at (2^31−2)·2654435761 ≈ 5.7e18 < 2^63−1 ≈ 9.2e18, so
+    * 64-bit signed arithmetic never overflows — any larger multiplier must
+    * re-check that product), and the replicate means partial-aggregate in
+    * the same stage.
     * Weights follow the Poisson(1) pmf thresholds (e⁻¹, 2e⁻¹, 5e⁻¹/2, …
     * capped at 4). The CI is the 2nd/31st order statistic of the 32
     * replicate means — a 32-row window per type. Replicate means are
@@ -419,16 +422,18 @@ object EvalQueries {
       .withColumn("s", when(col("y"), lit(1.0) - col("p")).otherwise(col("p")))
       .withColumn("is_cal", col("vec_id") % 2 === 0)
     val cal = scored.filter(col("is_cal"))
-    val nCal = cal.count()
+    // n_cal comes out of GlobalRank's offset pass — no separate count() job.
+    val (rankedCal, nCal) = graft.functions.GlobalRank
+      .withGlobalIdAndCount(cal.select(col("s"), col("vec_id")),
+        Seq(col("s"), col("vec_id")))
     val k = math.ceil((nCal + 1) * 0.9).toLong
     // Exactly ONE row crosses to the driver: the k-th order statistic.
-    val qhat = graft.functions.GlobalRank
-      .withGlobalId(cal.select(col("s"), col("vec_id")),
-        Seq(col("s"), col("vec_id")))
-      .filter(col("gid") === k - 1)
-      .select(col("s")).head().getDouble(0)
+    // Degenerate calibration half (empty, or so small that k > n_cal): the
+    // oracle's q CTE is empty and the final GROUP BY yields ZERO rows —
+    // mirror that instead of throwing on .head() of an empty selection.
+    val qhatRows = rankedCal.filter(col("gid") === k - 1).select(col("s")).collect()
     val tst = scored.filter(!col("is_cal"))
-    tst.agg(
+    def report(qhat: Double) = tst.agg(
       lit(nCal).as("n_cal"),
       count(lit(1)).as("n_test"),
       lit(k).as("k"),
@@ -437,6 +442,8 @@ object EvalQueries {
       round4(avg(
         when(lit(1.0) - col("p") <= qhat, 1).otherwise(0)
           + when(col("p") <= qhat, 1).otherwise(0))).as("avg_set_size"))
+    if (qhatRows.isEmpty) report(0.0).limit(0)
+    else report(qhatRows.head.getDouble(0))
   }
 
   /** q205: multiwindow SLO burn-rate alerting (the Google SRE workbook
@@ -501,19 +508,24 @@ object EvalQueries {
     val spark = t.spark
     import spark.implicits._
     val vals = t.lineitem.select(col("l_extendedprice").as("v"))
-    val n = vals.count()
+    // n comes out of GlobalRank's offset pass (no separate count() job), and
+    // the checkpointed ranked frame is the shared scan for ALL THREE value
+    // passes below — the parquet column is read once, not three times.
+    val (ranked, n) = graft.functions.GlobalRank
+      .withGlobalIdAndCount(vals, Seq(col("v")))
+    val rankedVals = ranked.select(col("v"))
     val ps = Seq(0.5, 0.9, 0.99)
     val accs = Seq(100, 1000, 10000)
     // Exact order statistics: range-exchange ranking, 3 rows to the driver.
     val targetRanks = ps.map(p => math.ceil(p * n).toLong)
-    val exact = graft.functions.GlobalRank.withGlobalId(vals, Seq(col("v")))
+    val exact = ranked
       .filter(col("gid").isin(targetRanks.map(_ - 1): _*))
       .select(col("gid"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // One GK-sketch aggregate per accuracy knob — 3 arrays to the driver.
     val approxCols = accs.zipWithIndex.map { case (acc, i) =>
       percentile_approx(col("v"), typedLit(ps), lit(acc)).as(s"a$i") }
-    val approxRow = vals.agg(approxCols.head, approxCols.tail: _*).collect().head
+    val approxRow = rankedVals.agg(approxCols.head, approxCols.tail: _*).collect().head
     val audits = accs.zipWithIndex.flatMap { case (acc, i) =>
       val arr = approxRow.getSeq[Double](i)
       ps.zip(arr).map { case (p, av) => (acc, p, av) }
@@ -521,7 +533,7 @@ object EvalQueries {
     // Realized rank of all 9 approx values in ONE map-side count pass.
     val rankCols = audits.zipWithIndex.map { case ((_, _, av), idx) =>
       sum(when(col("v") <= av, 1L).otherwise(0L)).as(s"r$idx") }
-    val rankRow = vals.agg(rankCols.head, rankCols.tail: _*).collect().head
+    val rankRow = rankedVals.agg(rankCols.head, rankCols.tail: _*).collect().head
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     orderedByAll(audits.zipWithIndex.map { case ((acc, p, av), idx) =>

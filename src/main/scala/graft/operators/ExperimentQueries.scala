@@ -237,16 +237,27 @@ object ExperimentQueries {
       .join(p.withColumnRenamed("user_id", "p_uid"), col("user_id") === col("p_uid"))
       .select(col("user_id"),
         ((unix_micros(col("tp")) - unix_micros(col("tv"))) / 1000000.0).as("lag_sec"))
-    val n = l.count()
-    val k50 = math.ceil(n * 0.5).toLong
-    val k90 = math.ceil(n * 0.9).toLong
-    val ranked = graft.functions.GlobalRank
-      .withGlobalId(l, Seq(col("lag_sec"), col("user_id")))
-    ranked.agg(
-      lit(n).as("n_users"),
-      round4(min(when(col("gid") === k50 - 1, col("lag_sec")))).as("p50_sec"),
-      round4(min(when(col("gid") === k90 - 1, col("lag_sec")))).as("p90_sec"),
-      round4(avg(col("lag_sec"))).as("mean_sec"))
+    // The total comes out of GlobalRank's offset pass — no separate count()
+    // job over the lag table before the range exchange.
+    val (ranked, n) = graft.functions.GlobalRank
+      .withGlobalIdAndCount(l, Seq(col("lag_sec"), col("user_id")))
+    if (n == 0L) {
+      // Degenerate corpus (no converter ever): the oracle's aggregate over
+      // the empty lag table yields ONE all-NULL row, not n_users = 0.
+      t.spark.range(1).select(
+        lit(null).cast("bigint").as("n_users"),
+        lit(null).cast("double").as("p50_sec"),
+        lit(null).cast("double").as("p90_sec"),
+        lit(null).cast("double").as("mean_sec"))
+    } else {
+      val k50 = math.ceil(n * 0.5).toLong
+      val k90 = math.ceil(n * 0.9).toLong
+      ranked.agg(
+        lit(n).as("n_users"),
+        round4(min(when(col("gid") === k50 - 1, col("lag_sec")))).as("p50_sec"),
+        round4(min(when(col("gid") === k90 - 1, col("lag_sec")))).as("p90_sec"),
+        round4(avg(col("lag_sec"))).as("mean_sec"))
+    }
   }
 
   /** q213: per-priority ship-latency percentiles — exact p50/p90/p99 of

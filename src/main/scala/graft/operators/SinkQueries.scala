@@ -557,6 +557,13 @@ object SinkQueries {
         org.apache.spark.sql.functions.coalesce(col("u_total"), col("total")).as("total"))
       .unionByName(b.filter(col("op") === "I")
         .select(col("p"), col("o_orderkey"), col("prio"), col("total")))
+      // Materialize BEFORE the overwrite: `merged` reads storeDir lazily, and
+      // dynamic-partition-overwriting the same path while read tasks may
+      // still (re)open it is the self-overwrite hazard LayoutWriter.compact
+      // guards with require(inDir != outDir) — a late task retry mid-commit
+      // would read deleted files. The checkpoint severs the lineage so the
+      // write never scans its own destination.
+      .localCheckpoint()
     graft.sources.LayoutWriter.upsertPartitions(merged, storeDir, Seq("p"))
   }
 
