@@ -1103,7 +1103,7 @@ object SimilarityQueries {
     * MinhashCalibrationSpec pins the realized errors inside the
     * theoretical envelope. */
   val q209 = EngineQuery("q209_minhash_calibration", None) { t =>
-    val pairs = TextQueries.ngramJaccardPairs(t.documents)
+    val pairs = TextQueries.corpusJaccardPairs(t)
     val sigs = shingled(t.documents)
       .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
     val est = aggregate(

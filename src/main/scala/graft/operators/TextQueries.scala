@@ -230,7 +230,7 @@ object TextQueries {
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
     orderedByAll(
-      ngramJaccardPairs(t.documents)
+      corpusJaccardPairs(t)
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard")))
   }
 
@@ -256,12 +256,17 @@ object TextQueries {
     * shingles, not just bucket them (contrast q24's LSH bands, which only
     * need candidate recall). */
   private[operators] def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val inv = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inv = invPostings(docs)
+    ngramJaccardPairsFrom(inv, inv.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** The pair-formation half of [[ngramJaccardPairs]] over a prebuilt
+    * postings frame `(doc_id, s)` + sizes `(doc_id, n)` — so callers that
+    * hold the session-memoized corpus artifact ([[corpusPostings]]) never
+    * re-shingle. */
+  private[operators] def ngramJaccardPairsFrom(
+      inv: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val common = inv.as("a").hint("shuffle_hash")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -273,6 +278,36 @@ object TextQueries {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
+  /** Session-memoized corpus 5-gram postings — the IN-SESSION twin of
+    * q144's at-rest layout: `(doc_id, s = xxhash64(5-shingle))` postings
+    * plus per-doc set sizes `(doc_id, n)`, both eagerly localCheckpointed
+    * once per (session, data dir). Before this cache, every member of the
+    * n-gram family (q36 pairs, q60/q87/q104 cluster labels, q125
+    * incremental fuzzy, q144/q181 index builds, q151 prefix filter, q191
+    * incremental components, q209 minhash calibration) re-ran the
+    * corpus-scale tokenize+shingle+explode pass from the text — ~8 scans
+    * where one suffices. At 100 TB this artifact is what a real pipeline
+    * materializes first (q144 IS its durable form); postings are 16 B/row
+    * and sizes are id-scale, so holding them for the session is cheap.
+    * Losslessness is free to prove: every oracled consumer still
+    * hash-matches its from-text DuckDB SQL. */
+  private val corpusPostingsCache =
+    new graft.SessionCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private[operators] def corpusPostings(
+      t: graft.Tables): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    corpusPostingsCache.get(t.spark, s"${t.dir}#ngram5")({
+      val inv = invPostings(t.documents).localCheckpoint()
+      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint()
+      (inv, sizes)
+    })
+
+  /** q36's pair list served from the memoized corpus postings. */
+  private[operators] def corpusJaccardPairs(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val (inv, sizes) = corpusPostings(t)
+    ngramJaccardPairsFrom(inv, sizes)
   }
 
   /** Redaction / scrubbing (the PII-scrub shape of a training pipeline):
@@ -567,13 +602,11 @@ object TextQueries {
   private val clusterLabelCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
   private def dedupClusterLabels(t: graft.Tables): org.apache.spark.sql.DataFrame =
-    clusterLabelCache.get(t.spark, t.dir)(computeClusterLabels(t.documents))
-
-  private def computeClusterLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    propagateMinLabels(
-      ngramJaccardPairs(docs)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")),
-      maxIters = 40, doublingAfter = DoublingAfter)._1
+    clusterLabelCache.get(t.spark, t.dir)(
+      propagateMinLabels(
+        corpusJaccardPairs(t)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        maxIters = 40, doublingAfter = DoublingAfter)._1)
 
   /** Supersteps of plain propagation before the loop DEGRADES to pointer
     * doubling. Near-dup corpora converge in ≲3 (diameter ≲3 after the
@@ -1045,20 +1078,21 @@ object TextQueries {
     * re-crawls; a production ingest also wants the re-rendered/near-copy
     * page, which is a Jaccard question.)
     *
-    * Plan at 100 TB: the corpus inverted index (shingle → doc_id
-    * postings; the join key is the raw shingle string so the candidate
-    * count is EXACT — q36's xxhash64 posting compression is the storage
-    * knob when the standing index is materialized, at a 2^-64 collision
-    * caveat this oracled query doesn't accept) is the STANDING
-    * artifact — in production it is materialized once and only re-read;
-    * the BATCH index (a day's crawl) is the small side and broadcasts, so
-    * the corpus postings stream map-side and the only exchange is the
-    * candidate-pair aggregation — bounded by |batch|×|near-dups|, never
-    * corpus×corpus (q36's self-join shape) and never corpus-wide (q90's
-    * asymmetry, applied to the fuzzy problem). Degrades to q36's
-    * shuffle_hash join when a bulk backfill makes the batch side too big
-    * to broadcast. Exact semantics (the index filter loses nothing — every
-    * pair sharing ≥1 shingle is counted), so fully oracled. */
+    * Plan at 100 TB: the corpus inverted index is the STANDING artifact —
+    * in production it is materialized once and only re-read, and here it IS
+    * the session-memoized [[corpusPostings]] frame (the same xxhash64(5-
+    * shingle) postings q36/q144 key on, with the same documented 2^-64
+    * collision caveat — oracle-checked against DuckDB's raw-string join at
+    * three SFs, so a collision perturbing a common-count would surface as a
+    * hash mismatch); the BATCH index (a day's crawl) is the small side and
+    * broadcasts, so the corpus postings stream map-side and the only
+    * exchange is the candidate-pair aggregation — bounded by
+    * |batch|×|near-dups|, never corpus×corpus (q36's self-join shape) and
+    * never corpus-wide (q90's asymmetry, applied to the fuzzy problem).
+    * Degrades to q36's shuffle_hash join when a bulk backfill makes the
+    * batch side too big to broadcast. Exact semantics (the index filter
+    * loses nothing — every pair sharing ≥1 shingle is counted), so fully
+    * oracled. */
   val q125 = EngineQuery(
     "q125_dedup_incremental_fuzzy",
     Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
@@ -1078,11 +1112,7 @@ object TextQueries {
            |FROM c JOIN sz x ON batch_doc = x.doc_id JOIN sz y ON corpus_doc = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    val inv = t.documents
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("s"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val (inv, sizes) = corpusPostings(t)
     val common = inv.filter(col("doc_id") % 10 =!= 0).as("c")
       .join(broadcast(inv.filter(col("doc_id") % 10 === 0).as("b")),
         col("c.s") === col("b.s"))
@@ -1119,7 +1149,10 @@ object TextQueries {
     postingsLayouts.get(t.spark, t.dir)({
       val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
       val tbl = s"graft_postings_$tag"
-      graft.sources.LayoutWriter.writeBucketed(invPostings(t.documents), tbl, "s", 8)
+      // The write reads the memoized in-session postings (corpusPostings) —
+      // the durable layout and the session artifact are the same frame, so
+      // the build never re-shingles text the session already indexed.
+      graft.sources.LayoutWriter.writeBucketed(corpusPostings(t)._1, tbl, "s", 8)
       tbl
     })
 
@@ -1202,12 +1235,16 @@ object TextQueries {
       val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
       val tbl = s"graft_postings_inc_$tag"
       val isDelta = pmod(col("doc_id"), lit(8)) === 0
+      // Both generations slice the memoized corpus postings by doc_id —
+      // identical rows to invPostings over the filtered text (the split
+      // predicate only reads doc_id), with zero re-shingling.
+      val inv = corpusPostings(t)._1
       graft.sources.LayoutWriter.writeBucketed(
-        invPostings(t.documents.filter(!isDelta)), tbl, "s", 8)
+        inv.filter(!isDelta), tbl, "s", 8)
       val baseFiles = t.spark.table(tbl).inputFiles.toSet
       val basePostings = t.spark.table(tbl).count()
       graft.sources.LayoutWriter.writeBucketed(
-        invPostings(t.documents.filter(isDelta)), tbl, "s", 8, mode = "append")
+        inv.filter(isDelta), tbl, "s", 8, mode = "append")
       val allFiles = t.spark.table(tbl).inputFiles.toSet
       val total = t.spark.table(tbl).count()
       PostingsAppendStats(tbl, basePostings, total - basePostings,
@@ -1452,11 +1489,7 @@ object TextQueries {
            |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    val inv = t.documents
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), explode(shingles(col("tk"), 5)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+    val inv = corpusPostings(t)._1
     val cand = prefixCandidates(prefixPostings(inv))
     // Exact verification on candidates only: count common shingles by
     // walking a's postings and probing b's — both equi-joins, keyed by
@@ -1980,48 +2013,55 @@ object TextQueries {
            |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
            |FROM lab GROUP BY cluster ORDER BY ALL""".stripMargin)) { t =>
     val isDelta = col("doc_id") % 8 === 0
+    val (inv, sizes) = corpusPostings(t)
     val frozen = frozenBaseLabels.get(t.spark, s"${t.dir}#q191base")(
-      computeBaseLabels(t.documents, isDelta))
-    orderedByAll(ccIncrementalFrom(t.documents, isDelta, frozen))
+      computeBaseLabelsFrom(inv, sizes, isDelta))
+    orderedByAll(ccIncrementalFrom(inv, sizes, isDelta, frozen))
   }
 
-  /** Yesterday's labels over the base split only — the frozen state. */
-  private def computeBaseLabels(
-      docs: org.apache.spark.sql.DataFrame,
+  /** Yesterday's labels over the base split only — the frozen state. The
+    * split predicate may only read `doc_id` (the postings frame carries
+    * nothing else). */
+  private def computeBaseLabelsFrom(
+      inv: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame,
       isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     propagateMinLabels(
-      ngramJaccardPairs(docs.filter(!isDelta))
+      ngramJaccardPairsFrom(inv.filter(!isDelta), sizes)
         .select(col("doc_a").as("a"), col("doc_b").as("b")),
       maxIters = 40, doublingAfter = DoublingAfter)._1
 
   /** q191's merge core over an arbitrary docs table and delta predicate —
     * factored for CcIncrementalSpec's constructed merge scenarios (which
-    * build the frozen state fresh rather than through the cache). */
+    * build the frozen state fresh rather than through the cache). The
+    * gated q191 path passes the memoized corpus postings instead; both
+    * routes share [[ccIncrementalFrom]] so they can never drift. */
   private[operators] def ccIncremental(
       docs: org.apache.spark.sql.DataFrame,
-      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    ccIncrementalFrom(docs, isDelta, computeBaseLabels(docs, isDelta))
-
-  private def ccIncrementalFrom(
-      docs: org.apache.spark.sql.DataFrame,
-      isDelta: org.apache.spark.sql.Column,
-      baseLabels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // Shared inverted index + split-independent set sizes (q36's shape).
-    val inv = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"), isDelta.as("is_delta"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), col("is_delta"), explode(shingles(col("tk"), 5)).as("sh"))
-      .select(col("doc_id"), col("is_delta"), xxhash64(col("sh")).as("s"))
+      isDelta: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     // The corpus-scale shingle explode feeds FIVE consumers (sizes ×2 pair
     // sets ×2 join sides, both delta join sides); uncheckpointed, Catalyst
-    // re-explodes the corpus for each. Hold the two REUSED derivations at
-    // their natural state size: `sizes` is id-scale, `deltaInv` is
-    // delta-scale postings (the q90 batch-side asymmetry — the base-side
-    // postings stream through their single join unmaterialized).
+    // re-explodes the corpus for each — hold the postings once (the gated
+    // path gets this same materialization from corpusPostings).
+    val inv = invPostings(docs).localCheckpoint()
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint()
-    val deltaInv = inv.filter(col("is_delta")).select(col("doc_id"), col("s"))
+    ccIncrementalFrom(inv, sizes, isDelta,
+      computeBaseLabelsFrom(inv, sizes, isDelta))
+  }
+
+  /** The merge over prebuilt postings `(doc_id, s)` + sizes `(doc_id, n)`.
+    * `isDelta` must be a doc_id-only predicate. */
+  private def ccIncrementalFrom(
+      inv: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame,
+      isDelta: org.apache.spark.sql.Column,
+      baseLabels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // `deltaInv` is re-materialized at its natural state size: delta-scale
+    // postings (the q90 batch-side asymmetry — the base-side postings
+    // stream through their single join from the checkpointed corpus frame).
+    val deltaInv = inv.filter(isDelta).select(col("doc_id"), col("s"))
       .localCheckpoint()
-    val baseInv = inv.filter(!col("is_delta")).select(col("doc_id"), col("s"))
+    val baseInv = inv.filter(!isDelta).select(col("doc_id"), col("s"))
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common")).cast("double")
     def jacFilter(common: org.apache.spark.sql.DataFrame) = common
@@ -2081,7 +2121,7 @@ object TextQueries {
         val labels = parent.keys.toSeq.map(n => (n, find(n)))
         val minOfRoot = labels.groupBy(_._2).map { case (root, ns) =>
           root -> ns.map(_._1).min }
-        val spark = docs.sparkSession
+        val spark = inv.sparkSession
         import spark.implicits._
         labels.map { case (n, root) => (n, minOfRoot(root)) }
           .toDF("doc_id", "label")
