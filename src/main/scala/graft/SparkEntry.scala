@@ -24,7 +24,8 @@ object SparkEntry {
       operators.TrainingDataQueries.all ++
       operators.GraphQueries.all ++
       operators.EvalQueries.all ++
-      operators.ExperimentQueries.all
+      operators.ExperimentQueries.all ++
+      operators.CurationQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -654,7 +654,10 @@ object TextQueries {
       .groupBy(col("a").as("doc_id"))
       .agg(least(col("doc_id"), min(col("b"))).as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // coalesce: an EMPTY edge list (a corpus slice with no near-dup pairs —
+    // q214's filtered pipeline hits this at small SFs) sums to NULL, and
+    // the convergence probe must read 0, not throw.
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -673,7 +676,7 @@ object TextQueries {
       val next = stepped
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

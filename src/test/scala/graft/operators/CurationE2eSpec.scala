@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SharedSparkSpec
+
+/** q214's funnel on a CONSTRUCTED corpus where every stage has work to do —
+  * the fixture corpus has no byte-identical duplicates, so the gate alone
+  * never proves the exact-dedup stage removes anything in composition.
+  * Here each removal class is planted and the whole funnel is asserted
+  * against hand-computed numbers.
+  */
+class CurationE2eSpec extends SharedSparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("every stage of the curation funnel removes exactly its planted docs") {
+    val a = words("a", 60)                       // base doc, survives everything
+    val nearDup = a.take(55) ++ words("nd", 5)   // 5-gram Jaccard ≈ 0.84 vs a
+    val span = words("x", 8)                     // the contaminated 8-gram
+    val docs = Seq(
+      (1L, "en", "src1", a.mkString(" ")),
+      (2L, "en", "src1", a.mkString(" ")),                       // exact dup of 1
+      (3L, "en", "src1", nearDup.mkString(" ")),                 // near dup of 1
+      (4L, "en", "src1", words("sh", 20).mkString(" ")),         // low quality (score 0.1)
+      (5L, "en", "src1", (words("c", 52) ++ span).mkString(" ")), // contaminated
+      (6L, "en", "src0", (words("b", 52) ++ span).mkString(" ")), // the benchmark doc
+      (7L, "en", "src1", words("d", 60).mkString(" "))           // clean survivor
+    ).toDF("doc_id", "lang", "source", "text")
+    val dir = tmpDir("curation_e2e")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val rows = CurationQueries.q214.run(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // Funnel: 7 docs/380 tok → quality drops doc 4 → exact drops doc 2 →
+    // near-dup drops doc 3 (cluster {1,3}, min label 1 survives; docs 5 and
+    // 6 share only 4 of 56 shingles, J=4/108 < 0.5, so they do NOT pair) →
+    // decontamination drops the benchmark doc 6 and the hit doc 5 →
+    // chunking: 2×60-token docs → windows at 1 (len 60) and 49 (len 12).
+    assert(rows === Seq(
+      (0, "raw", 7L, 380L),
+      (1, "quality", 6L, 360L),
+      (2, "exact_dedup", 5L, 300L),
+      (3, "near_dedup", 4L, 240L),
+      (4, "decontaminate", 2L, 120L),
+      (5, "chunks", 4L, 144L)))
+  }
+}
