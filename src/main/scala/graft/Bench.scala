@@ -82,12 +82,19 @@ object Bench {
     // on a shared box rides run-to-run contention noise (round-3 saw warm >
     // cold inversions of 3-5x on queries whose plans hadn't changed).
     val results = pass()
-    val warm = {
-      val (w1, w2) = (pass(), pass())
-      w1.zip(w2).map { case ((n, t1, e1), (_, t2, e2)) =>
-        (n, math.min(t1, t2), e1.orElse(e2))
+    // SPARK_GRAFT_COLD_ONLY=1 (tools/cold_budget.sh): skip the two warm
+    // passes — the budget generator runs N whole-suite cold passes in fresh
+    // JVMs and only the first-execution numbers matter, so paying ~2×warm
+    // per pass would triple its wall-clock for data it discards.
+    val coldOnly = sys.env.get("SPARK_GRAFT_COLD_ONLY").contains("1")
+    val warm =
+      if (coldOnly) results
+      else {
+        val (w1, w2) = (pass(), pass())
+        w1.zip(w2).map { case ((n, t1, e1), (_, t2, e2)) =>
+          (n, math.min(t1, t2), e1.orElse(e2))
+        }
       }
-    }
     // Layout audit (untimed, after the passes so the memoized layouts
     // already exist): the data-skipping layouts must actually SKIP at bench
     // scale, asserted from runtime scan metrics — a layout regression (e.g.

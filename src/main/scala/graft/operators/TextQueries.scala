@@ -1549,16 +1549,23 @@ object TextQueries {
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_toks"))
     // Positional spans: the span-string array materializes per doc (tk is a
     // materialized column — dsl.shingles' lambda rule), then posexplode.
+    // Two consumers read the span table (the df aggregation and the flag
+    // semi-join probe) and two more read `flagged` (count + coverage):
+    // uncheckpointed, Catalyst re-runs the corpus-scale posexplode+concat
+    // pass per consumer. Hold each at its natural size — spans are
+    // (id, pos, 8-byte hash) rows, flagged is the repeated subset.
     val spans = base
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), col("n_toks") - 7),
           i => concat_ws(" ", slice(col("tk"), i, lit(8))))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("s"))
+      .localCheckpoint()
     val rep = spans.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("dfreq"))
       .filter(col("dfreq") >= 2)
       .select("s")
     val flagged = spans.join(rep, Seq("s"), "left_semi").select("doc_id", "pos")
+      .localCheckpoint()
     val nrep = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_rep_spans"))
     val covered = flagged
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))

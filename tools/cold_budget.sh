@@ -1,0 +1,34 @@
+#!/bin/bash
+# Cold-cost budget generator (PLANS.md "cold budgets" discipline, automated
+# for the FULL query surface): run the whole-suite cold pass N times, each in
+# a FRESH JVM, and record each query's min/median/max first-execution time in
+# COLD_BUDGET.json. Any driver-round cold deviation is then attributable in
+# one diff: a query far above its budget max on an untouched plan is
+# environment (page-cache displacement / box contention), not a regression.
+# Usage: tools/cold_budget.sh [sf_dir] [n_passes] [out_json]
+set -e
+cd /root/repo
+SF=${1:-/root/testdata/sf0.1}
+N=${2:-3}
+OUT=${3:-COLD_BUDGET.json}
+sbt -batch compile | grep -E '^\[error\]|success' || true
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+TMP=$(mktemp -d /tmp/cold_budget.XXXX)
+for i in $(seq 1 "$N"); do
+  echo "[cold_budget] pass $i/$N (fresh JVM, cold-only) ..."
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_COLD_ONLY=1 \
+  java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
+    -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench \
+    > "$TMP/stdout_$i.log" 2>&1
+  cp BENCH_DETAIL.json "$TMP/pass_$i.json"
+done
+python3 tools/merge_budget.py "$SF" "$OUT" "$TMP"/pass_*.json
+echo "[cold_budget] wrote $OUT"
