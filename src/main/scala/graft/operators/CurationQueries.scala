@@ -98,23 +98,13 @@ object CurationQueries {
            |       CAST(n_docs AS BIGINT) AS n_docs,
            |       CAST(n_tokens AS BIGINT) AS n_tokens
            |FROM rep ORDER BY ALL""".stripMargin)) { t =>
-    val raw = t.documents.select(col("doc_id"), col("source"), col("text"),
-      size(toks(col("text"))).cast("long").as("ntok"))
-
-    // Stage 1 — quality (q45's exact score expression, reapplied verbatim).
-    val tk = toks(col("text"))
-    val stops = Seq("the", "a", "of", "and", "in", "to")
-    val stopRatio =
-      size(filter(tk, x => x.isin(stops: _*))).cast("double") / size(tk).cast("double")
-    val score = least(lit(1.0), size(tk).cast("double") / 200.0) * (lit(1.0) - stopRatio)
-    val s1 = raw.filter(score >= 0.25)
+    val raw = rawDocs(t)
+    val s1 = raw.filter(qualityOk)
 
     // Stage 2 — exact dedup (q23's digest keying over the stage-1 survivors;
     // min doc_id per digest survives). The survivor set leaves this stage as
     // an id-scale frame — text never flows between stages.
-    val keyed = s1.select(col("doc_id"),
-      unhex(sha2(lower(trim(col("text"))), 256)).as("key"))
-    val s2ids = keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id"))
+    val s2ids = digests(s1).groupBy("key").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").localCheckpoint()
     def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
 
@@ -138,18 +128,8 @@ object CurationQueries {
     // curated — and broadcasts; candidate docs are semi-joined to the
     // stage-3 survivors BEFORE the shingle explode, so eliminated docs are
     // never shingled. Benchmark docs themselves leave the training set here.
-    val sh8src = t.documents
-      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 8)
-    val ev = sh8src.filter(col("source") === "src0")
-      .select(explode(shingles(col("tk"), 8)).as("sh")).distinct()
-    val hitIds = sh8src.filter(col("source") =!= "src0")
-      .join(s3ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
-      .join(broadcast(ev), "sh")
-      .select("doc_id").distinct()
     val s4ids = stage(s3ids).filter(col("source") =!= "src0")
-      .join(hitIds, Seq("doc_id"), "left_anti")
+      .join(benchmarkHitIds(t, s3ids), Seq("doc_id"), "left_anti")
       .select("doc_id").localCheckpoint()
 
     // Stage 5 — chunking of the final set (q83's 64-token windows at
@@ -159,10 +139,6 @@ object CurationQueries {
         explode(sequence(lit(1), col("ntok").cast("int"), lit(48))).as("s"))
       .select(least(lit(64L), col("ntok") - col("s") + 1).as("chunk_len"))
 
-    def rep(stageId: Int, name: String, df: DataFrame, tokCol: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"))
-        .select(lit(stageId).cast("int").as("stage"), lit(name).as("name"),
-          col("n_docs"), col("n_tokens"))
     orderedByAll(
       rep(0, "raw", raw, "ntok")
         .unionByName(rep(1, "quality", s1, "ntok"))
@@ -172,5 +148,230 @@ object CurationQueries {
         .unionByName(rep(5, "chunks", chunks, "chunk_len")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q214)
+  /** `documents` with the per-doc token count — the frame every stage's
+    * report joins back to (id-scale semi-joins, text never re-read). */
+  private def rawDocs(t: graft.Tables): DataFrame =
+    t.documents.select(col("doc_id"), col("source"), col("text"),
+      size(toks(col("text"))).cast("long").as("ntok"))
+
+  /** q45's score expression verbatim, at the corpus-calibrated ≥0.25 cut. */
+  private def qualityOk: org.apache.spark.sql.Column = {
+    val tk = toks(col("text"))
+    val stops = Seq("the", "a", "of", "and", "in", "to")
+    val stopRatio =
+      size(filter(tk, x => x.isin(stops: _*))).cast("double") / size(tk).cast("double")
+    least(lit(1.0), size(tk).cast("double") / 200.0) * (lit(1.0) - stopRatio) >= 0.25
+  }
+
+  /** q23's digest keying: (doc_id, 32-byte sha256 of lower(trim(text))). */
+  private def digests(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), unhex(sha2(lower(trim(col("text"))), 256)).as("key"))
+
+  /** The ids among `ids` (non-benchmark docs) sharing an 8-shingle with the
+    * RAW src0 benchmark set — q50's broadcast semi-join shape, candidates
+    * semi-joined BEFORE the shingle explode. */
+  private def benchmarkHitIds(t: graft.Tables, ids: DataFrame): DataFrame = {
+    val sh8src = t.documents
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    val ev = sh8src.filter(col("source") === "src0")
+      .select(explode(shingles(col("tk"), 8)).as("sh")).distinct()
+    sh8src.filter(col("source") =!= "src0")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
+      .join(broadcast(ev), "sh")
+      .select("doc_id").distinct()
+  }
+
+  /** One report row: (stage, name, n_docs, n_tokens). */
+  private def rep(stageId: Int, name: String, df: DataFrame, tokCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"))
+      .select(lit(stageId).cast("int").as("stage"), lit(name).as("name"),
+        col("n_docs"), col("n_tokens"))
+
+  /** The INCREMENTAL run of q214's pipeline — the nightly form: yesterday's
+    * store is FROZEN (the base split run through the full funnel), and only
+    * today's batch (doc_id ≡ 0 mod 10, q90/q125's ingest split) flows
+    * through the chain, each stage checking against the store instead of
+    * re-curating it:
+    *
+    *   exact dedup   → q90's asymmetry: a batch doc drops when its digest
+    *                   is already in the store OR a lower-id batch doc has
+    *                   it (batch-internal min rule)
+    *   near-dup      → q125/q185's rule: a batch doc drops when it pairs
+    *                   (q36 Jaccard ≥ 0.5) with ANY store member or ANY
+    *                   lower-id batch doc that passed exact dedup (the
+    *                   earlier-member rule — one hop, no re-clustering of
+    *                   the store)
+    *   decontaminate → q50 vs the same raw src0 benchmark set
+    *
+    * Report: the store row plus the batch funnel. Composes the engine's
+    * three incremental-dedup mechanisms in ONE gated chain — the per-op
+    * incremental gates (q90/q125) prove each check alone; this proves the
+    * nightly pipeline they form.
+    *
+    * Scale shape: base×base pairs are never re-formed for the batch run —
+    * the near-dup checks are memoized-pair-list filters (store×batch and
+    * batch×batch memberships, id-keyed semi-joins), the digest check is one
+    * anti-join against store digests, and every inter-stage set is an
+    * id-scale frame. Work beyond the frozen store is delta-sized — exactly
+    * the q90 economics lifted to the whole pipeline. */
+  val q215 = EngineQuery(
+    "q215_curation_incremental",
+    Some("""WITH RECURSIVE
+           |raw AS (SELECT doc_id, lang, source, text,
+           |          string_split(text, ' ') AS tk,
+           |          len(string_split(text, ' ')) AS ntok
+           |        FROM documents),
+           |sc AS (SELECT *,
+           |        least(1.0, CAST(ntok AS DOUBLE) / 200.0)
+           |          * (1.0 - CAST(len(list_filter(tk,
+           |               x -> list_contains(['the','a','of','and','in','to'], x))) AS DOUBLE)
+           |            / CAST(ntok AS DOUBLE)) AS score
+           |      FROM raw),
+           |q AS (SELECT * FROM sc WHERE score >= 0.25),
+           |shg AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(generate_series(1, ntok - 4),
+           |           i -> array_to_string(tk[i:i+4], ' '))) AS sh
+           |       FROM raw WHERE ntok >= 5),
+           |sz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |prs AS (SELECT doc_a, doc_b
+           |        FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |        WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5),
+           |b1 AS (SELECT * FROM q WHERE doc_id % 10 <> 0),
+           |bk AS (SELECT doc_id, sha256(lower(trim(text))) AS key FROM b1),
+           |b2 AS (SELECT min(doc_id) AS doc_id FROM bk GROUP BY key),
+           |bp AS (SELECT doc_a, doc_b FROM prs
+           |       WHERE doc_a IN (SELECT doc_id FROM b2)
+           |         AND doc_b IN (SELECT doc_id FROM b2)),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM bp
+           |        UNION SELECT doc_b, doc_a FROM bp),
+           |reach AS (SELECT a, b FROM sym
+           |          UNION
+           |          SELECT r.a, s2x.b FROM reach r JOIN sym s2x ON r.b = s2x.a),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster),
+           |b3 AS (SELECT doc_id FROM b2
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+           |ev AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS sh8
+           |       FROM raw, unnest(generate_series(1, ntok - 7)) AS u(i)
+           |       WHERE source = 'src0' AND ntok >= 8),
+           |bh AS (SELECT DISTINCT d.doc_id
+           |       FROM (SELECT r.doc_id, array_to_string(r.tk[i:i+7], ' ') AS sh8
+           |             FROM raw r JOIN b3 USING (doc_id),
+           |                  unnest(generate_series(1, r.ntok - 7)) AS u(i)
+           |             WHERE r.source <> 'src0' AND r.ntok >= 8) d JOIN ev USING (sh8)),
+           |store AS (SELECT r.doc_id, r.ntok FROM raw r JOIN b3 USING (doc_id)
+           |          WHERE r.source <> 'src0'
+           |            AND r.doc_id NOT IN (SELECT doc_id FROM bh)),
+           |t1 AS (SELECT * FROM raw WHERE doc_id % 10 = 0),
+           |t2 AS (SELECT * FROM q WHERE doc_id % 10 = 0),
+           |sk AS (SELECT doc_id, sha256(lower(trim(text))) AS key FROM t2),
+           |stk AS (SELECT DISTINCT sha256(lower(trim(r.text))) AS key
+           |        FROM raw r JOIN store USING (doc_id)),
+           |t3 AS (SELECT sk.doc_id FROM sk
+           |       JOIN (SELECT min(doc_id) AS doc_id FROM sk GROUP BY key) m
+           |         USING (doc_id)
+           |       WHERE sk.key NOT IN (SELECT key FROM stk)),
+           |dropS AS (SELECT doc_b AS doc_id FROM prs
+           |            WHERE doc_a IN (SELECT doc_id FROM store)
+           |              AND doc_b IN (SELECT doc_id FROM t3)
+           |          UNION
+           |          SELECT doc_a FROM prs
+           |            WHERE doc_b IN (SELECT doc_id FROM store)
+           |              AND doc_a IN (SELECT doc_id FROM t3)),
+           |dropB AS (SELECT doc_b AS doc_id FROM prs
+           |          WHERE doc_a IN (SELECT doc_id FROM t3)
+           |            AND doc_b IN (SELECT doc_id FROM t3)),
+           |t4 AS (SELECT doc_id FROM t3
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM dropS
+           |                            UNION SELECT doc_id FROM dropB)),
+           |th AS (SELECT DISTINCT d.doc_id
+           |       FROM (SELECT r.doc_id, array_to_string(r.tk[i:i+7], ' ') AS sh8
+           |             FROM raw r JOIN t4 USING (doc_id),
+           |                  unnest(generate_series(1, r.ntok - 7)) AS u(i)
+           |             WHERE r.source <> 'src0' AND r.ntok >= 8) d JOIN ev USING (sh8)),
+           |t5 AS (SELECT r.doc_id, r.ntok FROM raw r JOIN t4 USING (doc_id)
+           |       WHERE r.source <> 'src0'
+           |         AND r.doc_id NOT IN (SELECT doc_id FROM th)),
+           |rep AS (
+           |  SELECT 0 AS stage, 'store' AS name, count(*) AS n_docs,
+           |         sum(ntok) AS n_tokens FROM store
+           |  UNION ALL SELECT 1, 'batch_raw', count(*), sum(ntok) FROM t1
+           |  UNION ALL SELECT 2, 'quality', count(*), sum(ntok) FROM t2
+           |  UNION ALL SELECT 3, 'exact_dedup', count(*), sum(r.ntok)
+           |            FROM raw r JOIN t3 USING (doc_id)
+           |  UNION ALL SELECT 4, 'near_dedup', count(*), sum(r.ntok)
+           |            FROM raw r JOIN t4 USING (doc_id)
+           |  UNION ALL SELECT 5, 'decontaminate', count(*), sum(ntok) FROM t5)
+           |SELECT CAST(stage AS INT) AS stage, name,
+           |       CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(n_tokens AS BIGINT) AS n_tokens
+           |FROM rep ORDER BY ALL""".stripMargin)) { t =>
+    val raw = rawDocs(t)
+    val isBatch = col("doc_id") % 10 === 0
+    def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
+    val pairList = TextQueries.corpusJaccardPairs(t)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    def inSet(side: String, ids: DataFrame)(p: DataFrame): DataFrame =
+      p.join(ids.withColumnRenamed("doc_id", side), Seq(side), "left_semi")
+
+    // ---- Yesterday's store: the base split through the FULL funnel. ----
+    val base1 = raw.filter(!isBatch && qualityOk)
+    val base2ids = digests(base1).groupBy("key").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").localCheckpoint()
+    val basePairs = inSet("doc_b", base2ids)(inSet("doc_a", base2ids)(pairList))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val baseLosers = TextQueries.propagateMinLabels(
+        basePairs, maxIters = 40, doublingAfter = TextQueries.DoublingAfter)._1
+      .filter(col("doc_id") =!= col("label")).select("doc_id")
+    val base3ids = base2ids.join(baseLosers, Seq("doc_id"), "left_anti")
+    val storeIds = stage(base3ids).filter(col("source") =!= "src0")
+      .join(benchmarkHitIds(t, base3ids), Seq("doc_id"), "left_anti")
+      .select("doc_id").localCheckpoint()
+
+    // ---- Today's batch through the incremental chain. ----
+    val batch1 = raw.filter(isBatch)
+    val batch2 = batch1.filter(qualityOk)
+    // Exact (q90's asymmetry): store digests broadcast; batch-internal min.
+    val storeKeys = digests(stage(storeIds)).select("key")
+    val batchKeyed = digests(batch2)
+    val batch3ids = batchKeyed
+      .join(batchKeyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(storeKeys), Seq("key"), "left_anti")
+      .select("doc_id").localCheckpoint()
+    // Near-dup (q125/q185's earlier-member rule) off the memoized pair list:
+    // a batch doc drops on a pair with any store member (either direction)
+    // or with a lower-id batch exact-survivor (doc_a < doc_b always).
+    val dropVsStore =
+      inSet("doc_b", batch3ids)(inSet("doc_a", storeIds)(pairList))
+        .select(col("doc_b").as("doc_id"))
+        .unionByName(
+          inSet("doc_a", batch3ids)(inSet("doc_b", storeIds)(pairList))
+            .select(col("doc_a").as("doc_id")))
+    val dropInBatch =
+      inSet("doc_b", batch3ids)(inSet("doc_a", batch3ids)(pairList))
+        .select(col("doc_b").as("doc_id"))
+    val batch4ids = batch3ids
+      .join(dropVsStore.unionByName(dropInBatch), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // Decontaminate vs the same raw src0 benchmark set.
+    val batch5ids = stage(batch4ids).filter(col("source") =!= "src0")
+      .join(benchmarkHitIds(t, batch4ids), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+
+    orderedByAll(
+      rep(0, "store", stage(storeIds), "ntok")
+        .unionByName(rep(1, "batch_raw", batch1, "ntok"))
+        .unionByName(rep(2, "quality", batch2, "ntok"))
+        .unionByName(rep(3, "exact_dedup", stage(batch3ids), "ntok"))
+        .unionByName(rep(4, "near_dedup", stage(batch4ids), "ntok"))
+        .unionByName(rep(5, "decontaminate", stage(batch5ids), "ntok")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q214, q215)
 }

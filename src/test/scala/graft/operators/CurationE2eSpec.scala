@@ -47,4 +47,45 @@ class CurationE2eSpec extends SharedSparkSpec {
       (4, "decontaminate", 2L, 120L),
       (5, "chunks", 4L, 144L)))
   }
+
+  test("q215: each incremental rule removes exactly its planted batch docs") {
+    val a = words("a", 60)
+    val b = words("b", 60)
+    val c = words("c", 60)
+    val span = words("x", 8)
+    val docs = Seq(
+      // base split (doc_id % 10 != 0)
+      (1L, "en", "src1", a.mkString(" ")),                        // store
+      (2L, "en", "src1", b.mkString(" ")),                        // store
+      (3L, "en", "src1", words("lq", 20).mkString(" ")),          // base quality drop
+      (6L, "en", "src0", (words("bm", 52) ++ span).mkString(" ")), // benchmark
+      (7L, "en", "src1", (words("ct", 52) ++ span).mkString(" ")), // base decon drop
+      // batch split (doc_id % 10 == 0)
+      (10L, "en", "src1", a.mkString(" ")),                       // exact vs store
+      (20L, "en", "src1", (b.take(55) ++ words("nb", 5)).mkString(" ")), // near-dup vs store
+      (30L, "en", "src1", c.mkString(" ")),                       // clean survivor
+      (40L, "en", "src1", (c.take(55) ++ words("nc", 5)).mkString(" ")), // near-dup vs batch 30
+      (50L, "en", "src1", words("sq", 20).mkString(" ")),         // batch quality drop
+      (60L, "en", "src1", (words("cb", 52) ++ span).mkString(" ")), // batch decon drop
+      (70L, "en", "src1", a.mkString(" "))                        // dup of 10 AND of store — both drop
+    ).toDF("doc_id", "lang", "source", "text")
+    val dir = tmpDir("curation_inc")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = CurationQueries.q215.run(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // Store = base survivors {1, 2}. Batch: 7 docs → quality drops 50 →
+    // exact drops 10 and 70 (digest already in store; the batch-internal
+    // min rule alone would have kept 10) → near-dup drops 20 (pairs with
+    // store doc 2) and 40 (pairs with lower-id batch doc 30) →
+    // decontamination drops 60 (shares the 8-gram with the benchmark).
+    assert(rows === Seq(
+      (0, "store", 2L, 120L),
+      (1, "batch_raw", 7L, 380L),
+      (2, "quality", 6L, 360L),
+      (3, "exact_dedup", 4L, 240L),
+      (4, "near_dedup", 2L, 120L),
+      (5, "decontaminate", 1L, 60L)))
+  }
 }
