@@ -189,6 +189,42 @@ object CurationQueries {
       .select(lit(stageId).cast("int").as("stage"), lit(name).as("name"),
         col("n_docs"), col("n_tokens"))
 
+  /** Digest keys of an id set (the spec's ledger seed). */
+  private[graft] def storeDigestKeys(t: graft.Tables, ids: DataFrame): DataFrame =
+    digests(rawDocs(t).join(ids, Seq("doc_id"), "left_semi")).select("key")
+
+  private val storeCache = new graft.SessionCache[DataFrame]
+
+  /** Yesterday's FROZEN store: the base split (doc_id ≢ 0 mod 10) through
+    * the full q214 funnel — quality, base-internal exact + near-dup dedup
+    * (pairs from the memoized corpus list filtered to base endpoints),
+    * decontamination. Memoized per (session, dir): q215 and q216 check
+    * their batches against the SAME store, and a real nightly run builds
+    * it once, not per consumer. The cached value is an eagerly
+    * localCheckpointed id-scale frame. */
+  private[graft] def frozenStoreIds(t: graft.Tables): DataFrame =
+    storeCache.get(t.spark, s"${t.dir}#curstore")({
+      val raw = rawDocs(t)
+      val isBatch = col("doc_id") % 10 === 0
+      val pairList = TextQueries.corpusJaccardPairs(t)
+        .select(col("doc_a"), col("doc_b"))
+      val base1 = raw.filter(!isBatch && qualityOk)
+      val base2ids = digests(base1).groupBy("key").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").localCheckpoint()
+      val basePairs = pairList
+        .join(base2ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(base2ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val baseLosers = TextQueries.propagateMinLabels(
+          basePairs, maxIters = 40, doublingAfter = TextQueries.DoublingAfter)._1
+        .filter(col("doc_id") =!= col("label")).select("doc_id")
+      val base3ids = base2ids.join(baseLosers, Seq("doc_id"), "left_anti")
+      raw.join(base3ids, Seq("doc_id"), "left_semi")
+        .filter(col("source") =!= "src0")
+        .join(benchmarkHitIds(t, base3ids), Seq("doc_id"), "left_anti")
+        .select("doc_id").localCheckpoint()
+    })
+
   /** The INCREMENTAL run of q214's pipeline — the nightly form: yesterday's
     * store is FROZEN (the base split run through the full funnel), and only
     * today's batch (doc_id ≡ 0 mod 10, q90/q125's ingest split) flows
@@ -216,9 +252,11 @@ object CurationQueries {
     * anti-join against store digests, and every inter-stage set is an
     * id-scale frame. Work beyond the frozen store is delta-sized — exactly
     * the q90 economics lifted to the whole pipeline. */
-  val q215 = EngineQuery(
-    "q215_curation_incremental",
-    Some("""WITH RECURSIVE
+  /** The funnel report SQL shared VERBATIM by q215 (one-shot batch) and
+    * q216 (per-generation continuous form) — the q176/q177 convention: two
+    * execution disciplines, one oracle, so they can never drift. */
+  private val incrementalFunnelSql: String =
+    """WITH RECURSIVE
            |raw AS (SELECT doc_id, lang, source, text,
            |          string_split(text, ' ') AS tk,
            |          len(string_split(text, ' ')) AS ntok
@@ -310,7 +348,11 @@ object CurationQueries {
            |SELECT CAST(stage AS INT) AS stage, name,
            |       CAST(n_docs AS BIGINT) AS n_docs,
            |       CAST(n_tokens AS BIGINT) AS n_tokens
-           |FROM rep ORDER BY ALL""".stripMargin)) { t =>
+           |FROM rep ORDER BY ALL""".stripMargin
+
+  val q215 = EngineQuery(
+    "q215_curation_incremental",
+    Some(incrementalFunnelSql)) { t =>
     val raw = rawDocs(t)
     val isBatch = col("doc_id") % 10 === 0
     def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
@@ -320,18 +362,7 @@ object CurationQueries {
       p.join(ids.withColumnRenamed("doc_id", side), Seq(side), "left_semi")
 
     // ---- Yesterday's store: the base split through the FULL funnel. ----
-    val base1 = raw.filter(!isBatch && qualityOk)
-    val base2ids = digests(base1).groupBy("key").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id").localCheckpoint()
-    val basePairs = inSet("doc_b", base2ids)(inSet("doc_a", base2ids)(pairList))
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val baseLosers = TextQueries.propagateMinLabels(
-        basePairs, maxIters = 40, doublingAfter = TextQueries.DoublingAfter)._1
-      .filter(col("doc_id") =!= col("label")).select("doc_id")
-    val base3ids = base2ids.join(baseLosers, Seq("doc_id"), "left_anti")
-    val storeIds = stage(base3ids).filter(col("source") =!= "src0")
-      .join(benchmarkHitIds(t, base3ids), Seq("doc_id"), "left_anti")
-      .select("doc_id").localCheckpoint()
+    val storeIds = frozenStoreIds(t)
 
     // ---- Today's batch through the incremental chain. ----
     val batch1 = raw.filter(isBatch)
@@ -373,5 +404,116 @@ object CurationQueries {
         .unionByName(rep(5, "decontaminate", stage(batch5ids), "ntok")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q214, q215)
+  /** Mutable-between-arrivals state of the continuous funnel: the digest
+    * LEDGER (store digests ∪ digests of every doc admitted past the exact
+    * stage — admitted-then-dropped docs stay in the ledger, which is what
+    * makes sequential processing reproduce the one-shot batch-internal min
+    * rule) and the exact-survivor id set (the near-dup earlier-member
+    * reference). Both id-/digest-scale, localCheckpointed per step. */
+  private[graft] final case class FunnelState(
+      ledgerKeys: DataFrame, admittedIds: DataFrame)
+
+  /** The per-stage id frames one arrival slice produces:
+    * raw / quality / exact / near-dup / clean survivors of THIS slice. */
+  private[graft] final case class SliceFrames(
+      raw: DataFrame, quality: DataFrame, exact: DataFrame,
+      nearDup: DataFrame, clean: DataFrame)
+
+  /** ONE micro-batch of the incremental funnel (q216's unit of work, also
+    * driven from a real foreachBatch sink by CurationStreamSpec): the
+    * arriving slice checks against the frozen store plus the ledger of
+    * earlier slices. PRECONDITION: slices arrive in ascending doc_id order
+    * (each slice's ids all above the previous slice's) — that is what makes
+    * the sequential decisions identical to q215's one-shot rules. */
+  private[graft] def curationStep(
+      t: graft.Tables, storeIds: DataFrame, sliceIds: DataFrame,
+      st: FunnelState): (FunnelState, SliceFrames) = {
+    val raw = rawDocs(t)
+    val slice = raw.join(sliceIds, Seq("doc_id"), "left_semi")
+    val g2 = slice.filter(qualityOk)
+    // Exact: within-slice min per digest, then the ledger check (store ∪
+    // earlier admissions — q90's asymmetry, sequentially maintained).
+    val keyed = digests(g2)
+    val t3g = keyed
+      .join(keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(st.ledgerKeys), Seq("key"), "left_anti")
+      .select("doc_id").localCheckpoint()
+    // Near-dup off the memoized pair list: a slice doc drops on a pair with
+    // any store member (either direction), any earlier admitted doc (their
+    // ids are all lower, so they sit on the doc_a side), or a lower-id
+    // member of this slice (doc_a < doc_b by construction).
+    val pairList = TextQueries.corpusJaccardPairs(t)
+      .select(col("doc_a"), col("doc_b"))
+    val refs = storeIds.unionByName(st.admittedIds)
+    def inSet(side: String, ids: DataFrame)(p: DataFrame): DataFrame =
+      p.join(ids.withColumnRenamed("doc_id", side), Seq(side), "left_semi")
+    val drops =
+      inSet("doc_b", t3g)(inSet("doc_a", refs.unionByName(t3g))(pairList))
+        .select(col("doc_b").as("doc_id"))
+        .unionByName(
+          inSet("doc_a", t3g)(inSet("doc_b", storeIds)(pairList))
+            .select(col("doc_a").as("doc_id")))
+    val t4g = t3g.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
+    // Decontaminate vs the same raw src0 benchmark set.
+    val t5g = raw.join(t4g, Seq("doc_id"), "left_semi")
+      .filter(col("source") =!= "src0")
+      .join(benchmarkHitIds(t, t4g), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val next = FunnelState(
+      st.ledgerKeys.unionByName(digests(slice.join(t3g, Seq("doc_id"), "left_semi"))
+        .select("key")).localCheckpoint(),
+      st.admittedIds.unionByName(t3g).localCheckpoint())
+    (next, SliceFrames(sliceIds, g2.select("doc_id"), t3g, t4g, t5g))
+  }
+
+  /** The CONTINUOUS form of q215 — the q177/q187 convention's third member:
+    * the daily batch arrives as id-ordered micro-batches, each processed by
+    * [[curationStep]] against the frozen store plus the sequentially
+    * maintained ledger, and the funnel report accumulates across arrivals.
+    * Shares q215's oracle SQL VERBATIM: sequential-per-slice processing is
+    * provably decision-identical to the one-shot batch rules (the ledger
+    * carries admitted-past-exact digests, so the within-batch min rule and
+    * the earlier-member near-dup rule see exactly the one-shot reference
+    * sets), and the hash-match proves it — however many generations deep
+    * the arrival was. CurationStreamSpec drives the SAME step function from
+    * a real readStream/foreachBatch pipeline and pins stream ≡ q216 ≡ q215.
+    *
+    * Scale shape: per-arrival work is slice-sized (the q90 economics q215
+    * establishes, here paid per micro-batch); the ntile gen assignment is
+    * an id-scale window over the BATCH id set only (batch-scale, not
+    * corpus-scale — the pinned-benign class). */
+  val q216 = EngineQuery(
+    "q216_curation_stream",
+    Some(incrementalFunnelSql)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val raw = rawDocs(t)
+    val isBatch = col("doc_id") % 10 === 0
+    def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
+    val storeIds = frozenStoreIds(t)
+    // Three id-ordered generations of today's batch (ascending-id slices —
+    // curationStep's precondition).
+    val gens = raw.filter(isBatch).select(col("doc_id"))
+      .withColumn("gen", ntile(3).over(Window.orderBy("doc_id")))
+      .localCheckpoint()
+    val storeKeys = digests(stage(storeIds)).select("key").localCheckpoint()
+    var st = FunnelState(storeKeys, storeIds.limit(0).localCheckpoint())
+    val slices = (1 to 3).map { g =>
+      val (next, frames) = curationStep(
+        t, storeIds, gens.filter(col("gen") === g).select("doc_id"), st)
+      st = next
+      frames
+    }
+    def acc(f: SliceFrames => DataFrame): DataFrame =
+      slices.map(f).reduce(_ unionByName _)
+    orderedByAll(
+      rep(0, "store", stage(storeIds), "ntok")
+        .unionByName(rep(1, "batch_raw", stage(acc(_.raw)), "ntok"))
+        .unionByName(rep(2, "quality", stage(acc(_.quality)), "ntok"))
+        .unionByName(rep(3, "exact_dedup", stage(acc(_.exact)), "ntok"))
+        .unionByName(rep(4, "near_dedup", stage(acc(_.nearDup)), "ntok"))
+        .unionByName(rep(5, "decontaminate", stage(acc(_.clean)), "ntok")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q214, q215, q216)
 }
