@@ -148,24 +148,40 @@ object CurationQueries {
         .unionByName(rep(5, "chunks", chunks, "chunk_len")))
   }
 
-  /** `documents` with the per-doc token count — the frame every stage's
-    * report joins back to (id-scale semi-joins, text never re-read). */
-  private def rawDocs(t: graft.Tables): DataFrame =
-    t.documents.select(col("doc_id"), col("source"), col("text"),
-      size(toks(col("text"))).cast("long").as("ntok"))
+  private val metaCache = new graft.SessionCache[DataFrame]
 
-  /** q45's score expression verbatim, at the corpus-calibrated ≥0.25 cut. */
-  private def qualityOk: org.apache.spark.sql.Column = {
-    val tk = toks(col("text"))
-    val stops = Seq("the", "a", "of", "and", "in", "to")
-    val stopRatio =
-      size(filter(tk, x => x.isin(stops: _*))).cast("double") / size(tk).cast("double")
-    least(lit(1.0), size(tk).cast("double") / 200.0) * (lit(1.0) - stopRatio) >= 0.25
-  }
+  /** ONE corpus text pass, memoized per (session, dir): every per-doc
+    * SCALAR the funnel family needs — token count, quality verdict (q45's
+    * score expression verbatim at the corpus-calibrated ≥0.25 cut), q23's
+    * 32-byte dedup digest — held as an id-scale localCheckpoint (~50 B/doc,
+    * never the text). With the memoized shingle postings covering near-dup,
+    * the pipeline queries' only remaining text scans are the
+    * decontamination shingle passes (survivor-restricted by construction):
+    * the 100 TB shape where metadata is checkpointable and the corpus text
+    * is read, not held. */
+  private[operators] def docMeta(t: graft.Tables): DataFrame =
+    metaCache.get(t.spark, s"${t.dir}#curmeta")({
+      val tk = toks(col("text"))
+      val stops = Seq("the", "a", "of", "and", "in", "to")
+      val stopRatio =
+        size(filter(tk, x => x.isin(stops: _*))).cast("double") / size(tk).cast("double")
+      val score = least(lit(1.0), size(tk).cast("double") / 200.0) * (lit(1.0) - stopRatio)
+      t.documents.select(col("doc_id"), col("source"),
+        size(tk).cast("long").as("ntok"),
+        (score >= 0.25).as("qok"),
+        unhex(sha2(lower(trim(col("text"))), 256)).as("key"))
+        .localCheckpoint()
+    })
 
-  /** q23's digest keying: (doc_id, 32-byte sha256 of lower(trim(text))). */
+  /** The report/meta frame all stages join back to (id-scale, no text). */
+  private def rawDocs(t: graft.Tables): DataFrame = docMeta(t)
+
+  /** The memoized quality verdict ([[docMeta]]'s `qok`). */
+  private def qualityOk: org.apache.spark.sql.Column = col("qok")
+
+  /** The memoized q23 digest keying: (doc_id, key) off [[docMeta]]. */
   private def digests(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), unhex(sha2(lower(trim(col("text"))), 256)).as("key"))
+    docs.select(col("doc_id"), col("key"))
 
   /** The ids among `ids` (non-benchmark docs) sharing an 8-shingle with the
     * RAW src0 benchmark set — q50's broadcast semi-join shape, candidates
