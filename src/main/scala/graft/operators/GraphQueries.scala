@@ -169,7 +169,13 @@ object GraphQueries {
   }
 
   /** (apex, x, y) triangle enumeration, each triangle exactly once. */
-  private[operators] def triangles(edges: DataFrame): DataFrame = {
+  private[operators] def triangles(edges0: DataFrame): DataFrame = {
+    // The edge list feeds FIVE consumers (degree union ×2, the orientation
+    // join, and — via `o` — both wedge sides plus the closing probe);
+    // uncheckpointed, the upstream co-purchase self-join re-executes per
+    // consumer. Edges ARE the materialized state of every triangle
+    // algorithm — hold them once at graph scale.
+    val edges = edges0.localCheckpoint()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -183,6 +189,7 @@ object GraphQueries {
       when(uLow, col("u")).otherwise(col("v")).as("src"),
       when(uLow, col("v")).otherwise(col("u")).as("dst"),
       when(uLow, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint()
     val e1 = o.select(col("src").as("apex"), col("dst").as("x"), col("ddeg").as("dx"))
     val e2 = o.select(col("src").as("apex2"), col("dst").as("y"), col("ddeg").as("dy"))
     val wedges = e1.join(e2,
