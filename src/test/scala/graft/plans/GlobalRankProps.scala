@@ -44,4 +44,17 @@ object GlobalRankProps extends Properties("GlobalRank") {
         .toMap
       out == expected
     }
+
+  property("withGlobalIdAndCount's total equals the true row count") =
+    Prop.forAll(genVals) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      // The total comes from the offset pass, not a separate count() job —
+      // q200/q208/q212 size their percentile target ranks off it, so a
+      // drifted total silently selects the wrong order statistic.
+      val (ranked, n) = graft.functions.GlobalRank
+        .withGlobalIdAndCount(df, Seq(col("v"), col("id")), partitions = 7)
+      n == vals.length.toLong && ranked.count() == n
+    }
 }
