@@ -263,11 +263,15 @@ object CurationQueries {
     * nightly pipeline they form.
     *
     * Scale shape: base×base pairs are never re-formed for the batch run —
-    * the near-dup checks are memoized-pair-list filters (store×batch and
-    * batch×batch memberships, id-keyed semi-joins), the digest check is one
-    * anti-join against store digests, and every inter-stage set is an
-    * id-scale frame. Work beyond the frozen store is delta-sized — exactly
-    * the q90 economics lifted to the whole pipeline. */
+    * store×batch and batch×batch candidate pairs form DELTA-ONLY off the
+    * standing postings index ([[TextQueries.deltaNearDupDrops]]: corpus
+    * postings stream, only batch postings broadcast, aggregation
+    * batch-bounded), the digest check streams the store index map-side
+    * against the batch digest set (hits ≤ |batch| anti-filter the batch —
+    * the store is never a broadcast build side; CurationPlanSpec pins
+    * this), and every inter-stage set is an id-scale frame. Work beyond
+    * the frozen store is delta-sized — exactly the q90 economics lifted to
+    * the whole pipeline. */
   /** The funnel report SQL shared VERBATIM by q215 (one-shot batch) and
     * q216 (per-generation continuous form) — the q176/q177 convention: two
     * execution disciplines, one oracle, so they can never drift. */
@@ -372,10 +376,6 @@ object CurationQueries {
     val raw = rawDocs(t)
     val isBatch = col("doc_id") % 10 === 0
     def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
-    val pairList = TextQueries.corpusJaccardPairs(t)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    def inSet(side: String, ids: DataFrame)(p: DataFrame): DataFrame =
-      p.join(ids.withColumnRenamed("doc_id", side), Seq(side), "left_semi")
 
     // ---- Yesterday's store: the base split through the FULL funnel. ----
     val storeIds = frozenStoreIds(t)
@@ -383,28 +383,31 @@ object CurationQueries {
     // ---- Today's batch through the incremental chain. ----
     val batch1 = raw.filter(isBatch)
     val batch2 = batch1.filter(qualityOk)
-    // Exact (q90's asymmetry): store digests broadcast; batch-internal min.
+    // Exact — q90's asymmetry, the right way around: the corpus-scale STORE
+    // digest index streams map-side against the batch digest set (the small,
+    // ingest-bounded side — the only side the optimizer may broadcast);
+    // hits are bounded by |batch| and anti-filter the batch. No explicit
+    // hints: on a bulk backfill the same plan degrades gracefully to a
+    // 32-byte-key shuffle join, never a store-wide broadcast.
     val storeKeys = digests(stage(storeIds)).select("key")
     val batchKeyed = digests(batch2)
-    val batch3ids = batchKeyed
+    val batchMin = batchKeyed
       .join(batchKeyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
-      .join(broadcast(storeKeys), Seq("key"), "left_anti")
+    val storeHits = storeKeys
+      .join(batchMin.select("key").distinct(), Seq("key"), "left_semi")
+      .distinct()
+    val batch3ids = batchMin
+      .join(storeHits, Seq("key"), "left_anti")
       .select("doc_id").localCheckpoint()
-    // Near-dup (q125/q185's earlier-member rule) off the memoized pair list:
-    // a batch doc drops on a pair with any store member (either direction)
-    // or with a lower-id batch exact-survivor (doc_a < doc_b always).
-    val dropVsStore =
-      inSet("doc_b", batch3ids)(inSet("doc_a", storeIds)(pairList))
-        .select(col("doc_b").as("doc_id"))
-        .unionByName(
-          inSet("doc_a", batch3ids)(inSet("doc_b", storeIds)(pairList))
-            .select(col("doc_a").as("doc_id")))
-    val dropInBatch =
-      inSet("doc_b", batch3ids)(inSet("doc_a", batch3ids)(pairList))
-        .select(col("doc_b").as("doc_id"))
+    // Near-dup (q125/q185's earlier-member rule) — delta-only pair
+    // formation off the standing postings index: store×batch and
+    // batch×batch candidate pairs form fresh from the memoized corpus
+    // postings with only the BATCH postings broadcast, so the nightly run
+    // never touches (or rebuilds) the full-corpus pair artifact.
     val batch4ids = batch3ids
-      .join(dropVsStore.unionByName(dropInBatch), Seq("doc_id"), "left_anti")
+      .join(TextQueries.deltaNearDupDrops(t, storeIds, batch3ids),
+        Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set.
     val batch5ids = stage(batch4ids).filter(col("source") =!= "src0")
@@ -448,29 +451,29 @@ object CurationQueries {
     val slice = raw.join(sliceIds, Seq("doc_id"), "left_semi")
     val g2 = slice.filter(qualityOk)
     // Exact: within-slice min per digest, then the ledger check (store ∪
-    // earlier admissions — q90's asymmetry, sequentially maintained).
+    // earlier admissions — q90's asymmetry, sequentially maintained: the
+    // corpus-scale LEDGER streams map-side against the slice digest set;
+    // hits are bounded by |slice| and anti-filter the slice. No explicit
+    // hints — the ledger is never a broadcast build side.
     val keyed = digests(g2)
-    val t3g = keyed
+    val keyedMin = keyed
       .join(keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
-      .join(broadcast(st.ledgerKeys), Seq("key"), "left_anti")
+    val ledgerHits = st.ledgerKeys
+      .join(keyedMin.select("key").distinct(), Seq("key"), "left_semi")
+      .distinct()
+    val t3g = keyedMin
+      .join(ledgerHits, Seq("key"), "left_anti")
       .select("doc_id").localCheckpoint()
-    // Near-dup off the memoized pair list: a slice doc drops on a pair with
-    // any store member (either direction), any earlier admitted doc (their
-    // ids are all lower, so they sit on the doc_a side), or a lower-id
-    // member of this slice (doc_a < doc_b by construction).
-    val pairList = TextQueries.corpusJaccardPairs(t)
-      .select(col("doc_a"), col("doc_b"))
+    // Near-dup — delta-only pair formation off the standing postings index
+    // (q125's economics): a slice doc drops on a pair with any store member
+    // (either id order), any earlier admitted doc (all lower ids by the
+    // ascending-slice precondition, so the lower-id rule covers them), or a
+    // lower-id member of this slice. Only the SLICE postings broadcast.
     val refs = storeIds.unionByName(st.admittedIds)
-    def inSet(side: String, ids: DataFrame)(p: DataFrame): DataFrame =
-      p.join(ids.withColumnRenamed("doc_id", side), Seq(side), "left_semi")
-    val drops =
-      inSet("doc_b", t3g)(inSet("doc_a", refs.unionByName(t3g))(pairList))
-        .select(col("doc_b").as("doc_id"))
-        .unionByName(
-          inSet("doc_a", t3g)(inSet("doc_b", storeIds)(pairList))
-            .select(col("doc_a").as("doc_id")))
-    val t4g = t3g.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
+    val t4g = t3g
+      .join(TextQueries.deltaNearDupDrops(t, refs, t3g), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set.
     val t5g = raw.join(t4g, Seq("doc_id"), "left_semi")
       .filter(col("source") =!= "src0")
@@ -481,6 +484,25 @@ object CurationQueries {
         .select("key")).localCheckpoint(),
       st.admittedIds.unionByName(t3g).localCheckpoint())
     (next, SliceFrames(sliceIds, g2.select("doc_id"), t3g, t4g, t5g))
+  }
+
+  /** Monotone k-way generation slicing of an id frame WITHOUT a window:
+    * boundaries come from one distributed `approxQuantile` pass (driver
+    * state = k−1 doubles), then membership is a codegen'd `when` chain —
+    * so "today's batch" never funnels through a single unpartitioned
+    * window task (the q14-class bottleneck an `ntile` over the batch would
+    * reintroduce at 100 TB). Slices are ascending in doc_id (gen 1 = lowest
+    * ids), satisfying [[curationStep]]'s precondition; the boundary
+    * placement is approximate, which is immaterial — CurationStepProps
+    * proves the funnel's decisions are invariant under how the batch is
+    * sliced, and the shared q215 oracle hash pins it end-to-end. */
+  private[graft] def generations(ids: DataFrame, k: Int): DataFrame = {
+    val probs = (1 until k).map(_.toDouble / k).toArray
+    val bounds = ids.stat.approxQuantile("doc_id", probs, 0.001)
+    val gen = bounds.zipWithIndex.foldRight(lit(k)) { case ((b, i), acc) =>
+      when(col("doc_id") <= b, lit(i + 1)).otherwise(acc)
+    }
+    ids.withColumn("gen", gen)
   }
 
   /** The CONTINUOUS form of q215 — the q177/q187 convention's third member:
@@ -496,21 +518,18 @@ object CurationQueries {
     * a real readStream/foreachBatch pipeline and pins stream ≡ q216 ≡ q215.
     *
     * Scale shape: per-arrival work is slice-sized (the q90 economics q215
-    * establishes, here paid per micro-batch); the ntile gen assignment is
-    * an id-scale window over the BATCH id set only (batch-scale, not
-    * corpus-scale — the pinned-benign class). */
+    * establishes, here paid per micro-batch); the generation assignment is
+    * window-free ([[generations]] — quantile boundaries + a `when` chain). */
   val q216 = EngineQuery(
     "q216_curation_stream",
     Some(incrementalFunnelSql)) { t =>
-    import org.apache.spark.sql.expressions.Window
     val raw = rawDocs(t)
     val isBatch = col("doc_id") % 10 === 0
     def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
     val storeIds = frozenStoreIds(t)
     // Three id-ordered generations of today's batch (ascending-id slices —
     // curationStep's precondition).
-    val gens = raw.filter(isBatch).select(col("doc_id"))
-      .withColumn("gen", ntile(3).over(Window.orderBy("doc_id")))
+    val gens = generations(raw.filter(isBatch).select(col("doc_id")), 3)
       .localCheckpoint()
     val storeKeys = digests(stage(storeIds)).select("key").localCheckpoint()
     var st = FunnelState(storeKeys, storeIds.limit(0).localCheckpoint())

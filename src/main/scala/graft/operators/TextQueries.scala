@@ -310,6 +310,48 @@ object TextQueries {
     ngramJaccardPairsFrom(inv, sizes)
   }
 
+  /** DELTA-ONLY near-dup drops — q125's standing-index economics lifted to
+    * pair FORMATION for the incremental funnels (q215/q216): which members
+    * of `deltaIds` pair (exact 5-gram Jaccard ≥ 0.5) with any member of
+    * `refIds` (either id order — the frozen store/ledger reference) or with
+    * a LOWER-id member of `deltaIds` (the within-batch earlier-member
+    * rule). The memoized corpus postings stream map-side restricted to
+    * ref ∪ delta; only the DELTA's postings broadcast (bounded by the
+    * ingest, never the corpus — the q90 asymmetry, fuzzy form); the
+    * candidate-pair aggregation is bounded by |delta| × near-dup fan-in.
+    * Nothing here depends on the full-corpus pair artifact, so the nightly
+    * chain exercises the exact mechanism a production incremental run pays:
+    * delta-sized work beyond the standing index. Exact semantics (every
+    * pair sharing ≥ 1 shingle is counted), proven by q215/q216 still
+    * hash-matching their from-text DuckDB oracle. Docs under 5 tokens have
+    * no postings and can never drop — the oracle's `ntok >= 5` guard. */
+  private[operators] def deltaNearDupDrops(
+      t: graft.Tables,
+      refIds: org.apache.spark.sql.DataFrame,
+      deltaIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (inv, sizes) = corpusPostings(t)
+    val deltaInv = inv.join(deltaIds, Seq("doc_id"), "left_semi")
+    val streamInv = inv.join(refIds, Seq("doc_id"), "left_semi")
+      .withColumn("is_ref", lit(true))
+      .unionByName(deltaInv.withColumn("is_ref", lit(false)))
+    // The pair-admission predicate is constant per (c,b) doc pair, so
+    // putting it in the join condition prunes candidates without changing
+    // any surviving pair's exact common-shingle count.
+    val common = streamInv.as("c")
+      .join(broadcast(deltaInv.as("b")),
+        col("c.s") === col("b.s") &&
+          (col("c.is_ref") || col("c.doc_id") < col("b.doc_id")))
+      .groupBy(col("b.doc_id").as("delta_doc"), col("c.doc_id").as("other_doc"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("nd") + col("no") - col("common")).cast("double")
+    common
+      .join(sizes.select(col("doc_id").as("delta_doc"), col("n").as("nd")), "delta_doc")
+      .join(sizes.select(col("doc_id").as("other_doc"), col("n").as("no")), "other_doc")
+      .filter(jac >= 0.5)
+      .select(col("delta_doc").as("doc_id")).distinct()
+  }
+
   /** Redaction / scrubbing (the PII-scrub shape of a training pipeline):
     * pattern-redact "sensitive" tokens, report per-language redaction
     * volume. Patterns are trivial here (the corpus has no real PII) but the

@@ -42,4 +42,53 @@ class CurationPlanSpec extends SharedSparkSpec {
           "windows must hide behind localCheckpoint)")
     }
   }
+
+  test("no broadcast builds from the store/ledger; no corpus pair artifact in incremental plans") {
+    // The round-10 scale-killer was `broadcast(storeKeys)` /
+    // `broadcast(ledgerKeys)` — a hint that ships the curated CORPUS's
+    // digest set (~320 GB at 100 TB) to every task. The fixed shape is
+    // q90's asymmetry: store/ledger streams map-side, only batch-derived
+    // frames may be a broadcast build side. Pinned structurally: every
+    // explicit hint in the incremental funnels' analyzed plans must be a
+    // BROADCAST whose build side is neither a digest frame (output column
+    // `key` — the store/ledger keys) nor the delta-join's STREAM side
+    // (output column `is_ref` — ref ∪ delta postings). The absence of any
+    // SHUFFLE_HASH hint additionally proves the full-corpus pair artifact
+    // (ngramJaccardPairsFrom's hinted self-join) is out of the served
+    // incremental plans — near-dup pairs now form delta-only.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq(CurationQueries.q215, CurationQueries.q216)) {
+      val df = q.run(spark, sf001)
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      for (h <- hints) {
+        assert(h.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")),
+          s"${q.name}: non-broadcast join hint in the incremental plan: ${h.hints}")
+        val out = h.child.output.map(_.name).toSet
+        assert(!out.contains("key"),
+          s"${q.name}: broadcast whose build side is a digest frame (store/ledger)")
+        assert(!out.contains("is_ref"),
+          s"${q.name}: broadcast whose build side is the corpus-side postings stream")
+      }
+    }
+  }
+
+  test("generation slicing is window-free and an ascending cover of the batch") {
+    import org.apache.spark.sql.functions._
+    val t = new graft.Tables(spark, sf001)
+    val ids = t.documents.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val gens = CurationQueries.generations(ids, 3)
+    // The round-10 form (`ntile(3).over(Window.orderBy("doc_id"))`) hid a
+    // batch-scale unpartitioned window behind the localCheckpoint; the
+    // served-plan ban above couldn't see it. This asserts the PRE-checkpoint
+    // build plan is window-free too.
+    assert(!graft.plans.PlanMetrics.hasUnpartitionedWindow(gens),
+      "generation assignment must not use an unpartitioned window")
+    val rows = gens.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.length == ids.count(), "generations must cover the batch exactly")
+    val byGen = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byGen.keySet.subsetOf(Set(1, 2, 3)))
+    for (g <- 1 to 2; if byGen.contains(g) && byGen.contains(g + 1))
+      assert(byGen(g).max < byGen(g + 1).min,
+        s"generation $g must precede generation ${g + 1} in doc_id order")
+  }
 }

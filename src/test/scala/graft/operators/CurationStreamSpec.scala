@@ -16,12 +16,13 @@ class CurationStreamSpec extends SharedSparkSpec {
   test("foreachBatch-driven curation ingest == q216 == q215") {
     val t = new graft.Tables(spark, sf001)
     val dir = tmpDir("curation_stream")
-    // Stage the batch docs (doc_id % 10 == 0) as three id-ordered files;
-    // explicit ascending mtimes pin the file source's replay order (the
-    // step function's precondition).
-    import org.apache.spark.sql.expressions.Window
-    val batch = t.documents.filter(col("doc_id") % 10 === 0)
-      .withColumn("gen", ntile(3).over(Window.orderBy("doc_id")))
+    // Stage the batch docs (doc_id % 10 == 0) as three id-ordered files
+    // using the engine's own window-free slicer (so the stream's slices are
+    // exactly q216's — though CurationStepProps proves any ascending split
+    // decides identically); explicit ascending mtimes pin the file source's
+    // replay order (the step function's precondition).
+    val batch = CurationQueries.generations(
+      t.documents.filter(col("doc_id") % 10 === 0).select("doc_id"), 3)
     for (g <- 1 to 3) {
       val p = s"$dir/in/g$g"
       batch.filter(col("gen") === g).select("doc_id")
@@ -53,7 +54,7 @@ class CurationStreamSpec extends SharedSparkSpec {
       .option("checkpointLocation", s"$dir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not finish within 180 s")
 
     // Stream-accumulated counts equal the engine's q216 report rows...
     def funnel(name: String): Map[String, Long] =
