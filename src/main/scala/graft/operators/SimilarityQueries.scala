@@ -75,7 +75,10 @@ object SimilarityQueries {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
   }
 
-  val q24 = EngineQuery("q24_dedup_minhash", None) { t =>
+  /** The banded+verified pipeline shared VERBATIM by q24 (the LSH
+    * contract, no-oracle) and q217 (the same output gated on q36's exact
+    * oracle — recall-1 proof on this corpus). */
+  private def bandedVerifiedPairs(t: graft.Tables): DataFrame = {
     // The shingle table feeds the signature branch and the verification
     // fetch. Deliberately NOT cached: pinning the shingle set of a 100 TB
     // corpus is not viable. What IS materialized below is bounded by the LSH
@@ -96,6 +99,28 @@ object SimilarityQueries {
     val cand = minhashCandidatePairs(base).localCheckpoint(eager = false)
     orderedByAll(verifyCandidates(cand, base))
   }
+
+  val q24 = EngineQuery("q24_dedup_minhash", None)(bandedVerifiedPairs)
+
+  /** q24's banded near-dup pipeline GATED on the EXACT oracle — q36's SQL
+    * verbatim, the layout-losslessness convention (q144/q151/q181/q184/q187)
+    * applied to the approximate path: LSH banding is a lossy-in-theory
+    * candidate filter, but its output AFTER exact-Jaccard verification
+    * equals the exact q36 pair set exactly when banding recall over
+    * J ≥ 0.5 pairs is 1. On this corpus that holds with margin: the planted
+    * near-dup population sits at J ≥ 0.75 (sf0.1 minimum; ≥ 0.857 at
+    * sf0.001/0.01), where the 16-band × 4-row scheme's per-pair miss
+    * probability is ≤ 2.3e-3 (4e-6 at J = 0.857) — and because the 64
+    * min-hash seeds are fixed, recall on a given corpus is DETERMINISTIC:
+    * measured 1.0 at sf0.001/0.01/0.1 (PLANS.md round-11), so the hash gate
+    * is reproducible, not a coin flip. The general-case caveat is exactly
+    * why q24 itself stays a no-oracle LSH contract: at J barely above 0.5
+    * the banding captures only 1−(1−0.5⁴)¹⁶ ≈ 64.5% of pairs, and a corpus
+    * with borderline near-dups would (correctly, per the LSH contract) miss
+    * some — q210 AUDITS recall rather than assuming it. This entry turns
+    * the favorable-corpus case into a hard correctness gate. */
+  val q217 = EngineQuery(
+    "q217_minhash_verified", TextQueries.q36.oracle)(bandedVerifiedPairs)
 
   /** Exact-Jaccard verification of candidate id pairs (shared by q24 and
     * q145): ONE corpus pass fetches the shingle sets of just the docs that
@@ -1168,5 +1193,5 @@ object SimilarityQueries {
 
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183, q185, q186, q199, q209, q210)
+      q154, q164, q183, q185, q186, q199, q209, q210, q217)
 }
