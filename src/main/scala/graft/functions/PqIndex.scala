@@ -100,6 +100,52 @@ object PqIndex {
     graft.dsl.foldSum(zip_with(lut, codes,
       (l, c) => element_at(l, c + 1)))
 
+  /** Train the M subspace codebooks on an explicitly provided driver-side
+    * sample — the generic twin of [[trainedModel]] for vector columns other
+    * than the embeddings table (q218 trains on media-derived vectors). Same
+    * contract: id-sorted sample, per-subspace [[KMeansTrainer.trainLocal]],
+    * ties on the lowest centroid id. */
+  def trainModelOn(sample: Seq[(Long, Array[Double])]): Model = {
+    val sorted = sample.sortBy(_._1).toIndexedSeq
+    require(sorted.length >= K,
+      s"PQ training needs >= $K sample vectors, got ${sorted.length}")
+    require(sorted.forall(_._2.length == M * SubDim),
+      s"PQ expects ${M * SubDim}-dim vectors")
+    Model((0 until M).map { s =>
+      val sub = sorted.map { case (id, v) =>
+        (id, v.slice(s * SubDim, (s + 1) * SubDim))
+      }
+      KMeansTrainer.trainLocal(sub, K, MaxIters, Tol).centroids
+    })
+  }
+
+  /** Symmetric-distance (SDC) pair score: approx squared L2 between two
+    * CODED vectors = Σ_s sdc(s)(codeA(s))(codeB(s)), where sdc is the
+    * M×K×K codeword-to-codeword distance table riding the plan as an ~8 KB
+    * LITERAL. This is the pair-enumeration counterpart of [[adcScore]]:
+    * ADC needs one side's raw vector (a per-row M×K LUT — 512 B, BIGGER
+    * than the 256 B raw vector, wrong for pair joins); SDC lets a
+    * near-dup candidate join carry nothing but the 4-int codes per side —
+    * at 10⁹ vectors the Σn_c² candidate stream shuffles 8 B/side instead
+    * of 256 B/side. Precision is code-level (both sides quantized), so
+    * callers filter LOOSELY here and verify exactly on fetched vectors. */
+  def sdcScore(codesA: Column, codesB: Column, m: Model): Column = {
+    val table: Seq[Seq[Seq[Double]]] = (0 until M).map { s =>
+      (0 until K).map { i =>
+        (0 until K).map(j =>
+          KMeansTrainer.d2(m.codebooks(s)(i), m.codebooks(s)(j))).toSeq
+      }.toSeq
+    }
+    (0 until M).map { s =>
+      element_at(element_at(element_at(typedLit(table), s + 1),
+        element_at(codesA, s + 1) + 1), element_at(codesB, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Local SDC score (parity oracle for [[sdcScore]]). */
+  def sdcScoreLocal(a: Array[Int], b: Array[Int], m: Model): Double =
+    (0 until M).map(s => KMeansTrainer.d2(m.codebooks(s)(a(s)), m.codebooks(s)(b(s)))).sum
+
   /** Local encoder (parity oracle for [[encodeExpr]] in PqSpec). */
   def encodeLocal(v: Array[Double], m: Model): Array[Int] =
     (0 until M).map { s =>

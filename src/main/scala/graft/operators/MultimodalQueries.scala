@@ -718,5 +718,118 @@ object MultimodalQueries {
         .select(col("doc_id"), col("out_w"), col("out_h"), col("thumb_sum")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136)
+  /** Decoded-pixel media embeddings `(doc_id, embedding)` — each doc's
+    * synthesized 16×16 PNG pushed through the REAL decoder (q136's path)
+    * and embedded at the partition-level encoder boundary
+    * ([[Multimodal.embedFeatures]] — stub model, real plumbing). Shared by
+    * q218's index build and its candidate-verification fetch; map-only,
+    * media bytes never leave the scan partition. */
+  private[graft] def mediaPixelEmbeddings(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    import Multimodal._
+    implicit val mEnc = Encoders.product[MediaRecord]
+    val pixels = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, src, text) =>
+        val png = encodePngGray(padBytes(text, 256), 16, 16)
+        decodePngPixels(png).collect { case (_, _, _, 1, px) =>
+          MediaRecord(id, src, px)
+        }
+      })
+    embedFeatures(pixels).toDF
+  }
+
+  /** q218's operating point: exact-cosine near-dup threshold, coarse
+    * blocking fan-out, and the SDC prefilter slack (squared-L2 units —
+    * generous on purpose: SDC is code-level-approximate, the slack keeps
+    * recall while the prefilter still kills the bulk of within-block
+    * pairs; MediaNearDupSpec proves no true pair is lost on its fixtures). */
+  private[graft] val MediaNearDupT = 0.9
+  private[graft] val MediaCoarseK = 8
+  private[graft] val SdcMargin = 0.5
+
+  private val mediaModelCache =
+    new graft.SessionCache[(graft.functions.KMeansTrainer.Trained, graft.functions.PqIndex.Model)]
+
+  /** Coarse quantizer + PQ codebooks trained on the deterministic
+    * driver-sized sample (doc_id < 256) of the MEDIA vectors — q108/q118's
+    * train-once recipe on the image-feature space (the embeddings-table
+    * models live in a different vector space and cannot be reused).
+    * Memoized per (session, dir). */
+  private[graft] def mediaNearDupModel(
+      t: graft.Tables): (graft.functions.KMeansTrainer.Trained, graft.functions.PqIndex.Model) =
+    mediaModelCache.get(t.spark, s"${t.dir}#medianear")({
+      val spark = t.spark
+      import spark.implicits._
+      val sample = mediaPixelEmbeddings(t).filter(col("doc_id") < 256)
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+      (graft.functions.KMeansTrainer.trainLocal(sample, MediaCoarseK, 15, 1e-4),
+        graft.functions.PqIndex.trainModelOn(sample))
+    })
+
+  /** The media docs a min-id-wins near-dup dedup would drop: members with a
+    * lower-id neighbor at exact cosine ≥ [[MediaNearDupT]] inside their
+    * trained coarse block. Pipeline: block (Σn_c² ≈ N²/k candidates, never
+    * all-pairs) → PQ SDC prefilter over 4-int codes (the pair join shuffles
+    * codes, never vectors or media bytes) → exact cosine on embeddings
+    * fetched for CANDIDATE ids only (q24's verification economics in vector
+    * space). Exposed for MediaNearDupSpec's parity assertions. */
+  private[graft] def mediaNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{KMeansTrainer, PqIndex}
+    val (km, pq) = mediaNearDupModel(t)
+    val emb = mediaPixelEmbeddings(t)
+    val assigned = emb.select(col("doc_id"),
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+      PqIndex.encodeExpr(col("embedding"), pq).as("codes"))
+    // cos ≥ T on unit vectors ⇔ d² ≤ 2(1−T); SDC sees quantized distances,
+    // so admit with slack and let the exact pass decide.
+    val candT = 2.0 * (1 - MediaNearDupT) + SdcMargin
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(PqIndex.sdcScore(col("a.codes"), col("b.codes"), pq) <= candT)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bucket").as("bucket"))
+      .localCheckpoint(eager = false)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val fetch = emb.join(candDocs, Seq("doc_id")).localCheckpoint(eager = false)
+    cand
+      .join(fetch.select(col("doc_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
+      .join(fetch.select(col("doc_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
+      .filter(round4(graft.functions.CosineSimilarity(col("ea"), col("eb"))) >= MediaNearDupT)
+      .select(col("bucket"), col("doc_b").as("doc_id"))
+      .distinct()
+  }
+
+  /** Multimodal NEAR-DUP — where the brief's dedup and multimodal pillars
+    * meet: near-duplicate IMAGE detection over the decoded-feature bridge,
+    * composing q136's real PNG decode, q109's encoder-boundary embedding,
+    * q154's SemDeDup cluster blocking (trained coarse quantizer — candidate
+    * pairs are Σn_c², never all-pairs), q118's PQ codes (here scored
+    * SYMMETRICALLY, [[graft.functions.PqIndex.sdcScore]] — the within-block
+    * pair join carries 4-int codes instead of 256 B vectors), and q24's
+    * candidate-restricted exact verification. Output is the per-bucket
+    * audit a pipeline logs (q154's shape): media count and members a
+    * min-id-wins dedup would drop. No SQL oracle (real codec + trained
+    * quantizer are the non-SQL parts); MediaNearDupSpec pins the dropped
+    * set against a driver-side reference on planted same-pixel corpora,
+    * SDC prefilter admissibility, and the no-cartesian plan. */
+  val q218 = EngineQuery("q218_media_neardup", None) { t =>
+    import graft.functions.KMeansTrainer
+    val (km, _) = mediaNearDupModel(t)
+    val e = mediaPixelEmbeddings(t).select(col("doc_id"),
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+    val drops = mediaNearDupDropped(t)
+      .groupBy("bucket").agg(count(lit(1)).as("n_dropped"))
+    orderedByAll(
+      e.groupBy("bucket").agg(count(lit(1)).as("n_media"))
+        .join(drops, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_media"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136, q218)
 }
