@@ -137,8 +137,15 @@ object Bench {
     // sidecar file; the stdout line stays compact because the driver keeps only
     // the LAST 2000 chars of output and parses the JSON line out of that tail —
     // a 64-query map with full names and 9-decimal times overflows it.
+    // Cold-only runs (tools/cold_budget.sh) must be UNMISTAKABLE in the
+    // artifact: r10 committed a budget-pass BENCH_DETAIL.json whose
+    // "queries_warm" silently duplicated the cold times. Now cold-only
+    // output carries "cold_only":true and NO warm fields at all.
+    val warmFields =
+      if (coldOnly) s""""cold_only":true"""
+      else s""""total_warm":$totalWarm,"queries_warm":${qmap(warm, identity)}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results, identity)},"total_warm":$totalWarm,"queries_warm":${qmap(warm, identity)},"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results, identity)},$warmFields,"errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact keys: "q36_dedup_ngram_jaccard" -> "q36"; 2-decimal times
@@ -160,8 +167,11 @@ object Bench {
     def jnum1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def qarr(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (_, v, _) => jnum1(v) }.mkString("[", ",", "]")
+    val lineWarm =
+      if (coldOnly) s""""cold_only":true"""
+      else s""""total_warm":${jnum2(totalWarm)}"""
     val line =
-      s"""{"metric":"total","value":${jnum2(total)},"unit":"sec","order":"sorted(name)","queries":${qarr(results)},"total_warm":${jnum2(totalWarm)},"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum2(total)},"unit":"sec","order":"sorted(name)","queries":${qarr(results)},$lineWarm,"failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     require(line.length < 1500, s"bench line too long for driver tail: ${line.length}")
     // Stop Spark BEFORE printing: the driver parses the JSON from the tail of
     // captured output, so nothing (executor shutdown logs included) may print

@@ -7,11 +7,14 @@
 # environment (page-cache displacement / box contention), not a regression.
 # Usage: tools/cold_budget.sh [sf_dir] [n_passes] [out_json]
 set -e
+set -o pipefail
 cd /root/repo
 SF=${1:-/root/testdata/sf0.1}
 N=${2:-3}
 OUT=${3:-COLD_BUDGET.json}
-sbt -batch compile | grep -E '^\[error\]|success' || true
+# pipefail makes a compile failure abort here (r10's `|| true` let stale
+# classes get benchmarked into the budget).
+sbt -batch compile | grep -E '^\[error\]|success'
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -23,12 +26,18 @@ done
 TMP=$(mktemp -d /tmp/cold_budget.XXXX)
 for i in $(seq 1 "$N"); do
   echo "[cold_budget] pass $i/$N (fresh JVM, cold-only) ..."
-  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_COLD_ONLY=1 \
-  java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC \
-    -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench \
-    > "$TMP/stdout_$i.log" 2>&1
-  cp BENCH_DETAIL.json "$TMP/pass_$i.json"
+  # Each pass runs in its own scratch cwd: Bench writes BENCH_DETAIL.json
+  # (and spark-warehouse) relative to cwd, and r10's in-repo runs clobbered
+  # the committed cold+warm artifact with cold-only output.
+  PASSDIR="$TMP/run_$i"
+  mkdir -p "$PASSDIR"
+  ( cd "$PASSDIR" && \
+    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_COLD_ONLY=1 \
+    java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC \
+      -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" graft.Bench \
+      > "$TMP/stdout_$i.log" 2>&1 )
+  cp "$PASSDIR/BENCH_DETAIL.json" "$TMP/pass_$i.json"
 done
 python3 tools/merge_budget.py "$SF" "$OUT" "$TMP"/pass_*.json
 echo "[cold_budget] wrote $OUT"
