@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Generate the sf1x SCALING fixture: /root/testdata/sf0.1 replicated 10x
+with shifted keys — a PERFORMANCE decade for PLANS.md's scaling table, NOT
+a correctness input (oracles never run against it; the driver's testdata
+stays the only gate input).
+
+Replication rules keep each table's internal STRUCTURE so per-query work
+scales linearly and ratios are interpretable:
+ - documents: replica k>0 prefixes EVERY token with r{k}x -> replicas share
+   no 5-shingles, so the n-gram pair graph is 10 disjoint copies of sf0.1's
+   (pairs scale 10x; verbatim replication would instead create 10-cliques
+   per doc and blow pairs up ~100x — a fixture artifact, not a scale fact).
+   doc_id += k*10_000_000 preserves doc_id % 10 (the q214/q215 batch split).
+ - events: new user/event universes per replica (graph components replicate).
+ - orders/lineitem: new order/customer keys; part/supp keys unchanged
+   (baskets grow 10x over the same item space — how basket data scales).
+ - dimension tables + embeddings copied verbatim.
+
+Usage: tools/make_sf1x.py [src_dir] [out_dir] [factor]
+"""
+import sys, os, shutil
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scaledata/sf1x"
+F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"CREATE VIEW ks AS SELECT unnest(generate_series(0, {F-1})) AS k")
+
+def gen(table, sql):
+    con.execute(f"""COPY ({sql}) TO '{out}/{table}.parquet'
+                    (FORMAT parquet, COMPRESSION zstd)""")
+    n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+gen("documents", f"""
+  SELECT doc_id + k*10000000 AS doc_id,
+         CASE WHEN k = 0 THEN text
+              ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END AS text,
+         lang, source,
+         CAST(length(CASE WHEN k = 0 THEN text
+              ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END) AS BIGINT) AS n_chars
+  FROM read_parquet('{src}/documents.parquet') CROSS JOIN ks""")
+
+gen("events", f"""
+  SELECT event_id + k*100000000 AS event_id, ts,
+         user_id + k*10000000 AS user_id, event_type, value, props
+  FROM read_parquet('{src}/events.parquet') CROSS JOIN ks""")
+
+gen("orders", f"""
+  SELECT o_orderkey + k*100000000 AS o_orderkey,
+         o_custkey + k*10000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{src}/orders.parquet') CROSS JOIN ks""")
+
+gen("lineitem", f"""
+  SELECT l_orderkey + k*100000000 AS l_orderkey, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{src}/lineitem.parquet') CROSS JOIN ks""")
+
+for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    print(f"{t}: copied verbatim")
