@@ -55,6 +55,35 @@ class CurationStepProps extends SharedSparkSpec {
     }.toSet
   }
 
+  test("an empty slice is a no-op: no frames, state decisions unchanged") {
+    // foreachBatch can legally deliver an empty micro-batch; the step must
+    // pass it through without admitting, dropping, or perturbing the
+    // ledger-driven decisions of later slices.
+    val t = graft.Tables.forPath(spark, sf001)
+    val batchIds = t.documents.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val storeIds = CurationQueries.frozenStoreIds(t)
+    def fold(withEmpty: Boolean): Seq[Long] = {
+      var st = CurationQueries.FunnelState(
+        CurationQueries.storeDigestKeys(t, storeIds).localCheckpoint(),
+        storeIds.limit(0).localCheckpoint())
+      val (lo, hi) = batchIds.toSeq.splitAt(batchIds.length / 2)
+      val slices: Seq[Seq[Long]] =
+        if (withEmpty) Seq(lo, Seq.empty, hi) else Seq(lo, hi)
+      slices.flatMap { chunk =>
+        val (next, frames) = CurationQueries.curationStep(
+          t, storeIds, chunk.toDF("doc_id"), st)
+        st = next
+        val clean = frames.clean.collect().map(_.getLong(0)).toSeq
+        if (chunk.isEmpty)
+          assert(frames.raw.count() == 0 && clean.isEmpty,
+            "empty slice produced stage frames")
+        clean
+      }
+    }
+    assert(fold(withEmpty = true).sorted == fold(withEmpty = false).sorted)
+  }
+
   test("curation survivors are invariant under how the batch is sliced") {
     for (seed <- Seq(7L, 23L, 99L)) {
       val dir = tmpDir(s"curation_props_$seed")
