@@ -9,7 +9,12 @@ set -o pipefail
 cd /root/repo
 SF=${1:-/root/testdata/sf0.1}
 TOL=${2:-2.0}
-sbt -batch compile | grep -E '^\[error\]|success'
+COMPILE_LOG=$(mktemp)
+if ! sbt -batch compile > "$COMPILE_LOG" 2>&1; then
+  echo "[budget_gate] compile failed:"
+  grep -E '^\[error\]' "$COMPILE_LOG" || tail -20 "$COMPILE_LOG"
+  exit 1
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -12,9 +12,16 @@ cd /root/repo
 SF=${1:-/root/testdata/sf0.1}
 N=${2:-3}
 OUT=${3:-COLD_BUDGET.json}
-# pipefail makes a compile failure abort here (r10's `|| true` let stale
-# classes get benchmarked into the budget).
-sbt -batch compile | grep -E '^\[error\]|success'
+# Gate on sbt's EXIT STATUS, not on grepping its output: r10's `|| true`
+# let stale classes get benchmarked, and an up-to-date batch compile prints
+# no "success" line at all (a grep-for-success under pipefail aborts the
+# script on a perfectly good build).
+COMPILE_LOG=$(mktemp)
+if ! sbt -batch compile > "$COMPILE_LOG" 2>&1; then
+  echo "[cold_budget] compile failed:"
+  grep -E '^\[error\]' "$COMPILE_LOG" || tail -20 "$COMPILE_LOG"
+  exit 1
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do

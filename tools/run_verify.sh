@@ -6,7 +6,14 @@ set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/graft_verify}
-sbt -batch compile | grep -E '^\[error\]|success' || true
+# Gate on sbt's exit status (the old grep-for-success let a compile
+# failure run Verify against stale classes).
+COMPILE_LOG=$(mktemp)
+if ! sbt -batch compile > "$COMPILE_LOG" 2>&1; then
+  echo "[run_verify] compile failed:"
+  grep -E '^\[error\]' "$COMPILE_LOG" || tail -20 "$COMPILE_LOG"
+  exit 1
+fi
 rm -rf "$OUT"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
