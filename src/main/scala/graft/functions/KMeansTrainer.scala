@@ -216,12 +216,17 @@ object KMeansTrainer {
     litD2s(emb, m.centroids)
 
   /** Nearest-centroid id — the vector's home IVF bucket, map-only.
-    * Ties break on the LOWEST centroid id (array_position finds the first
-    * minimum), matching the trainer's min(struct(d2, cid)) contract. */
-  def coarseBucket(emb: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column = {
-    val d = centroidD2s(emb, m)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+    * Ties break on the LOWEST centroid id, matching the trainer's
+    * min(struct(d2, cid)) contract. One fused codegen loop
+    * ([[graft.functions.NearestCentroid]]): the litD2s form built k
+    * interpreted `aggregate(zip_with(...))` columns per row (HOFs are
+    * CodegenFallback), which put an interpreted lambda walk in the hot
+    * path of every bucketed serving plan (q37/q127/q154/q185/q218). Same
+    * fold order and strict-`<` first-minimum rule, so assignments are
+    * bit-identical to the previous expression and to [[assignLocal]]. */
+  def coarseBucket(emb: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column =
+    graft.functions.NearestCentroid(
+      emb, m.centroids.flatMap(_.toIndexedSeq), m.centroids.head.length)
 
   /** The `nprobe` nearest centroid ids ascending by (d2, cid) — the
     * multi-probe bucket list for query-side fan-out, map-only. */

@@ -502,13 +502,26 @@ object Multimodal {
     ds.mapPartitions { it =>
       // STUB encoder: a real implementation loads the model here, once per
       // partition. The fake folds each byte into a hash-chosen dimension.
+      // Two geometry bugs once lived here and made EVERY pairwise cosine
+      // land ~0.8 (a degenerate one-cone space no near-dup threshold can
+      // cut): (1) the FNV chain's low bits mix poorly, so index choice was
+      // a 6-bit state machine — fixed by a murmur-style avalanche before
+      // use; (2) the sign bit (z & 1) was PART of the index (z % 64), so
+      // even dims only ever accumulated +1 and odd dims −1, pinning all
+      // vectors into one orthant (cos → E[n]²/E[n²] = 0.8 exactly). The
+      // sign now draws on bits disjoint from the index: distinct media
+      // embed near-orthogonally, identical media identically.
       it.map { m =>
         val v = new Array[Float](dim)
         var h = 0xcbf29ce484222325L
         var i = 0
         while (i < m.media.length) {
           h = (h ^ (m.media(i) & 0xffL)) * 0x100000001b3L
-          v(((h % dim).toInt + dim) % dim) += (if ((h & 1L) == 0L) 1f else -1f)
+          var z = h
+          z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+          z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+          z = z ^ (z >>> 33)
+          v(((z % dim).toInt + dim) % dim) += (if (((z >>> 32) & 1L) == 0L) 1f else -1f)
           i += 1
         }
         val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
@@ -718,18 +731,21 @@ object MultimodalQueries {
         .select(col("doc_id"), col("out_w"), col("out_h"), col("thumb_sum")))
   }
 
-  /** Decoded-pixel media embeddings `(doc_id, embedding)` — each doc's
-    * synthesized 16×16 PNG pushed through the REAL decoder (q136's path)
-    * and embedded at the partition-level encoder boundary
-    * ([[Multimodal.embedFeatures]] — stub model, real plumbing). Shared by
-    * q218's index build and its candidate-verification fetch; map-only,
-    * media bytes never leave the scan partition. */
-  private[graft] def mediaPixelEmbeddings(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+  /** The decode→embed pass over a documents slice: synthesized 16×16 PNG
+    * through the REAL decoder (q136's path), embedded at the
+    * partition-level encoder boundary ([[Multimodal.embedFeatures]] — stub
+    * model, real plumbing). Map-only; media bytes never leave the scan
+    * partition. Callers that want less than the corpus filter the DOCUMENTS
+    * side first — the mapPartitions is opaque to Catalyst, so a filter
+    * above it cannot save any decode work. */
+  private def embedDocSlice(
+      t: graft.Tables,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = t.spark
     import spark.implicits._
     import Multimodal._
     implicit val mEnc = Encoders.product[MediaRecord]
-    val pixels = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val pixels = docs.select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, src, text) =>
         val png = encodePngGray(padBytes(text, 256), 16, 16)
@@ -740,56 +756,115 @@ object MultimodalQueries {
     embedFeatures(pixels).toDF
   }
 
-  /** q218's operating point: exact-cosine near-dup threshold, coarse
-    * blocking fan-out, and the SDC prefilter slack (squared-L2 units —
-    * generous on purpose: SDC is code-level-approximate, the slack keeps
-    * recall while the prefilter still kills the bulk of within-block
-    * pairs; MediaNearDupSpec proves no true pair is lost on its fixtures). */
+  private val mediaEmbCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  /** Decoded-pixel media embeddings `(doc_id, embedding)` for the whole
+    * corpus, decoded ONCE per (session, dir) and held as a localCheckpoint
+    * (the corpusPostings discipline, `TextQueries.corpusPostings`): q218's
+    * index build, candidate-verification fetch, and final audit all read
+    * this frame, and without the checkpoint each reader would re-run the
+    * full-corpus PNG decode — at 100 TB, decode dominates media-pipeline
+    * cost, so paying it once is the whole game. 64 floats + id per row is
+    * id-scale (~0.3 KB/doc), far smaller than the media it replaces. */
+  private[graft] def mediaPixelEmbeddings(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    mediaEmbCache.get(t.spark, s"${t.dir}#mediaemb")(
+      embedDocSlice(t, t.documents).localCheckpoint())
+
+  /** q218's operating point: exact-cosine near-dup threshold and the
+    * sign-sketch prefilter slack. The prefilter is a 64-bit hyperplane sign
+    * signature ([[graft.functions.HyperplaneSignature]], q49's codegen'd
+    * expression) and candidates are within-block pairs with Hamming
+    * distance ≤ [[MediaHammingSlack]]. Why not PQ-SDC (round 11's choice):
+    * on these hash-derived embeddings the subspace codewords all collapse
+    * toward the mean, so code-level distances cannot separate d² ≈ 0.2
+    * (near-dup) from d² ≈ 2 (unrelated) — measured 99% admission at sf0.1,
+    * i.e. a prefilter that costs a per-pair table walk and prunes nothing.
+    * The sign sketch separates by construction: P[bit differs] = θ/π, so a
+    * true pair at cos ≥ 0.9 flips ~9.2 of 64 bits (σ≈2.8 — slack 24 is
+    * +5.3σ, loss ~1e-7 per pair) while an unrelated pair flips ~32 (σ≈4 —
+    * P[≤24] ≈ 2%, a ~50× candidate cut). The pair join carries ONE long
+    * per side instead of 4-int codes, and the filter is a single
+    * codegen'd `bit_count(xor)`. MediaNearDupSpec proves no true pair is
+    * lost on its fixtures. */
   private[graft] val MediaNearDupT = 0.9
-  private[graft] val MediaCoarseK = 8
-  private[graft] val SdcMargin = 0.5
+  private[graft] val MediaHammingSlack = 24
+  private[graft] val MediaSignBits = 64
+
+  /** Seeded Gaussian hyperplanes (64 × 64-dim, row-major) for the q218 sign
+    * sketch — deterministic, its own seed so q49's plane set stays
+    * independent. */
+  private[graft] lazy val mediaSignPlanes: IndexedSeq[Double] = {
+    val rng = new scala.util.Random(20260814L)
+    IndexedSeq.fill(MediaSignBits * 64)(rng.nextGaussian())
+  }
+
+  /** Local parity twin of the engine-side signature (same float→double
+    * widening and strict `dot > 0` sign rule as
+    * [[graft.functions.HyperplaneSignature]]). */
+  private[graft] def mediaSignLocal(v: Array[Double]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < MediaSignBits) {
+      var dot = 0.0; var i = 0; val off = p * 64
+      while (i < v.length && i < 64) { dot += v(i) * mediaSignPlanes(off + i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Coarse blocking fan-out as a function of corpus size — k ∝ √N (the
+    * SemDeDup-family convention), floored at 8 so tiny fixtures keep the
+    * historical shape. A FIXED k would make the within-block pair join
+    * Σn_c² with n_c = N/k — at 100 TB that is k-way skew and quadratic
+    * block growth; with k = √N/4 the expected block is 4√N rows and the
+    * candidate population stays ~16·N·√N-bounded instead of N²/k. */
+  private[graft] def mediaCoarseK(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble) / 4.0).toInt)
 
   private val mediaModelCache =
-    new graft.SessionCache[(graft.functions.KMeansTrainer.Trained, graft.functions.PqIndex.Model)]
+    new graft.SessionCache[graft.functions.KMeansTrainer.Trained]
 
-  /** Coarse quantizer + PQ codebooks trained on the deterministic
-    * driver-sized sample (doc_id < 256) of the MEDIA vectors — q108/q118's
-    * train-once recipe on the image-feature space (the embeddings-table
-    * models live in a different vector space and cannot be reused).
-    * Memoized per (session, dir). */
+  /** Coarse quantizer trained on a deterministic driver-sized sample of the
+    * MEDIA vectors — q108's train-once recipe on the image-feature space
+    * (the embeddings-table models live in a different vector space and
+    * cannot be reused). The sample is taken by filtering the DOCUMENTS side
+    * BEFORE the decode mapPartitions (32 docs per centroid, min 256) — the
+    * opaque decode means a post-decode filter would pay a full-corpus
+    * decode just to keep the sample rows. Memoized per (session, dir). */
   private[graft] def mediaNearDupModel(
-      t: graft.Tables): (graft.functions.KMeansTrainer.Trained, graft.functions.PqIndex.Model) =
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained =
     mediaModelCache.get(t.spark, s"${t.dir}#medianear")({
       val spark = t.spark
       import spark.implicits._
-      val sample = mediaPixelEmbeddings(t).filter(col("doc_id") < 256)
+      val k = mediaCoarseK(t.documents.count())
+      val sampleLimit = math.max(256L, 32L * k)
+      val sample = embedDocSlice(t, t.documents.filter(col("doc_id") < sampleLimit))
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
         .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
-      (graft.functions.KMeansTrainer.trainLocal(sample, MediaCoarseK, 15, 1e-4),
-        graft.functions.PqIndex.trainModelOn(sample))
+      graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
     })
 
   /** The media docs a min-id-wins near-dup dedup would drop: members with a
     * lower-id neighbor at exact cosine ≥ [[MediaNearDupT]] inside their
-    * trained coarse block. Pipeline: block (Σn_c² ≈ N²/k candidates, never
-    * all-pairs) → PQ SDC prefilter over 4-int codes (the pair join shuffles
-    * codes, never vectors or media bytes) → exact cosine on embeddings
-    * fetched for CANDIDATE ids only (q24's verification economics in vector
-    * space). Exposed for MediaNearDupSpec's parity assertions. */
+    * trained coarse block. Pipeline: block (Σn_c² candidates with
+    * k ∝ √N blocks, never all-pairs) → sign-sketch Hamming prefilter (the
+    * pair join shuffles ONE long per side, never vectors or media bytes —
+    * see [[MediaHammingSlack]] for why sign bits and not PQ-SDC here) →
+    * exact cosine on embeddings fetched for CANDIDATE ids only (q24's
+    * verification economics in vector space). Exposed for
+    * MediaNearDupSpec's parity assertions. */
   private[graft] def mediaNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame = {
-    import graft.functions.{KMeansTrainer, PqIndex}
-    val (km, pq) = mediaNearDupModel(t)
+    import graft.functions.{KMeansTrainer, HyperplaneSignature}
+    val km = mediaNearDupModel(t)
     val emb = mediaPixelEmbeddings(t)
     val assigned = emb.select(col("doc_id"),
       KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
-      PqIndex.encodeExpr(col("embedding"), pq).as("codes"))
-    // cos ≥ T on unit vectors ⇔ d² ≤ 2(1−T); SDC sees quantized distances,
-    // so admit with slack and let the exact pass decide.
-    val candT = 2.0 * (1 - MediaNearDupT) + SdcMargin
+      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
     val cand = assigned.as("a")
       .join(assigned.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .filter(PqIndex.sdcScore(col("a.codes"), col("b.codes"), pq) <= candT)
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= MediaHammingSlack)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.bucket").as("bucket"))
       .localCheckpoint(eager = false)
@@ -807,19 +882,21 @@ object MultimodalQueries {
   /** Multimodal NEAR-DUP — where the brief's dedup and multimodal pillars
     * meet: near-duplicate IMAGE detection over the decoded-feature bridge,
     * composing q136's real PNG decode, q109's encoder-boundary embedding,
-    * q154's SemDeDup cluster blocking (trained coarse quantizer — candidate
-    * pairs are Σn_c², never all-pairs), q118's PQ codes (here scored
-    * SYMMETRICALLY, [[graft.functions.PqIndex.sdcScore]] — the within-block
-    * pair join carries 4-int codes instead of 256 B vectors), and q24's
-    * candidate-restricted exact verification. Output is the per-bucket
-    * audit a pipeline logs (q154's shape): media count and members a
-    * min-id-wins dedup would drop. No SQL oracle (real codec + trained
-    * quantizer are the non-SQL parts); MediaNearDupSpec pins the dropped
-    * set against a driver-side reference on planted same-pixel corpora,
-    * SDC prefilter admissibility, and the no-cartesian plan. */
+    * q154's SemDeDup cluster blocking (trained coarse quantizer, k ∝ √N —
+    * candidate pairs are Σn_c², never all-pairs), q49's hyperplane sign
+    * sketch as the pair prefilter (the within-block pair join carries one
+    * 64-bit signature instead of 256 B vectors; [[MediaHammingSlack]]
+    * documents why sign bits beat PQ-SDC in this threshold regime), and
+    * q24's candidate-restricted exact verification. Output is the
+    * per-bucket audit a pipeline logs (q154's shape): media count and
+    * members a min-id-wins dedup would drop. No SQL oracle (real codec +
+    * trained quantizer are the non-SQL parts); MediaNearDupSpec pins the
+    * dropped set against a driver-side reference on planted same-pixel
+    * corpora, sign-sketch prefilter admissibility, the decode-once plan,
+    * and the no-cartesian plan. */
   val q218 = EngineQuery("q218_media_neardup", None) { t =>
     import graft.functions.KMeansTrainer
-    val (km, _) = mediaNearDupModel(t)
+    val km = mediaNearDupModel(t)
     val e = mediaPixelEmbeddings(t).select(col("doc_id"),
       KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
     val drops = mediaNearDupDropped(t)

@@ -37,7 +37,7 @@ class MediaNearDupSpec extends SharedSparkSpec {
   /** Single-node reference of q218's rule: trained-block the vectors, drop
     * every member with a lower-id block-mate at exact cosine ≥ T. */
   private def localDropped(t: graft.Tables): Set[Long] = {
-    val (km, _) = MultimodalQueries.mediaNearDupModel(t)
+    val km = MultimodalQueries.mediaNearDupModel(t)
     val T = MultimodalQueries.MediaNearDupT
     collectEmb(t).groupBy { case (_, v) =>
       graft.functions.KMeansTrainer.assignLocal(v, km)
@@ -81,10 +81,9 @@ class MediaNearDupSpec extends SharedSparkSpec {
     assert(!engine.contains(101L) && !engine.contains(110L),
       "group minima must survive (min-id-wins)")
 
-    // SDC prefilter admissibility on this corpus: every true within-block
-    // pair's code-level distance is inside the loosened candidate bound.
-    val (km, pq) = MultimodalQueries.mediaNearDupModel(t)
-    val candT = 2.0 * (1 - MultimodalQueries.MediaNearDupT) + MultimodalQueries.SdcMargin
+    // Sign-sketch prefilter admissibility on this corpus: every true
+    // within-block pair's signature Hamming distance is inside the slack.
+    val km = MultimodalQueries.mediaNearDupModel(t)
     val emb = collectEmb(t)
     val byBlock = emb.groupBy { case (_, v) =>
       graft.functions.KMeansTrainer.assignLocal(v, km)
@@ -92,11 +91,10 @@ class MediaNearDupSpec extends SharedSparkSpec {
     for (ms <- byBlock.values; i <- ms.indices; j <- 0 until i) {
       val (_, va) = ms(j); val (_, vb) = ms(i)
       if (round4(cos(va, vb)) >= MultimodalQueries.MediaNearDupT) {
-        val sdc = graft.functions.PqIndex.sdcScoreLocal(
-          graft.functions.PqIndex.encodeLocal(va, pq),
-          graft.functions.PqIndex.encodeLocal(vb, pq), pq)
-        assert(sdc <= candT,
-          f"SDC prefilter would lose a true pair: sdc=$sdc%.4f > $candT%.4f")
+        val ham = java.lang.Long.bitCount(
+          MultimodalQueries.mediaSignLocal(va) ^ MultimodalQueries.mediaSignLocal(vb))
+        assert(ham <= MultimodalQueries.MediaHammingSlack,
+          s"sign-sketch prefilter would lose a true pair: hamming=$ham > ${MultimodalQueries.MediaHammingSlack}")
       }
     }
   }
@@ -106,6 +104,16 @@ class MediaNearDupSpec extends SharedSparkSpec {
     val audit = MultimodalQueries.q218.run(spark, sf001)
     val plan = audit.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "q218 plan degenerated to a cartesian")
+    // Decode-once discipline (the CurationPlanSpec text-scan bound, media
+    // form): every consumer of the decoded-pixel embeddings must read the
+    // memoized checkpoint, so the SERVED plan carries zero text-bearing
+    // documents scans — a refactor that rebases any branch onto a live
+    // decode (one full-corpus PNG pass per reader) fails here.
+    val textScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet") &&
+        l.contains("text"))
+    assert(textScans == 0,
+      s"q218 plan re-decodes raw text $textScans time(s); embeddings must come from the checkpoint")
     val rows = audit.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(_._2).sum == collectEmb(t).length,
       "bucket sizes must partition the media corpus")
