@@ -183,19 +183,37 @@ object CurationQueries {
   private def digests(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("key"))
 
+  private val evalShCache = new graft.SessionCache[DataFrame]
+
+  /** The distinct 8-shingles of the RAW src0 benchmark set, memoized per
+    * (session, dir) as a localCheckpoint: the eval set is invariant across
+    * every [[benchmarkHitIds]] call, but un-memoized it re-paid a src0
+    * text scan + shingle explode + distinct per call — q216's three
+    * generations each rebuilt it (3 corpus text touches per evaluation for
+    * a frame that never changes). Benchmark suites are KB–MB-scale at any
+    * corpus size, so holding the distinct shingles for the session is
+    * free and the broadcast below stays bounded. */
+  private def evalShingles(t: graft.Tables): DataFrame =
+    evalShCache.get(t.spark, s"${t.dir}#evalsh8")({
+      t.documents
+        .select(col("source"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8 && col("source") === "src0")
+        .select(explode(shingles(col("tk"), 8)).as("sh")).distinct()
+        .localCheckpoint()
+    })
+
   /** The ids among `ids` (non-benchmark docs) sharing an 8-shingle with the
     * RAW src0 benchmark set — q50's broadcast semi-join shape, candidates
-    * semi-joined BEFORE the shingle explode. */
+    * semi-joined BEFORE the shingle explode, the eval side served from the
+    * [[evalShingles]] checkpoint. */
   private def benchmarkHitIds(t: graft.Tables, ids: DataFrame): DataFrame = {
     val sh8src = t.documents
       .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
-    val ev = sh8src.filter(col("source") === "src0")
-      .select(explode(shingles(col("tk"), 8)).as("sh")).distinct()
     sh8src.filter(col("source") =!= "src0")
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
-      .join(broadcast(ev), "sh")
+      .join(broadcast(evalShingles(t)), "sh")
       .select("doc_id").distinct()
   }
 
@@ -240,6 +258,19 @@ object CurationQueries {
         .join(benchmarkHitIds(t, base3ids), Seq("doc_id"), "left_anti")
         .select("doc_id").localCheckpoint()
     })
+
+  private val storePostingsCache = new graft.SessionCache[DataFrame]
+
+  /** The corpus shingle postings restricted to the frozen store, memoized
+    * per (session, dir) — the standing near-dup index a production
+    * incremental pipeline holds alongside the store itself. q215 pays the
+    * restriction once by construction, but q216's generations each re-ran
+    * the store-side semi-join (a postings-scale pass per slice for a frame
+    * frozen since yesterday); all slices now stream against this
+    * checkpoint and only the slice/admitted postings are recomputed. */
+  private[graft] def storePostings(t: graft.Tables): DataFrame =
+    storePostingsCache.get(t.spark, s"${t.dir}#curstoreinv")(
+      TextQueries.refPostings(t, frozenStoreIds(t)).localCheckpoint())
 
   /** The INCREMENTAL run of q214's pipeline — the nightly form: yesterday's
     * store is FROZEN (the base split run through the full funnel), and only
@@ -402,11 +433,11 @@ object CurationQueries {
       .select("doc_id").localCheckpoint()
     // Near-dup (q125/q185's earlier-member rule) — delta-only pair
     // formation off the standing postings index: store×batch and
-    // batch×batch candidate pairs form fresh from the memoized corpus
-    // postings with only the BATCH postings broadcast, so the nightly run
-    // never touches (or rebuilds) the full-corpus pair artifact.
+    // batch×batch candidate pairs form fresh from the memoized store
+    // postings plus the batch's own, so the nightly run never touches (or
+    // rebuilds) the full-corpus pair artifact.
     val batch4ids = batch3ids
-      .join(TextQueries.deltaNearDupDrops(t, storeIds, batch3ids),
+      .join(TextQueries.deltaNearDupDropsFromRefInv(t, storePostings(t), batch3ids),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set.
@@ -446,7 +477,7 @@ object CurationQueries {
     * the sequential decisions identical to q215's one-shot rules. */
   private[graft] def curationStep(
       t: graft.Tables, storeIds: DataFrame, sliceIds: DataFrame,
-      st: FunnelState): (FunnelState, SliceFrames) = {
+      st: FunnelState, storeInv: Option[DataFrame] = None): (FunnelState, SliceFrames) = {
     val raw = rawDocs(t)
     val slice = raw.join(sliceIds, Seq("doc_id"), "left_semi")
     val g2 = slice.filter(qualityOk)
@@ -469,10 +500,15 @@ object CurationQueries {
     // (q125's economics): a slice doc drops on a pair with any store member
     // (either id order), any earlier admitted doc (all lower ids by the
     // ascending-slice precondition, so the lower-id rule covers them), or a
-    // lower-id member of this slice. Only the SLICE postings broadcast.
-    val refs = storeIds.unionByName(st.admittedIds)
+    // lower-id member of this slice. The store-side postings restriction is
+    // slice-invariant, so callers running many slices pass the memoized
+    // checkpoint via `storeInv` (q216 → [[storePostings]]) instead of
+    // re-restricting per slice; only the slice/admitted postings recompute.
+    val refInv = storeInv.getOrElse(TextQueries.refPostings(t, storeIds))
+      .unionByName(TextQueries.refPostings(t, st.admittedIds))
     val t4g = t3g
-      .join(TextQueries.deltaNearDupDrops(t, refs, t3g), Seq("doc_id"), "left_anti")
+      .join(TextQueries.deltaNearDupDropsFromRefInv(t, refInv, t3g),
+        Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set.
     val t5g = raw.join(t4g, Seq("doc_id"), "left_semi")
@@ -535,7 +571,8 @@ object CurationQueries {
     var st = FunnelState(storeKeys, storeIds.limit(0).localCheckpoint())
     val slices = (1 to 3).map { g =>
       val (next, frames) = curationStep(
-        t, storeIds, gens.filter(col("gen") === g).select("doc_id"), st)
+        t, storeIds, gens.filter(col("gen") === g).select("doc_id"), st,
+        storeInv = Some(storePostings(t)))
       st = next
       frames
     }

@@ -316,9 +316,14 @@ object TextQueries {
     * `refIds` (either id order — the frozen store/ledger reference) or with
     * a LOWER-id member of `deltaIds` (the within-batch earlier-member
     * rule). The memoized corpus postings stream map-side restricted to
-    * ref ∪ delta; only the DELTA's postings broadcast (bounded by the
-    * ingest, never the corpus — the q90 asymmetry, fuzzy form); the
-    * candidate-pair aggregation is bounded by |delta| × near-dup fan-in.
+    * ref ∪ delta; the DELTA side is the natural build side (bounded by the
+    * ingest, never the corpus — the q90 asymmetry, fuzzy form), but the
+    * choice is left to AQE rather than a broadcast() hint: a hint never
+    * degrades, so a bulk backfill (a delta at 10% of the corpus) would die
+    * at the broadcast limit instead of falling back to a shuffle join.
+    * CurationPlanSpec's no-corpus-build-side audit still pins the
+    * dangerous direction. The candidate-pair aggregation is bounded by
+    * |delta| × near-dup fan-in.
     * Nothing here depends on the full-corpus pair artifact, so the nightly
     * chain exercises the exact mechanism a production incremental run pays:
     * delta-sized work beyond the standing index. Exact semantics (every
@@ -328,18 +333,40 @@ object TextQueries {
   private[operators] def deltaNearDupDrops(
       t: graft.Tables,
       refIds: org.apache.spark.sql.DataFrame,
+      deltaIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    deltaNearDupDropsFromRefInv(t, refPostings(t, refIds), deltaIds)
+
+  /** The memoized corpus postings restricted to a reference id set — the
+    * ref side of [[deltaNearDupDropsFromRefInv]]. Callers whose reference
+    * is SLICE-INVARIANT (q216's frozen store across generations) compute
+    * this once and checkpoint it instead of re-restricting per slice. */
+  private[operators] def refPostings(
+      t: graft.Tables,
+      refIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    corpusPostings(t)._1.join(refIds, Seq("doc_id"), "left_semi")
+
+  /** [[deltaNearDupDrops]] with the reference postings PRE-RESTRICTED
+    * (`refInv` = [[refPostings]] of the ref set, possibly checkpointed /
+    * unioned by the caller). */
+  private[operators] def deltaNearDupDropsFromRefInv(
+      t: graft.Tables,
+      refInv: org.apache.spark.sql.DataFrame,
       deltaIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val (inv, sizes) = corpusPostings(t)
     val deltaInv = inv.join(deltaIds, Seq("doc_id"), "left_semi")
-    val streamInv = inv.join(refIds, Seq("doc_id"), "left_semi")
+    val streamInv = refInv
       .withColumn("is_ref", lit(true))
       .unionByName(deltaInv.withColumn("is_ref", lit(false)))
     // The pair-admission predicate is constant per (c,b) doc pair, so
     // putting it in the join condition prunes candidates without changing
-    // any surviving pair's exact common-shingle count.
+    // any surviving pair's exact common-shingle count. The c.doc_id =!=
+    // b.doc_id guard makes overlap harmless: current callers pass disjoint
+    // refIds/deltaIds, but without it a doc present on BOTH sides would
+    // pair with its own ref copy at Jaccard 1 and drop itself.
     val common = streamInv.as("c")
-      .join(broadcast(deltaInv.as("b")),
+      .join(deltaInv.as("b"),
         col("c.s") === col("b.s") &&
+          col("c.doc_id") =!= col("b.doc_id") &&
           (col("c.is_ref") || col("c.doc_id") < col("b.doc_id")))
       .groupBy(col("b.doc_id").as("delta_doc"), col("c.doc_id").as("other_doc"))
       .agg(count(lit(1)).as("common"))
@@ -1485,21 +1512,34 @@ object TextQueries {
       .join(sizes, "doc_id")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("n") - ceil(col("n") * SimT) + 1)
-      .select(col("doc_id"), col("s"), col("n"))
+      .select(col("doc_id"), col("s"), col("n"), col("rk"))
   }
 
   /** Candidate id pairs from the prefix self-join, with the AllPairs length
-    * filter (J ≥ t ⇒ min(n_a,n_b) ≥ t·max(n_a,n_b)) applied at the join so
-    * incompatible sizes never become pairs. Distinct because two docs may
-    * share several prefix shingles. */
-  private[operators] def prefixCandidates(pre: DataFrame): DataFrame =
+    * filter (J ≥ t ⇒ min(n_a,n_b) ≥ t·max(n_a,n_b)) AND the PPJoin
+    * positional filter (Xiao et al. WWW'08) applied at the join so
+    * incompatible pairs never materialize. The positional filter: at a
+    * match on ranks (rk_a, rk_b) of the shared (df, s) canonical order, the
+    * overlap can be at most 1 + min(n_a − rk_a, n_b − rk_b); J ≥ t needs
+    * overlap ≥ t·(n_a + n_b)/(1+t), so a match whose bound falls short
+    * cannot be a pair's FIRST common prefix token — and every true pair's
+    * first common token lies in both prefixes (the prefix lemma) with
+    * bound ≥ the true overlap, so admitting pairs where ANY match passes is
+    * lossless (the q151 oracle hash, byte-identical to q36's SQL, proves
+    * it). At t=0.5 both sides of the comparison are dyadic-exact doubles.
+    * Distinct because two docs may still share several passing shingles. */
+  private[operators] def prefixCandidates(pre: DataFrame): DataFrame = {
+    val posBound = (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+      .cast("double") * (1.0 + SimT)
     pre.as("a").hint("shuffle_hash")
       .join(pre.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= col("a.n") * SimT && col("a.n") >= col("b.n") * SimT)
+          col("b.n") >= col("a.n") * SimT && col("a.n") >= col("b.n") * SimT &&
+          posBound >= (col("a.n") + col("b.n")).cast("double") * SimT)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+  }
 
   /** q36's exact answer through PREFIX FILTERING (the AllPairs/PPJoin family,
     * Bayardo et al. WWW'07; Xiao et al. WWW'08): instead of self-joining the
@@ -1563,8 +1603,9 @@ object TextQueries {
     * Scale shape: positional spans are generated map-side from one scan;
     * the only corpus-scale exchange is keyed by the 8-byte span hash
     * (doc-frequency count), then everything is doc_id-keyed. Coverage is an
-    * interval-union count per doc — exploded to positions and counted
-    * distinct, which stays doc-local after the flag join. Spans join on
+    * interval-union count per doc — a lag-window union over the flagged
+    * spans (doc-partitioned, exact for fixed-length intervals), so the
+    * flagged population is never position-exploded. Spans join on
     * xxhash64(span) — 8 B through the exchange instead of ~50 B of text,
     * with the q36/q144 2^-64 collision caveat. Outputs are COUNTS, never
     * ratios (the .xxxx5 rounding-boundary rule). */
@@ -1608,14 +1649,25 @@ object TextQueries {
       .select("s")
     val flagged = spans.join(rep, Seq("s"), "left_semi").select("doc_id", "pos")
       .localCheckpoint()
-    val nrep = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_rep_spans"))
-    val covered = flagged
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("p"))
-      .groupBy("doc_id").agg(countDistinct(col("p")).as("covered_toks"))
+    // Coverage = union of the fixed-length intervals [pos, pos+7]: spans
+    // sorted per doc contribute min(8, pos − prev_pos) new tokens each (a
+    // lag window partitioned by doc_id — doc-bounded, never corpus-wide).
+    // This replaces the 8× position explode + countDistinct (an 8·|flagged|
+    // row blow-up through a two-phase distinct aggregation) with one
+    // |flagged|-row window pass — the q153 scaling tail was linear in that
+    // exploded population. Same window feeds n_rep_spans and covered_toks
+    // from ONE doc-keyed aggregation; (doc_id, pos) is unique by
+    // construction (positional posexplode), so the lag union is exact.
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val contrib = least(lit(8L),
+      (col("pos") - coalesce(lag(col("pos"), 1).over(wDoc), col("pos") - 8)).cast("long"))
+    val perDoc = flagged
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rep_spans"), sum(col("contrib")).as("covered_toks"))
     orderedByAll(
       base.select(col("doc_id"), col("n_toks"), (col("n_toks") - 7).as("n_spans"))
-        .join(nrep, Seq("doc_id"), "left")
-        .join(covered, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_toks"), col("n_spans"),
           coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
           coalesce(col("covered_toks"), lit(0L)).as("covered_toks")))
