@@ -9,6 +9,13 @@ This makes the budget a gate: run after any plan-affecting change (quiet box
 only — the x2 tolerance absorbs page-cache/contention variance, not a
 contended box).
 
+Coverage is part of the gate (r11 hole: q217/q218 ran ungated for a round
+because only the intersection of bench times and budgets was checked):
+ - a bench query with NO budget entry FAILS the gate — regenerate budgets
+   (tools/cold_budget.sh) when the query surface grows;
+ - a budget entry with NO bench time is reported as stale (renamed/removed
+   query) so COLD_BUDGET.json can't silently rot.
+
 Usage: tools/budget_gate.py <bench_detail.json> [cold_budget.json] [tolerance]
 """
 import sys, json
@@ -24,10 +31,17 @@ def main():
         return 1
     times = detail["queries"]
     budgets = budget["queries"]
+    failed = False
     missing = sorted(set(times) - set(budgets))
     if missing:
-        print(f"[budget_gate] note: {len(missing)} queries have no budget yet "
-              f"(new this round?): {', '.join(missing)}")
+        print(f"[budget_gate] FAIL: {len(missing)} bench queries have no budget "
+              f"entry (run tools/cold_budget.sh): {', '.join(missing)}")
+        failed = True
+    stale = sorted(set(budgets) - set(times))
+    if stale:
+        print(f"[budget_gate] FAIL: {len(stale)} budget entries match no bench "
+              f"query (renamed/removed?): {', '.join(stale)}")
+        failed = True
     offenders = []
     for name in sorted(set(times) & set(budgets)):
         limit = budgets[name]["max"] * tol
@@ -38,6 +52,8 @@ def main():
         for name, t, bmax, limit in offenders:
             print(f"  {name}: cold {t:.3f}s > {limit:.3f}s "
                   f"(budget max {bmax:.3f}s, ratio {t / bmax:.2f}x)")
+        failed = True
+    if failed:
         return 1
     worst = max(((times[n] / budgets[n]["max"], n)
                  for n in set(times) & set(budgets)), default=(0.0, "-"))

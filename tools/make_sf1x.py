@@ -35,14 +35,21 @@ def gen(table, sql):
     n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n} rows")
 
+# Token-wise prefixing rides on single-space separation; normalize runs of
+# whitespace FIRST so a double space can never mint bare 'rKx' tokens shared
+# by every replica (which would create spurious within-replica shingle
+# matches and skew the intended exactly-10x pair scaling).
 gen("documents", f"""
+  WITH d AS (SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS text,
+                    lang, source
+             FROM read_parquet('{src}/documents.parquet'))
   SELECT doc_id + k*10000000 AS doc_id,
          CASE WHEN k = 0 THEN text
               ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END AS text,
          lang, source,
          CAST(length(CASE WHEN k = 0 THEN text
               ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END) AS BIGINT) AS n_chars
-  FROM read_parquet('{src}/documents.parquet') CROSS JOIN ks""")
+  FROM d CROSS JOIN ks""")
 
 gen("events", f"""
   SELECT event_id + k*100000000 AS event_id, ts,
