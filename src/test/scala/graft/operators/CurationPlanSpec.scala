@@ -22,11 +22,15 @@ class CurationPlanSpec extends SharedSparkSpec {
   }
 
   test("curation funnels read text only in the decontamination passes") {
-    // Each benchmarkHitIds call contributes 2 text scans (the eval set and
-    // the candidate side). q214 decontaminates once -> <= 2; q215 builds
-    // the store (1 call) and cleans the batch (1 call) -> <= 4; q216 runs
-    // one call per generation plus the store's -> <= 8. Every OTHER stage
-    // must come from checkpoints (Scan ExistingRDD), contributing zero.
+    // Each benchmarkHitIds call contributes 1 text scan (the candidate
+    // side; the src0 eval-shingle set is a session-memoized checkpoint
+    // since round 12 and contributes zero). q214 decontaminates once
+    // -> <= 2; q215 builds the store (1 call) and cleans the batch
+    // (1 call) -> <= 4; q216 runs one call per generation plus the
+    // store's -> <= 8 (bounds kept at the pre-memoization level so a cold
+    // first evaluation, which builds the eval checkpoint inline, still
+    // passes). Every OTHER stage must come from checkpoints
+    // (Scan ExistingRDD), contributing zero.
     assert(textScans(CurationQueries.q214.run(spark, sf001)) <= 2)
     assert(textScans(CurationQueries.q215.run(spark, sf001)) <= 4)
     assert(textScans(CurationQueries.q216.run(spark, sf001)) <= 8)
