@@ -364,6 +364,51 @@ object Multimodal {
     }
   }
 
+  /** REAL WAV decode surfacing the raw PCM payload — the sample-level twin
+    * of [[decodeWav]] (same RIFF magic / fmt validation / bounds-checked
+    * chunk walk, PCM-16 only): Some(data-chunk bytes, little-endian s16)
+    * for a well-formed file, None on anything malformed. This is the
+    * decode q219's audio near-dup embeds, exactly as [[decodePngPixels]]
+    * (vs [[decodePng]]'s aggregates) is the decode q218 embeds. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Byte]] = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length)
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels = 0
+    var fmtSeen = false
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= bytes.length && dataOff < 0) {
+      val id = tag(pos)
+      val len = le32(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = le16(pos + 8)
+          channels = le16(pos + 10)
+          val sampleRate = le32(pos + 12).toInt
+          val bits = le16(pos + 22)
+          if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0)
+            return None
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) return None
+          dataOff = pos + 8; dataLen = len
+        case _ => () // LIST/fact/cue/... skippable
+      }
+      pos += (8L + len + (len % 2)).toInt // RIFF chunks are word-aligned
+    }
+    if (dataOff < 0 || dataLen % (2L * channels) != 0) return None
+    Some(java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen.toInt))
+  }
+
   /** First `n` US-ASCII bytes of `text`, space-padded — the deterministic
     * pixel/sample source for the synthetic media payloads of q109 (the
     * testdata ships no true media column; the padding rule is mirrored
@@ -745,7 +790,14 @@ object MultimodalQueries {
     import spark.implicits._
     import Multimodal._
     implicit val mEnc = Encoders.product[MediaRecord]
+    // Repartition BEFORE the codec boundary: decode cost is per-ROW, not
+    // per-byte, and a compressed text corpus can land in one scan split
+    // (sf1x documents is a single 1.8 MB zstd file → ONE task decoding the
+    // whole corpus while 31 cores idle — and every downstream consumer of
+    // the checkpoint inherits that width). An expensive map stage must set
+    // its own parallelism, not ride file-count luck.
     val pixels = docs.select(col("doc_id"), col("source"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, src, text) =>
         val png = encodePngGray(padBytes(text, 256), 16, 16)
@@ -770,6 +822,46 @@ object MultimodalQueries {
     mediaEmbCache.get(t.spark, s"${t.dir}#mediaemb")(
       embedDocSlice(t, t.documents).localCheckpoint())
 
+  /** q219's payload length: the synthetic WAV covers 512 text bytes (256
+    * s16 samples) where q218's image covers 256 — a recording outlasts a
+    * 16×16 thumbnail, and the longer span makes the two modalities' dup
+    * structures genuinely different (same-IMAGE docs that diverge past
+    * byte 256 are not same-AUDIO). */
+  private[graft] val AudioPayloadBytes = 512
+
+  /** The audio decode→embed pass over a documents slice: synthesized WAV
+    * through the REAL RIFF/PCM sample decode ([[Multimodal.decodeWavSamples]]
+    * — q109's validation walk surfacing the payload), embedded at the same
+    * encoder boundary as q218. Map-only; audio bytes never leave the scan
+    * partition. Same filter-the-documents-side-first contract as
+    * [[embedDocSlice]]. */
+  private def audioEmbedDocSlice(
+      t: graft.Tables,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    import Multimodal._
+    implicit val mEnc = Encoders.product[MediaRecord]
+    // Same pre-codec repartition as [[embedDocSlice]] — decode parallelism
+    // must not ride the scan's split count.
+    val pcm = docs.select(col("doc_id"), col("source"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, src, text) =>
+        val wav = encodeWavMono(padBytes(text, AudioPayloadBytes), 8000)
+        decodeWavSamples(wav).map(MediaRecord(id, src, _))
+      })
+    embedFeatures(pcm).toDF
+  }
+
+  private val audioEmbCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  /** Decoded-sample audio embeddings, decoded once per (session, dir) —
+    * [[mediaPixelEmbeddings]]'s audio twin, same checkpoint economics. */
+  private[graft] def audioSampleEmbeddings(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    audioEmbCache.get(t.spark, s"${t.dir}#audioemb")(
+      audioEmbedDocSlice(t, t.documents).localCheckpoint())
+
   /** q218's operating point: exact-cosine near-dup threshold and the
     * sign-sketch prefilter slack. The prefilter is a 64-bit hyperplane sign
     * signature ([[graft.functions.HyperplaneSignature]], q49's codegen'd
@@ -780,14 +872,19 @@ object MultimodalQueries {
     * (near-dup) from d² ≈ 2 (unrelated) — measured 99% admission at sf0.1,
     * i.e. a prefilter that costs a per-pair table walk and prunes nothing.
     * The sign sketch separates by construction: P[bit differs] = θ/π, so a
-    * true pair at cos ≥ 0.9 flips ~9.2 of 64 bits (σ≈2.8 — slack 24 is
-    * +5.3σ, loss ~1e-7 per pair) while an unrelated pair flips ~32 (σ≈4 —
-    * P[≤24] ≈ 2%, a ~50× candidate cut). The pair join carries ONE long
-    * per side instead of 4-int codes, and the filter is a single
-    * codegen'd `bit_count(xor)`. MediaNearDupSpec proves no true pair is
-    * lost on its fixtures. */
+    * true pair at cos ≥ 0.9 flips ~9.2 of 64 bits (σ≈2.8 — slack 20 is
+    * +3.9σ, loss ~5e-5 per borderline pair, and the measured worst true
+    * pair across sf0.001/0.01/0.1 sits at Hamming 14) while an unrelated
+    * pair flips ~32 (σ≈4). Slack matters doubly under k = √N blocking:
+    * tighter blocks raise within-block ambient similarity, and a loose
+    * slack (24, the first cut) admitted ~6% of pairs into the
+    * vector-carrying verify joins — at slack 20 that is ~0.8%, and the
+    * verify side stays candidate-scale as k grows. The pair join carries
+    * ONE long per side instead of 4-int codes, and the filter is a single
+    * codegen'd `bit_count(xor)`. MediaNearDupSpec/AudioNearDupSpec prove
+    * no true pair is lost on their fixtures and at sf0.001/0.01. */
   private[graft] val MediaNearDupT = 0.9
-  private[graft] val MediaHammingSlack = 24
+  private[graft] val MediaHammingSlack = 20
   private[graft] val MediaSignBits = 64
 
   /** Seeded Gaussian hyperplanes (64 × 64-dim, row-major) for the q218 sign
@@ -813,51 +910,71 @@ object MultimodalQueries {
     sig
   }
 
-  /** Coarse blocking fan-out as a function of corpus size — k ∝ √N (the
+  /** Coarse blocking fan-out as a function of corpus size — k = √N (the
     * SemDeDup-family convention), floored at 8 so tiny fixtures keep the
     * historical shape. A FIXED k would make the within-block pair join
     * Σn_c² with n_c = N/k — at 100 TB that is k-way skew and quadratic
-    * block growth; with k = √N/4 the expected block is 4√N rows and the
-    * candidate population stays ~16·N·√N-bounded instead of N²/k. */
+    * block growth; with k = √N the expected block is √N rows and the
+    * candidate population is ~N·√N-bounded (the measured sf0.1→sf1x warm
+    * ratio tracks the predicted 10^1.5 ≈ 31× pair growth ÷ 10× parallel
+    * width; an earlier √N/4 divisor paid 16× that for no recall gain —
+    * identical media always share a bucket regardless of k). */
   private[graft] def mediaCoarseK(n: Long): Int =
-    math.max(8, math.ceil(math.sqrt(n.toDouble) / 4.0).toInt)
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Coarse quantizer trained on a deterministic driver-sized sample of a
+    * modality's decoded-feature vectors — q108's train-once recipe (the
+    * embeddings-table models live in a different vector space and cannot be
+    * reused). The sample is taken by filtering the DOCUMENTS side BEFORE
+    * the decode mapPartitions (32 docs per centroid, min 256) — the opaque
+    * decode means a post-decode filter would pay a full-corpus decode just
+    * to keep the sample rows. */
+  private def trainCoarseModel(
+      t: graft.Tables,
+      embedSlice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : graft.functions.KMeansTrainer.Trained = {
+    val spark = t.spark
+    import spark.implicits._
+    val k = mediaCoarseK(t.documents.count())
+    val sampleLimit = math.max(256L, 32L * k)
+    val sample = embedSlice(t.documents.filter(col("doc_id") < sampleLimit))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+    graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
+  }
 
   private val mediaModelCache =
     new graft.SessionCache[graft.functions.KMeansTrainer.Trained]
+  private val audioModelCache =
+    new graft.SessionCache[graft.functions.KMeansTrainer.Trained]
 
-  /** Coarse quantizer trained on a deterministic driver-sized sample of the
-    * MEDIA vectors — q108's train-once recipe on the image-feature space
-    * (the embeddings-table models live in a different vector space and
-    * cannot be reused). The sample is taken by filtering the DOCUMENTS side
-    * BEFORE the decode mapPartitions (32 docs per centroid, min 256) — the
-    * opaque decode means a post-decode filter would pay a full-corpus
-    * decode just to keep the sample rows. Memoized per (session, dir). */
+  /** [[trainCoarseModel]] on the image-feature space, memoized per
+    * (session, dir). */
   private[graft] def mediaNearDupModel(
       t: graft.Tables): graft.functions.KMeansTrainer.Trained =
-    mediaModelCache.get(t.spark, s"${t.dir}#medianear")({
-      val spark = t.spark
-      import spark.implicits._
-      val k = mediaCoarseK(t.documents.count())
-      val sampleLimit = math.max(256L, 32L * k)
-      val sample = embedDocSlice(t, t.documents.filter(col("doc_id") < sampleLimit))
-        .as[(Long, Seq[Float])].collect().sortBy(_._1)
-        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
-      graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
-    })
+    mediaModelCache.get(t.spark, s"${t.dir}#medianear")(
+      trainCoarseModel(t, embedDocSlice(t, _)))
 
-  /** The media docs a min-id-wins near-dup dedup would drop: members with a
-    * lower-id neighbor at exact cosine ≥ [[MediaNearDupT]] inside their
-    * trained coarse block. Pipeline: block (Σn_c² candidates with
-    * k ∝ √N blocks, never all-pairs) → sign-sketch Hamming prefilter (the
-    * pair join shuffles ONE long per side, never vectors or media bytes —
-    * see [[MediaHammingSlack]] for why sign bits and not PQ-SDC here) →
-    * exact cosine on embeddings fetched for CANDIDATE ids only (q24's
-    * verification economics in vector space). Exposed for
-    * MediaNearDupSpec's parity assertions. */
-  private[graft] def mediaNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+  /** [[trainCoarseModel]] on the audio-feature space, memoized per
+    * (session, dir). */
+  private[graft] def audioNearDupModel(
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained =
+    audioModelCache.get(t.spark, s"${t.dir}#audionear")(
+      trainCoarseModel(t, audioEmbedDocSlice(t, _)))
+
+  /** The docs a min-id-wins near-dup dedup would drop from a decoded
+    * modality: members with a lower-id neighbor at exact cosine ≥
+    * [[MediaNearDupT]] inside their trained coarse block. Pipeline: block
+    * (Σn_c² candidates with k ∝ √N blocks, never all-pairs) → sign-sketch
+    * Hamming prefilter (the pair join shuffles ONE long per side, never
+    * vectors or media bytes — see [[MediaHammingSlack]] for why sign bits
+    * and not PQ-SDC here) → exact cosine on embeddings fetched for
+    * CANDIDATE ids only (q24's verification economics in vector space).
+    * Shared by q218 (image) and q219 (audio). */
+  private def nearDupDroppedFrom(
+      emb: org.apache.spark.sql.DataFrame,
+      km: graft.functions.KMeansTrainer.Trained): org.apache.spark.sql.DataFrame = {
     import graft.functions.{KMeansTrainer, HyperplaneSignature}
-    val km = mediaNearDupModel(t)
-    val emb = mediaPixelEmbeddings(t)
     val assigned = emb.select(col("doc_id"),
       KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
       HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
@@ -879,6 +996,33 @@ object MultimodalQueries {
       .distinct()
   }
 
+  /** [[nearDupDroppedFrom]] on the image modality — exposed for
+    * MediaNearDupSpec's parity assertions. */
+  private[graft] def mediaNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    nearDupDroppedFrom(mediaPixelEmbeddings(t), mediaNearDupModel(t))
+
+  /** [[nearDupDroppedFrom]] on the audio modality — exposed for
+    * AudioNearDupSpec's parity assertions. */
+  private[graft] def audioNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    nearDupDroppedFrom(audioSampleEmbeddings(t), audioNearDupModel(t))
+
+  /** The per-bucket near-dup audit (q154's shape): media count and members
+    * a min-id-wins dedup would drop — q218/q219's shared report body. */
+  private def nearDupAudit(
+      emb: org.apache.spark.sql.DataFrame,
+      km: graft.functions.KMeansTrainer.Trained,
+      dropped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.KMeansTrainer
+    val e = emb.select(col("doc_id"),
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+    val drops = dropped.groupBy("bucket").agg(count(lit(1)).as("n_dropped"))
+    orderedByAll(
+      e.groupBy("bucket").agg(count(lit(1)).as("n_media"))
+        .join(drops, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_media"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped")))
+  }
+
   /** Multimodal NEAR-DUP — where the brief's dedup and multimodal pillars
     * meet: near-duplicate IMAGE detection over the decoded-feature bridge,
     * composing q136's real PNG decode, q109's encoder-boundary embedding,
@@ -895,18 +1039,148 @@ object MultimodalQueries {
     * corpora, sign-sketch prefilter admissibility, the decode-once plan,
     * and the no-cartesian plan. */
   val q218 = EngineQuery("q218_media_neardup", None) { t =>
-    import graft.functions.KMeansTrainer
-    val km = mediaNearDupModel(t)
-    val e = mediaPixelEmbeddings(t).select(col("doc_id"),
-      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
-    val drops = mediaNearDupDropped(t)
-      .groupBy("bucket").agg(count(lit(1)).as("n_dropped"))
-    orderedByAll(
-      e.groupBy("bucket").agg(count(lit(1)).as("n_media"))
-        .join(drops, Seq("bucket"), "left")
-        .select(col("bucket"), col("n_media"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped")))
+    nearDupAudit(mediaPixelEmbeddings(t), mediaNearDupModel(t), mediaNearDupDropped(t))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136, q218)
+  /** AUDIO near-dup — q218's pipeline over the WAV sample bridge (the last
+    * multimodal-dedup corner: q109 already decodes WAV, q218 covers only
+    * images): each doc synthesizes a mono PCM-16 recording of its first
+    * [[AudioPayloadBytes]] text bytes, the engine walks the REAL RIFF
+    * container to the raw samples ([[Multimodal.decodeWavSamples]] — the
+    * same validation path q109's aggregate decode exercises), embeds at
+    * the shared encoder boundary, and runs the identical trained-block +
+    * sign-sketch + exact-cosine-verify near-dup
+    * ([[nearDupDroppedFrom]]/[[nearDupAudit]] — shared code, not a copy).
+    * The audio payload is 2× the image payload, so the modalities' dup
+    * structures differ: same-image docs that diverge past byte 256 are
+    * not same-audio. No SQL oracle (real codec + trained quantizer);
+    * AudioNearDupSpec pins parity vs a driver-side reference on planted
+    * same-audio corpora, prefilter admissibility, the decode-once plan,
+    * and the no-cartesian plan. */
+  val q219 = EngineQuery("q219_audio_neardup", None) { t =>
+    nearDupAudit(audioSampleEmbeddings(t), audioNearDupModel(t), audioNearDupDropped(t))
+  }
+
+  /** q220's operating point. The two modality embeddings share a vector
+    * space BY CONSTRUCTION of the encoder boundary: the image embeds the
+    * doc's canonical 256-byte pixel stream, the audio embeds the 512-byte
+    * PCM stream whose first 256 bytes are the SAME canonical prefix, and
+    * [[Multimodal.embedFeatures]]' hash chain walks bytes in order — so a
+    * matched pair's image vector is exactly the audio vector's first-half
+    * contribution sum and the pair cosine concentrates at
+    * ‖v₂₅₆‖/‖v₅₁₂‖ ≈ √(256/512) ≈ 0.707 (±‖w‖/‖v‖ fluctuations), while
+    * unrelated pairs diverge at byte 1 and land near-orthogonal
+    * (±1/√64 ≈ 0.125 σ). Threshold 0.5 splits the two populations at
+    * ≥ 1.6σ from both sides. The sign-sketch slack differs from the
+    * near-dup one because the regime differs: at cos 0.707 a TRUE pair
+    * flips E = 64·acos(0.707)/π ≈ 16 of 64 bits (σ ≈ 3.5), so the
+    * near-dup slack 20 would lose ~12% of true pairs; 28 is +3.4σ
+    * (loss ~3e-4) while unrelated pairs (E = 32, σ = 4) still get cut
+    * ~5×. Query-side fan-out is multi-probe (q37's convention) because a
+    * matched pair at 0.707 need not share a nearest centroid — the probe
+    * count is MEASURED, not guessed (local mirror sweep on the real
+    * corpora): probes 2/4/8/16 give block recall 0.78/0.91/0.98/1.00 at
+    * both gate SFs with candidate volume ∝ probes·√N, and the slack-28
+    * sketch loses nothing on top (e2e == block recall at every point).
+    * 8 probes is the knee: ~0.98 recall at 8·√N candidates per query. */
+  private[graft] val CrossModalAlignT = 0.5
+  private[graft] val CrossModalHammingSlack = 28
+  private[graft] val CrossModalProbes = 8
+
+  /** CROSS-MODAL alignment + retrieval audit — the text↔image↔audio
+    * pairing that goes BEYOND doc_id identity (the last multimodal corner:
+    * q218/q219 dedup within a modality; production multimodal curation
+    * also needs the CLIP/LAION-style check that a doc's modalities agree
+    * with EACH OTHER, and the content-based cross-modal join that finds a
+    * match without an id bridge). Two parts, both served from the memoized
+    * per-modality decode checkpoints (zero new decode passes — the frames
+    * are shared with q218/q219):
+    *
+    *   1. ALIGNMENT (the LAION filter shape): one id-keyed join of the two
+    *      modality frames, exact cosine per pair, counted against
+    *      [[CrossModalAlignT]] — at 100 TB this is the per-pair
+    *      keep/drop signal a multimodal corpus is filtered on.
+    *   2. RETRIEVAL (the beyond-id join): every audio vector queries the
+    *      IMAGE corpus by content — trained coarse blocks
+    *      ([[mediaNearDupModel]]'s quantizer, index-side single
+    *      assignment, query-side [[CrossModalProbes]]-probe fan-out —
+    *      measured knee of the recall/candidate-volume curve), the
+    *      64-bit sign-sketch Hamming prefilter at [[CrossModalHammingSlack]]
+    *      (the candidate join carries one long per side, never vectors),
+    *      exact cosine on candidate ids only, top-1 by (cos desc, id asc).
+    *      The audit counts, per source: queries whose top-1 is their own
+    *      doc (`n_top1_self`), queries resolved to a DIFFERENT doc at
+    *      aligned cosine — a canonical-prefix near-dup found across
+    *      modalities (`n_top1_dup`), and honest misses (`n_miss`:
+    *      blocking/prefilter loss or sub-threshold top-1 — q210's
+    *      audit-not-assume discipline; the spec pins the measured floor).
+    *
+    * Output is COUNTS only (the .xxxx5 rounding-boundary rule: a float
+    * avg would be sum-order-dependent; the threshold comparison rides
+    * round4 like every cosine gate in this family). No SQL oracle (codec +
+    * trained quantizer); CrossModalSpec pins planted-corpus outcomes
+    * (self-retrieval, prefix-dup ties resolving min-id, miss accounting),
+    * admissibility of the slack at the matched-pair operating point, the
+    * decode-once plan, and the no-cartesian plan. */
+  val q220 = EngineQuery("q220_crossmodal_align", None) { t =>
+    import graft.functions.{KMeansTrainer, HyperplaneSignature, CosineSimilarity}
+    val km = mediaNearDupModel(t)
+    val img = mediaPixelEmbeddings(t)
+    val aud = audioSampleEmbeddings(t)
+
+    val aligned = img.select(col("doc_id"), col("embedding").as("ei"))
+      .join(aud.select(col("doc_id"), col("embedding").as("ea")), Seq("doc_id"))
+      .select(col("doc_id"),
+        round4(CosineSimilarity(col("ei"), col("ea"))).as("align"))
+
+    val idx = img.select(col("doc_id").as("img_id"),
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
+    val qry = aud.select(col("doc_id").as("qid"),
+      explode(KMeansTrainer.probeBuckets(col("embedding"), km, CrossModalProbes))
+        .as("bucket"),
+      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
+    // The 2 probes can admit the same (query, image) pair twice → distinct
+    // BEFORE the vector fetch so each candidate is verified once.
+    val cand = qry.as("q")
+      .join(idx.as("i"),
+        col("q.bucket") === col("i.bucket") &&
+          bit_count(col("q.sig").bitwiseXOR(col("i.sig"))) <= CrossModalHammingSlack)
+      .select(col("q.qid").as("qid"), col("i.img_id").as("img_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val scored = cand
+      .join(aud.select(col("doc_id").as("qid"), col("embedding").as("ea")), "qid")
+      .join(img.select(col("doc_id").as("img_id"), col("embedding").as("ei")), "img_id")
+      .select(col("qid"), col("img_id"),
+        round4(CosineSimilarity(col("ea"), col("ei"))).as("cos"))
+    // Deterministic top-1 without a tie-broken max_by: lexicographic max of
+    // (cos, -img_id) = highest cosine, then SMALLEST image id.
+    val top1 = scored
+      .groupBy("qid")
+      .agg(max(struct(col("cos"), (-col("img_id")).as("neg_id"))).as("m"))
+      .select(col("qid").as("doc_id"),
+        (-col("m.neg_id")).as("top_img"), col("m.cos").as("top_cos"))
+
+    orderedByAll(
+      aligned
+        .join(top1, Seq("doc_id"), "left")
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("align") >= CrossModalAlignT, 1L).otherwise(0L))
+            .as("n_aligned"),
+          sum(when(col("top_img") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_top1_self"),
+          sum(when(col("top_img").isNotNull && col("top_img") =!= col("doc_id") &&
+            col("top_cos") >= CrossModalAlignT, 1L).otherwise(0L))
+            .as("n_top1_dup"),
+          sum(when(col("top_img").isNull ||
+            (col("top_img") =!= col("doc_id") &&
+              col("top_cos") < CrossModalAlignT), 1L).otherwise(0L))
+            .as("n_miss")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136, q218, q219, q220)
 }

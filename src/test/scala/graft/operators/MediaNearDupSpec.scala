@@ -99,6 +99,30 @@ class MediaNearDupSpec extends SharedSparkSpec {
     }
   }
 
+  test("q218: sign-sketch admissibility holds on the real sf0.001 and sf0.01 corpora") {
+    // The fixture test covers planted duplicates (identical vectors,
+    // Hamming 0); the real corpora carry BORDERLINE true pairs (cos down
+    // to ~0.91, measured engine-side Hamming up to 14), which is what the
+    // slack actually protects. Assert every true pair — block-restricted,
+    // the rule's own scope — is admitted at both gate SFs.
+    for (sf <- Seq(sf001, sf001.replace("sf0.001", "sf0.01"))) {
+      val t = graft.Tables.forPath(spark, sf)
+      val km = MultimodalQueries.mediaNearDupModel(t)
+      val byBlock = collectEmb(t).groupBy { case (_, v) =>
+        graft.functions.KMeansTrainer.assignLocal(v, km)
+      }
+      for (ms <- byBlock.values; i <- ms.indices; j <- 0 until i) {
+        val (_, va) = ms(j); val (_, vb) = ms(i)
+        if (round4(cos(va, vb)) >= MultimodalQueries.MediaNearDupT) {
+          val ham = java.lang.Long.bitCount(
+            MultimodalQueries.mediaSignLocal(va) ^ MultimodalQueries.mediaSignLocal(vb))
+          assert(ham <= MultimodalQueries.MediaHammingSlack,
+            s"$sf: true pair lost at hamming=$ham > ${MultimodalQueries.MediaHammingSlack}")
+        }
+      }
+    }
+  }
+
   test("q218: audit consistency and cartesian-free plan on sf0.001") {
     val t = graft.Tables.forPath(spark, sf001)
     val audit = MultimodalQueries.q218.run(spark, sf001)
