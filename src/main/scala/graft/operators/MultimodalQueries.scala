@@ -1182,5 +1182,182 @@ object MultimodalQueries {
             .as("n_miss")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136, q218, q219, q220)
+  private val mediaIncModelCache =
+    new graft.SessionCache[graft.functions.KMeansTrainer.Trained]
+  private val mediaStoreIdxCache =
+    new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  /** The FROZEN store-trained coarse quantizer for the nightly media
+    * ingest (q221): trained when the store was built, on STORE docs only
+    * (doc_id % 10 ≠ 0 — q90/q125's split convention), and never retrained
+    * per delta — production does not retrain a quantizer per nightly
+    * batch, because retraining re-buckets the entire standing index.
+    * Same pre-decode driver-sized sample recipe as [[trainCoarseModel]],
+    * k ∝ √(store size). Memoized per (session, dir). */
+  private[graft] def mediaIncrementalModel(
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained =
+    mediaIncModelCache.get(t.spark, s"${t.dir}#mediainc")({
+      val spark = t.spark
+      import spark.implicits._
+      val store = t.documents.filter(col("doc_id") % 10 =!= 0)
+      val k = mediaCoarseK(store.count())
+      val sampleLimit = math.max(256L, 32L * k)
+      val sample = embedDocSlice(t, store.filter(col("doc_id") < sampleLimit))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+      graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
+    })
+
+  /** The frozen store-side media index: (doc_id, bucket, sig) for every
+    * store doc under the store-trained model — the standing artifact a
+    * nightly media ingest joins against (the vector-space member of the
+    * q125-postings / q183-minhash incremental-index family). Derived from
+    * the session's decode-once embedding checkpoint and itself
+    * checkpointed, so a served incremental plan reads it as ExistingRDD
+    * and recomputes nothing corpus-scale. At 100 TB this artifact is a
+    * bucket-partitioned layout on disk (q94's bucketed-join convention) so
+    * the nightly candidate join co-locates; 20-byte rows — never vectors
+    * or media bytes. */
+  private[graft] def mediaStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    mediaStoreIdxCache.get(t.spark, s"${t.dir}#mediastoreidx")({
+      import graft.functions.{KMeansTrainer, HyperplaneSignature}
+      val km = mediaIncrementalModel(t)
+      mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+          HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
+        .localCheckpoint()
+    })
+
+  /** Batch docs the nightly media ingest REJECTS: a batch member with a
+    * store neighbor (any — the store is already admitted) or an
+    * EARLIER batch member (lower doc_id — q125's earlier-member rule) at
+    * exact cosine ≥ [[MediaNearDupT]] inside its frozen-model block.
+    * Per-night work is delta-sized beyond the frozen artifacts: the batch
+    * assigns buckets+signatures map-only, candidates form as
+    * batch ⋈ store-index (on bucket + sign-sketch Hamming — ids and one
+    * long per side through the exchange) plus the batch's internal pairs,
+    * and exact cosine verifies embeddings fetched for CANDIDATE ids only.
+    * The store is never re-bucketed, re-signed, or re-decoded. */
+  private[graft] def mediaIncrementalDropped(
+      t: graft.Tables): org.apache.spark.sql.DataFrame =
+    mediaIngestStep(t, mediaStoreIndex(t), batchAssigned(t))
+
+  /** The batch slice's (doc_id, bucket, sig) under the frozen model —
+    * map-only over the decode-once checkpoint (in production, over the
+    * night's freshly decoded delta). */
+  private[graft] def batchAssigned(
+      t: graft.Tables,
+      sliceIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.{KMeansTrainer, HyperplaneSignature}
+    val km = mediaIncrementalModel(t)
+    val base = mediaPixelEmbeddings(t).filter(col("doc_id") % 10 === 0)
+    val sliced = sliceIds.fold(base)(ids => base.join(ids, Seq("doc_id"), "left_semi"))
+    sliced.select(col("doc_id"),
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
+  }
+
+  /** One ingest decision step, shared by the nightly (q221) and continuous
+    * (q222) forms: the ids of `slice` members with a LEDGER neighbor (any
+    * — everything in the ledger was processed earlier) or an earlier
+    * (lower-id) member of the same slice at exact cosine ≥
+    * [[MediaNearDupT]] inside their frozen-model block. The slice side is
+    * delta-sized; the ledger side joins as its standing (bucket, sig)
+    * index — ids and one long per side through the exchange, embeddings
+    * fetched for CANDIDATE ids only. */
+  private[graft] def mediaIngestStep(
+      t: graft.Tables,
+      ledger: org.apache.spark.sql.DataFrame,
+      slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = mediaPixelEmbeddings(t)
+    val s = slice.localCheckpoint(eager = false) // slice-sized; feeds both joins
+    val candLedger = s.as("b")
+      .join(ledger.as("s"),
+        col("b.bucket") === col("s.bucket") &&
+          bit_count(col("b.sig").bitwiseXOR(col("s.sig"))) <= MediaHammingSlack)
+      .select(col("s.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val candSlice = s.as("a")
+      .join(s.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= MediaHammingSlack)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = candLedger.unionByName(candSlice).localCheckpoint(eager = false)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val fetch = emb.join(candDocs, Seq("doc_id")).localCheckpoint(eager = false)
+    cand
+      .join(fetch.select(col("doc_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
+      .join(fetch.select(col("doc_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
+      .filter(round4(graft.functions.CosineSimilarity(col("ea"), col("eb"))) >= MediaNearDupT)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+  }
+
+  /** INCREMENTAL media near-dup — the nightly-ingest form of q218 (the
+    * family convention: q90 exact / q125 fuzzy / q183 minhash / q185
+    * semdedup all have incremental twins; this is the trained-block vector
+    * twin). Yesterday's corpus is a frozen store ([[mediaStoreIndex]]: the
+    * store-trained quantizer + per-doc bucket and sign signature, built
+    * once); tonight's batch (doc_id ≡ 0 mod 10) is decoded, bucketed and
+    * signed delta-only, admitted unless a store member or an earlier batch
+    * member sits at exact cosine ≥ [[MediaNearDupT]] in its block
+    * ([[mediaIncrementalDropped]]). Output is the per-bucket ingest audit:
+    * batch arrivals, admitted, rejected. No SQL oracle (codec + trained
+    * quantizer); MediaIncrementalSpec pins the rejected set against a
+    * single-node mirror of the exact rule on planted (store-dup,
+    * batch-internal-dup, unique) corpora and the real corpus, audit
+    * accounting, the decode-once plan, and the no-cartesian plan. */
+  val q221 = EngineQuery("q221_media_neardup_incremental", None) { t =>
+    import graft.functions.KMeansTrainer
+    val km = mediaIncrementalModel(t)
+    val batch = mediaPixelEmbeddings(t).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+    val rejected = mediaIncrementalDropped(t).withColumn("rej", lit(1))
+    orderedByAll(
+      batch.join(rejected, Seq("doc_id"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("rej").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+          sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_admitted")))
+  }
+
+  /** CONTINUOUS media ingest — the third member of the media triple
+    * (one-shot q218 / nightly q221 / continuous q222), the q216 convention
+    * on the vector index: the batch arrives as id-ordered micro-batches
+    * (the engine's window-free [[CurationQueries.generations]] slicer),
+    * each slice is decided by [[mediaIngestStep]] against the frozen store
+    * index PLUS a sequentially maintained ledger of every PROCESSED batch
+    * member — processed, not admitted: the earlier-member rule counts
+    * lower-id members regardless of their own fate, which is exactly what
+    * makes sequential decisions reproduce q221's one-shot batch rule —
+    * and the slice's (bucket, sig) rows append to the ledger after its
+    * decisions. Per-arrival work is slice-sized beyond the frozen
+    * artifacts; the ledger checkpoint keeps lineage flat across
+    * generations (q216's discipline). Output is IDENTICAL to q221's audit
+    * — MediaStreamSpec pins q222 ≡ q221 row-for-row and drives the same
+    * step function from a real readStream/foreachBatch pipeline. */
+  val q222 = EngineQuery("q222_media_stream_ingest", None) { t =>
+    val batchIdx = batchAssigned(t).localCheckpoint()
+    val sliced = CurationQueries.generations(batchIdx, 3).localCheckpoint()
+    var ledger = mediaStoreIndex(t)
+    var rejected: org.apache.spark.sql.DataFrame = null
+    for (g <- 1 to 3) {
+      val slice = sliced.filter(col("gen") === g).drop("gen")
+      val rej = mediaIngestStep(t, ledger, slice).localCheckpoint()
+      rejected = if (rejected == null) rej else rejected.unionByName(rej)
+      ledger = ledger.unionByName(slice).localCheckpoint()
+    }
+    orderedByAll(
+      batchIdx.select("doc_id", "bucket")
+        .join(rejected.withColumn("rej", lit(1)), Seq("doc_id"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("rej").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+          sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_admitted")))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222)
 }
