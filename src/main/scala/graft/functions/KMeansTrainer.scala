@@ -229,14 +229,17 @@ object KMeansTrainer {
       emb, m.centroids.flatMap(_.toIndexedSeq), m.centroids.head.length)
 
   /** The `nprobe` nearest centroid ids ascending by (d2, cid) — the
-    * multi-probe bucket list for query-side fan-out, map-only. */
-  def probeBuckets(emb: org.apache.spark.sql.Column, m: Trained, nprobe: Int): org.apache.spark.sql.Column = {
-    val d = centroidD2s(emb, m)
-    slice(transform(array_sort(zip_with(
-      d, typedLit(m.centroids.indices.map(_.toLong)),
-      (dd, c) => struct(dd.as("d2"), c.as("cid")))),
-      s => s.getField("cid").cast("int")), 1, nprobe)
-  }
+    * multi-probe bucket list for query-side fan-out, map-only. One fused
+    * codegen loop ([[graft.functions.NearestCentroids]]): the previous
+    * litD2s → zip_with → array_sort → slice pipeline was interpreted end
+    * to end (HOFs are CodegenFallback) at k×dim lambda steps plus a
+    * k-struct sort per row — with k ∝ √N, an N^1.5 interpreted term that
+    * measured as the dominant cost of q220's sf1x warm pass at k = 224.
+    * Same d2 fold order and (d2, cid)-ascending tie rule: probe lists are
+    * identical to the previous expression (similarity suites unchanged). */
+  def probeBuckets(emb: org.apache.spark.sql.Column, m: Trained, nprobe: Int): org.apache.spark.sql.Column =
+    graft.functions.NearestCentroids(
+      emb, m.centroids.flatMap(_.toIndexedSeq), m.centroids.head.length, nprobe)
 
   /** The centroid for a bucket-id COLUMN, as one literal k×dim array
     * lookup — the building block of residual encoding (vector − its coarse
