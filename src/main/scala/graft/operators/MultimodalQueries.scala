@@ -409,6 +409,38 @@ object Multimodal {
     Some(java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen.toInt))
   }
 
+  /** REAL video decode surfacing the sampled frames' PIXELS — the
+    * pixel-level twin of [[sampleVideoFrames]] (same GVID magic check,
+    * bounds-checked length-prefixed index walk, real per-frame PNG
+    * decode): the concatenated decoded pixel bytes of every `stride`-th
+    * frame for a well-formed container, None on anything malformed. This
+    * is the decode q223's video near-dup embeds, exactly as
+    * [[decodePngPixels]] is q218's and [[decodeWavSamples]] q219's. */
+  def decodeVideoSampledPixels(bytes: Array[Byte], stride: Int): Option[Array[Byte]] = {
+    require(stride > 0)
+    val b = bytes
+    if (b.length < 5 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D') return None
+    val n = b(4) & 0xff
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 5
+    var f = 0
+    while (f < n) {
+      if (off + 4 > b.length) return None
+      val len = java.nio.ByteBuffer.wrap(b, off, 4).getInt
+      off += 4
+      if (len < 0 || off + len > b.length) return None
+      if (f % stride == 0) {
+        decodePngPixels(java.util.Arrays.copyOfRange(b, off, off + len)) match {
+          case Some((_, _, _, _, px)) => out.write(px)
+          case None => return None
+        }
+      }
+      off += len
+      f += 1
+    }
+    Some(out.toByteArray)
+  }
+
   /** First `n` US-ASCII bytes of `text`, space-padded — the deterministic
     * pixel/sample source for the synthetic media payloads of q109 (the
     * testdata ships no true media column; the padding rule is mirrored
@@ -862,6 +894,52 @@ object MultimodalQueries {
     audioEmbCache.get(t.spark, s"${t.dir}#audioemb")(
       audioEmbedDocSlice(t, t.documents).localCheckpoint())
 
+  /** q223's frame geometry: q135's exact container (4 frames, frame f's
+    * 256 pixels = text bytes from offset 16·f) sampled at stride 2, so the
+    * embedded pixel stream is bytes [0, 256) ∪ [32, 288) — a 288-byte
+    * effective dup span, strictly between the image's 256 and the audio's
+    * 512: docs identical to byte 256 but divergent in [256, 288) are image
+    * dups but NOT video dups, and docs identical to byte 288 but divergent
+    * later are video dups but NOT audio dups (both spec-pinned). */
+  private[graft] val VideoFrames = 4
+  private[graft] val VideoFrameSpan = 16
+  private[graft] val VideoStride = 2
+
+  /** The video decode→embed pass over a documents slice: q135's exact
+    * synthesis (4-frame GVID of real PNGs) through the REAL container walk
+    * + per-frame PNG decode surfacing sampled pixels
+    * ([[Multimodal.decodeVideoSampledPixels]]), embedded at the shared
+    * encoder boundary. Map-only; video bytes never leave the scan
+    * partition. Same pre-codec repartition and filter-the-documents-side
+    * contract as [[embedDocSlice]]. */
+  private def videoEmbedDocSlice(
+      t: graft.Tables,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    import Multimodal._
+    implicit val mEnc = Encoders.product[MediaRecord]
+    val px = docs.select(col("doc_id"), col("source"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, src, text) =>
+        val frames = (0 until VideoFrames).map(f =>
+          encodePngGray(padBytes(text.drop(VideoFrameSpan * f), 256), 16, 16))
+        decodeVideoSampledPixels(encodeVideo(frames), VideoStride)
+          .map(MediaRecord(id, src, _))
+      })
+    embedFeatures(px).toDF
+  }
+
+  private val videoEmbCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  /** Decoded sampled-frame video embeddings, decoded once per (session,
+    * dir) — [[mediaPixelEmbeddings]]'s video twin, same checkpoint
+    * economics. */
+  private[graft] def videoFrameEmbeddings(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    videoEmbCache.get(t.spark, s"${t.dir}#videoemb")(
+      videoEmbedDocSlice(t, t.documents).localCheckpoint())
+
   /** q218's operating point: exact-cosine near-dup threshold and the
     * sign-sketch prefilter slack. The prefilter is a 64-bit hyperplane sign
     * signature ([[graft.functions.HyperplaneSignature]], q49's codegen'd
@@ -895,20 +973,37 @@ object MultimodalQueries {
     IndexedSeq.fill(MediaSignBits * 64)(rng.nextGaussian())
   }
 
-  /** Local parity twin of the engine-side signature (same float→double
-    * widening and strict `dot > 0` sign rule as
-    * [[graft.functions.HyperplaneSignature]]). */
-  private[graft] def mediaSignLocal(v: Array[Double]): Long = {
+  /** Seeded plane sets for q220's 256-bit cross-modal sketch
+    * ([[graft.functions.HyperplaneSignature]] packs 64 bits per long, so
+    * 256 bits ride as four columns). Own seeds, independent of
+    * [[mediaSignPlanes]] and of each other. */
+  private[graft] lazy val crossModalPlaneSets: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 4).map { h =>
+      val rng = new scala.util.Random(20260815L + h)
+      IndexedSeq.fill(MediaSignBits * 64)(rng.nextGaussian())
+    }
+
+  private def signLocalWith(v: Array[Double], planes: IndexedSeq[Double]): Long = {
     var sig = 0L
     var p = 0
     while (p < MediaSignBits) {
       var dot = 0.0; var i = 0; val off = p * 64
-      while (i < v.length && i < 64) { dot += v(i) * mediaSignPlanes(off + i); i += 1 }
+      while (i < v.length && i < 64) { dot += v(i) * planes(off + i); i += 1 }
       if (dot > 0) sig |= (1L << p)
       p += 1
     }
     sig
   }
+
+  /** Local parity twin of the engine-side signature (same float→double
+    * widening and strict `dot > 0` sign rule as
+    * [[graft.functions.HyperplaneSignature]]). */
+  private[graft] def mediaSignLocal(v: Array[Double]): Long =
+    signLocalWith(v, mediaSignPlanes)
+
+  /** Local parity twin of the 256-bit cross-modal sketch (4 longs). */
+  private[graft] def crossModalSignLocal(v: Array[Double]): IndexedSeq[Long] =
+    crossModalPlaneSets.map(signLocalWith(v, _))
 
   /** Coarse blocking fan-out as a function of corpus size — k = √N (the
     * SemDeDup-family convention), floored at 8 so tiny fixtures keep the
@@ -962,6 +1057,16 @@ object MultimodalQueries {
     audioModelCache.get(t.spark, s"${t.dir}#audionear")(
       trainCoarseModel(t, audioEmbedDocSlice(t, _)))
 
+  private val videoModelCache =
+    new graft.SessionCache[graft.functions.KMeansTrainer.Trained]
+
+  /** [[trainCoarseModel]] on the video-feature space, memoized per
+    * (session, dir). */
+  private[graft] def videoNearDupModel(
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained =
+    videoModelCache.get(t.spark, s"${t.dir}#videonear")(
+      trainCoarseModel(t, videoEmbedDocSlice(t, _)))
+
   /** The docs a min-id-wins near-dup dedup would drop from a decoded
     * modality: members with a lower-id neighbor at exact cosine ≥
     * [[MediaNearDupT]] inside their trained coarse block. Pipeline: block
@@ -1005,6 +1110,11 @@ object MultimodalQueries {
     * AudioNearDupSpec's parity assertions. */
   private[graft] def audioNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame =
     nearDupDroppedFrom(audioSampleEmbeddings(t), audioNearDupModel(t))
+
+  /** [[nearDupDroppedFrom]] on the video modality — exposed for
+    * VideoNearDupSpec's parity assertions. */
+  private[graft] def videoNearDupDropped(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    nearDupDroppedFrom(videoFrameEmbeddings(t), videoNearDupModel(t))
 
   /** The per-bucket near-dup audit (q154's shape): media count and members
     * a min-id-wins dedup would drop — q218/q219's shared report body. */
@@ -1061,6 +1171,29 @@ object MultimodalQueries {
     nearDupAudit(audioSampleEmbeddings(t), audioNearDupModel(t), audioNearDupDropped(t))
   }
 
+  /** VIDEO near-dup — the third modality twin (q218 image / q219 audio /
+    * q223 video, completing the brief's media coverage): each doc
+    * synthesizes q135's exact 4-frame GVID container of real PNGs, the
+    * engine walks the REAL container and decodes every
+    * [[VideoStride]]-th frame to pixels
+    * ([[Multimodal.decodeVideoSampledPixels]] — q135's validation walk
+    * surfacing the payload), embeds the concatenated sampled frames at the
+    * shared encoder boundary, and runs the identical trained-block +
+    * sign-sketch + exact-cosine-verify near-dup
+    * ([[nearDupDroppedFrom]]/[[nearDupAudit]] — one pipeline, three
+    * modalities). The sampled-frame window is [0, 256) ∪ [32, 288) — 288
+    * effective text bytes. Span algebra, pinned honestly: the video window
+    * NESTS the image window, so an image-span (256) dup keeps 480 of 512
+    * embedded bytes and stays a video near-dup at cos ≈ 0.94; a
+    * video-span (288) dup is NOT an audio dup (audio reads to 512). No
+    * SQL oracle (real codec + trained quantizer); VideoNearDupSpec pins
+    * parity vs a driver-side reference on planted same-video corpora,
+    * both nesting facts, the decode-once plan, and the no-cartesian
+    * plan. */
+  val q223 = EngineQuery("q223_video_neardup", None) { t =>
+    nearDupAudit(videoFrameEmbeddings(t), videoNearDupModel(t), videoNearDupDropped(t))
+  }
+
   /** q220's operating point. The two modality embeddings share a vector
     * space BY CONSTRUCTION of the encoder boundary: the image embeds the
     * doc's canonical 256-byte pixel stream, the audio embeds the 512-byte
@@ -1071,20 +1204,31 @@ object MultimodalQueries {
     * ‖v₂₅₆‖/‖v₅₁₂‖ ≈ √(256/512) ≈ 0.707 (±‖w‖/‖v‖ fluctuations), while
     * unrelated pairs diverge at byte 1 and land near-orthogonal
     * (±1/√64 ≈ 0.125 σ). Threshold 0.5 splits the two populations at
-    * ≥ 1.6σ from both sides. The sign-sketch slack differs from the
-    * near-dup one because the regime differs: at cos 0.707 a TRUE pair
-    * flips E = 64·acos(0.707)/π ≈ 16 of 64 bits (σ ≈ 3.5), so the
-    * near-dup slack 20 would lose ~12% of true pairs; 28 is +3.4σ
-    * (loss ~3e-4) while unrelated pairs (E = 32, σ = 4) still get cut
-    * ~5×. Query-side fan-out is multi-probe (q37's convention) because a
-    * matched pair at 0.707 need not share a nearest centroid — the probe
-    * count is MEASURED, not guessed (local mirror sweep on the real
-    * corpora): probes 2/4/8/16 give block recall 0.78/0.91/0.98/1.00 at
-    * both gate SFs with candidate volume ∝ probes·√N, and the slack-28
-    * sketch loses nothing on top (e2e == block recall at every point).
-    * 8 probes is the knee: ~0.98 recall at 8·√N candidates per query. */
+    * ≥ 1.6σ from both sides. The sketch is 256-bit (four longs, plane
+    * sets [[crossModalPlaneSets]]) where the near-dups use 64, because the
+    * cos-0.707 regime is intrinsically harder for sign bits AND the
+    * population the filter must cut is not random-orthogonal: probing
+    * admits IN-BUCKET pairs, whose ambient cosine (~0.15 — they share a
+    * nearest centroid by construction) puts them at E ≈ 0.45·bits flipped
+    * vs the matched pair's 0.25·bits, only ~0.2·bits apart — and the
+    * σ-distance of that fixed angular gap grows as √bits. Measured on the
+    * sf1x decade: 64 bits at the recall-equivalent slack 28 admitted ~16%
+    * of probed pairs into the vector-carrying verify joins (q220 warm
+    * 8.6× at 10× data), 128 bits at slack 49 still ~8% (ambient pairs sat
+    * 1.6σ above the cut); at 256 bits the cut sits +3.5σ from the matched
+    * mean (E = 64, σ = 6.9 → slack 88, loss ~2e-4) and −3.5σ from the
+    * ambient mean (E ≈ 116, σ = 8 → admission ~2e-4), and the candidate
+    * count fell 7.17M → matched-scale. The sketch is map-only work and
+    * four longs per pair side — still no vectors in the pair exchange.
+    * Query-side fan-out is multi-probe (q37's convention)
+    * because a matched pair at 0.707 need not share a nearest centroid —
+    * the probe count is MEASURED, not guessed (local mirror sweep on the
+    * real corpora): probes 2/4/8/16 give block recall 0.78/0.91/0.98/1.00
+    * at both gate SFs with candidate volume ∝ probes·√N, and the sketch
+    * loses nothing on top (e2e == block recall at every point). 8 probes
+    * is the knee: ~0.98 recall at 8·√N candidates per query. */
   private[graft] val CrossModalAlignT = 0.5
-  private[graft] val CrossModalHammingSlack = 28
+  private[graft] val CrossModalHammingSlack = 88
   private[graft] val CrossModalProbes = 8
 
   /** CROSS-MODAL alignment + retrieval audit — the text↔image↔audio
@@ -1105,8 +1249,8 @@ object MultimodalQueries {
     *      ([[mediaNearDupModel]]'s quantizer, index-side single
     *      assignment, query-side [[CrossModalProbes]]-probe fan-out —
     *      measured knee of the recall/candidate-volume curve), the
-    *      64-bit sign-sketch Hamming prefilter at [[CrossModalHammingSlack]]
-    *      (the candidate join carries one long per side, never vectors),
+    *      128-bit sign-sketch Hamming prefilter at [[CrossModalHammingSlack]]
+    *      (the candidate join carries two longs per side, never vectors),
     *      exact cosine on candidate ids only, top-1 by (cos desc, id asc).
     *      The audit counts, per source: queries whose top-1 is their own
     *      doc (`n_top1_self`), queries resolved to a DIFFERENT doc at
@@ -1133,21 +1277,27 @@ object MultimodalQueries {
       .select(col("doc_id"),
         round4(CosineSimilarity(col("ei"), col("ea"))).as("align"))
 
-    val idx = img.select(col("doc_id").as("img_id"),
-      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
-      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
-    val qry = aud.select(col("doc_id").as("qid"),
+    val sigCols = crossModalPlaneSets.zipWithIndex.map { case (ps, h) =>
+      HyperplaneSignature(col("embedding"), ps, 64).as(s"sig$h") }
+    val idx = img.select(col("doc_id").as("img_id") +:
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket") +: sigCols: _*)
+    // Pin the pair join's width explicitly: its shuffle is byte-tiny (ids,
+    // a bucket, four longs) but its probe side evaluates Σ|q_b|·|i_b|
+    // Hamming conditions — AQE coalesces by BYTES and measured it down to
+    // 4 partitions at sf1x, serializing ~90M condition evaluations onto 4
+    // cores. An explicit numPartitions is a user constraint AQE keeps.
+    val qry = aud.select(col("doc_id").as("qid") +:
       explode(KMeansTrainer.probeBuckets(col("embedding"), km, CrossModalProbes))
-        .as("bucket"),
-      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
-    // The 2 probes can admit the same (query, image) pair twice → distinct
-    // BEFORE the vector fetch so each candidate is verified once.
+        .as("bucket") +: sigCols: _*)
+      .repartition(t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
+    // No distinct: an image has exactly ONE assigned bucket, so a (query,
+    // image) pair forms at most once across the probe fan-out.
+    val ham = (0 until crossModalPlaneSets.length)
+      .map(h => bit_count(col(s"q.sig$h").bitwiseXOR(col(s"i.sig$h"))))
+      .reduce(_ + _)
     val cand = qry.as("q")
-      .join(idx.as("i"),
-        col("q.bucket") === col("i.bucket") &&
-          bit_count(col("q.sig").bitwiseXOR(col("i.sig"))) <= CrossModalHammingSlack)
+      .join(idx.as("i"), col("q.bucket") === col("i.bucket") && ham <= CrossModalHammingSlack)
       .select(col("q.qid").as("qid"), col("i.img_id").as("img_id"))
-      .distinct()
       .localCheckpoint(eager = false)
     val scored = cand
       .join(aud.select(col("doc_id").as("qid"), col("embedding").as("ea")), "qid")
@@ -1359,5 +1509,6 @@ object MultimodalQueries {
           sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_admitted")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222)
+  val all: Seq[EngineQuery] =
+    Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** q220 cross-modal alignment + retrieval audit. Pins (1) FULL parity of
   * the per-source audit row against a single-node reference that mirrors
-  * the engine rule exactly (multi-probe trained blocks, sign-sketch Hamming
+  * the engine rule exactly (multi-probe trained blocks, 256-bit sign-sketch Hamming
   * prefilter at the cross-modal slack, exact round4-cosine top-1 with the
   * (cos desc, id asc) tie rule) on both a planted corpus and the real
   * sf0.001 corpus, (2) the planted outcomes themselves — identical-prefix
@@ -42,7 +42,8 @@ class CrossModalSpec extends SharedSparkSpec {
     val img = collect(MultimodalQueries.mediaPixelEmbeddings(t))
     val aud = collect(MultimodalQueries.audioSampleEmbeddings(t))
     val imgById = img.toMap
-    val sigOf = img.map { case (id, v) => id -> MultimodalQueries.mediaSignLocal(v) }.toMap
+    val sigOf = img.map { case (id, v) =>
+      id -> MultimodalQueries.crossModalSignLocal(v) }.toMap
     val byBucket = img.groupBy { case (_, v) => KMeansTrainer.assignLocal(v, km) }
     val srcOf = t.documents.select(col("doc_id"), col("source"))
       .as[(Long, String)].collect().toMap
@@ -53,11 +54,14 @@ class CrossModalSpec extends SharedSparkSpec {
         .take(MultimodalQueries.CrossModalProbes)
 
     val rows = aud.map { case (qid, av) =>
-      val qsig = MultimodalQueries.mediaSignLocal(av)
+      val qsig = MultimodalQueries.crossModalSignLocal(av)
       val candIds = probes(av).flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
         .map(_._1).distinct
-        .filter(i => java.lang.Long.bitCount(sigOf(i) ^ qsig) <=
-          MultimodalQueries.CrossModalHammingSlack)
+        .filter { i =>
+          val isig = sigOf(i)
+          qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum <=
+            MultimodalQueries.CrossModalHammingSlack
+        }
       val scored = candIds.map(i => (i, round4(cos(av, imgById(i)))))
       val top = if (scored.isEmpty) None
         else Some(scored.minBy { case (i, c) => (-c, i) })
