@@ -1080,9 +1080,15 @@ object MultimodalQueries {
       emb: org.apache.spark.sql.DataFrame,
       km: graft.functions.KMeansTrainer.Trained): org.apache.spark.sql.DataFrame = {
     import graft.functions.{KMeansTrainer, HyperplaneSignature}
+    // Pin the pair join's width (q220's AQE lesson): the shuffle carries
+    // ~28 B/row but the join evaluates Σn_c² Hamming conditions, and AQE
+    // coalesces by BYTES — an explicit numPartitions is a user constraint
+    // it keeps, and the self-join reuses the one exchange.
     val assigned = emb.select(col("doc_id"),
       KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
       HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
+      .repartition(
+        emb.sparkSession.sessionState.conf.numShufflePartitions, col("bucket"))
     val cand = assigned.as("a")
       .join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
@@ -1422,7 +1428,13 @@ object MultimodalQueries {
       ledger: org.apache.spark.sql.DataFrame,
       slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val emb = mediaPixelEmbeddings(t)
-    val s = slice.localCheckpoint(eager = false) // slice-sized; feeds both joins
+    // Slice-sized; feeds both joins. The bucket repartition pins the pair
+    // joins' width (q220's AQE lesson — byte-tiny shuffles, Σ-pair
+    // compute): pinning the slice side forces the co-partitioned ledger
+    // exchange to the same width, so AQE cannot coalesce either.
+    val s = slice.localCheckpoint(eager = false)
+      .repartition(
+        t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
     val candLedger = s.as("b")
       .join(ledger.as("s"),
         col("b.bucket") === col("s.bucket") &&
