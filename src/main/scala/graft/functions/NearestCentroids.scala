@@ -86,7 +86,7 @@ case class NearestCentroids(
          |    $bd[$j] = $d; $bi[$j] = $c;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($bi);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bi);
        """.stripMargin
     })
   }
