@@ -23,10 +23,13 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 echo -e "query\tsf\tcold_s\twarm_s" > "$OUT"
+# The two fixture dirs to compare (low then high); override for other
+# decades, e.g. SF_DIRS="scaledata/sf1x scaledata/sf10x" for the second.
+SF_DIRS=${SF_DIRS:-"/root/testdata/sf0.1 /root/repo/scaledata/sf1x"}
 for q in $QUERIES; do
-  for sf in /root/testdata/sf0.1 /root/repo/scaledata/sf1x; do
+  for sf in $SF_DIRS; do
     LOG=$(mktemp)
-    SPARK_GRAFT_CPUS=32 java $ADD_OPENS -Xmx12g \
+    SPARK_GRAFT_CPUS=32 java $ADD_OPENS -Xmx${BENCH_XMX:-12g} \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
       graft.BenchOne "$q" "$sf" 3 > "$LOG" 2>&1 || { echo "FAIL $q $sf"; tail -5 "$LOG"; exit 1; }
@@ -42,10 +45,15 @@ python3 - "$OUT" <<'PYEOF'
 import sys, collections
 rows = [l.split('\t') for l in open(sys.argv[1]).read().strip().split('\n')[1:]]
 d = collections.defaultdict(dict)
+order = []
 for q, sf, c, w in rows:
     d[q][sf] = (float(c), float(w))
-print(f"\n{'query':<30} {'cold0.1':>8} {'cold1x':>8} {'ratio':>6} {'warm0.1':>8} {'warm1x':>8} {'ratio':>6}")
+    if sf not in order:
+        order.append(sf)
+lo, hi = order[0], order[1]
+print(f"\n{'query':<30} {'cold:'+lo:>10} {'cold:'+hi:>10} {'ratio':>6} "
+      f"{'warm:'+lo:>10} {'warm:'+hi:>10} {'ratio':>6}")
 for q, v in d.items():
-    c0, w0 = v['sf0.1']; c1, w1 = v['sf1x']
-    print(f"{q:<30} {c0:>8.2f} {c1:>8.2f} {c1/c0:>6.1f} {w0:>8.2f} {w1:>8.2f} {w1/w0:>6.1f}")
+    c0, w0 = v[lo]; c1, w1 = v[hi]
+    print(f"{q:<30} {c0:>10.2f} {c1:>10.2f} {c1/c0:>6.1f} {w0:>10.2f} {w1:>10.2f} {w1/w0:>6.1f}")
 PYEOF
