@@ -1516,6 +1516,25 @@ object TextQueries {
   }
 
   private val prefixPostingsCache = new graft.SessionCache[DataFrame]
+  private val shingleArraysCache = new graft.SessionCache[DataFrame]
+
+  /** Per-doc sorted shingle-hash ARRAYS — the candidate-verification twin of
+    * [[corpusPostings]], memoized per (session, dir): `(doc_id, sh)` with
+    * `sh` the doc's distinct 5-gram hashes sorted ascending (~8·n bytes per
+    * doc, the same bytes as its postings, pivoted row→array once). Exact
+    * overlap of a candidate pair is then `size(array_intersect(sa, sb))` on
+    * two fetched arrays — candidate-LOCAL work — where the postings-join
+    * formulation re-shuffled the full corpus-scale inverted index through
+    * two joins and a pair-grouped count on EVERY evaluation (measured: the
+    * dominant q151 warm term at the second decade). Same hash basis as the
+    * postings join, so the count is bit-identical and the q151 oracle hash
+    * proves losslessness. At 100 TB this is q144's at-rest layout pivoted
+    * doc-major — the fetch side of a production verify stage. */
+  private[operators] def corpusShingleArrays(t: graft.Tables): DataFrame =
+    shingleArraysCache.get(t.spark, s"${t.dir}#ngram5arr")(
+      corpusPostings(t)._1.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("s"))).as("sh"))
+        .localCheckpoint())
 
   /** The corpus prefix-posting index, memoized per (session, dir) — the
     * AllPairs/PPJoin standing index (each doc's rarest n − ⌈t·n⌉ + 1
@@ -1587,20 +1606,24 @@ object TextQueries {
            |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    val inv = corpusPostings(t)._1
     val cand = prefixCandidates(corpusPrefixPostings(t))
-    // Exact verification on candidates only: count common shingles by
-    // walking a's postings and probing b's — both equi-joins, keyed by
-    // doc id then (doc_b, s); the corpus text never moves.
-    val common = cand
-      .join(inv.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(inv.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
+    // Exact verification on candidates only, candidate-LOCAL: fetch the two
+    // docs' shingle-hash arrays from the standing [[corpusShingleArrays]]
+    // (restricted to candidate ids first — the media-family fetch pattern)
+    // and count the overlap in one codegen'd array_intersect per pair. The
+    // corpus-scale inverted index never enters the verify plan.
+    val arrs = corpusShingleArrays(t)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val fetch = arrs.join(candDocs, Seq("doc_id")).localCheckpoint(eager = false)
+    val scored = cand
+      .join(fetch.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(fetch.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common")).cast("double")
     orderedByAll(
-      common.filter(jac >= SimT)
+      scored.filter(jac >= SimT)
         .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
   }
 
