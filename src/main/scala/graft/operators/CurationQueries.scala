@@ -272,6 +272,18 @@ object CurationQueries {
     storePostingsCache.get(t.spark, s"${t.dir}#curstoreinv")(
       TextQueries.refPostings(t, frozenStoreIds(t)).localCheckpoint())
 
+  private val storeKeysCache = new graft.SessionCache[DataFrame]
+
+  /** The frozen store's digest-key set, memoized per (session, dir) — the
+    * second standing artifact a nightly/continuous ingest holds next to the
+    * store (keys for the exact stage, [[storePostings]] for near-dup). Both
+    * incremental funnels check every arrival against this same frame;
+    * without the memo each evaluation re-restricted [[docMeta]] and, in the
+    * continuous form, re-CHECKPOINTED the store-scale result per run. */
+  private[graft] def frozenStoreKeys(t: graft.Tables): DataFrame =
+    storeKeysCache.get(t.spark, s"${t.dir}#curstorekeys")(
+      storeDigestKeys(t, frozenStoreIds(t)).localCheckpoint())
+
   /** The INCREMENTAL run of q214's pipeline — the nightly form: yesterday's
     * store is FROZEN (the base split run through the full funnel), and only
     * today's batch (doc_id ≡ 0 mod 10, q90/q125's ingest split) flows
@@ -419,8 +431,9 @@ object CurationQueries {
     // ingest-bounded side — the only side the optimizer may broadcast);
     // hits are bounded by |batch| and anti-filter the batch. No explicit
     // hints: on a bulk backfill the same plan degrades gracefully to a
-    // 32-byte-key shuffle join, never a store-wide broadcast.
-    val storeKeys = digests(stage(storeIds)).select("key")
+    // 32-byte-key shuffle join, never a store-wide broadcast. The key set
+    // is the standing [[frozenStoreKeys]] artifact (q216 shares it).
+    val storeKeys = frozenStoreKeys(t)
     val batchKeyed = digests(batch2)
     val batchMin = batchKeyed
       .join(batchKeyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
@@ -454,14 +467,36 @@ object CurationQueries {
         .unionByName(rep(5, "decontaminate", stage(batch5ids), "ntok")))
   }
 
-  /** Mutable-between-arrivals state of the continuous funnel: the digest
-    * LEDGER (store digests ∪ digests of every doc admitted past the exact
-    * stage — admitted-then-dropped docs stay in the ledger, which is what
-    * makes sequential processing reproduce the one-shot batch-internal min
-    * rule) and the exact-survivor id set (the near-dup earlier-member
-    * reference). Both id-/digest-scale, localCheckpointed per step. */
+  /** Mutable-between-arrivals state of the continuous funnel. The digest
+    * LEDGER the exact stage checks is store digests ∪ digests of every doc
+    * admitted past the exact stage (admitted-then-dropped docs stay in the
+    * ledger, which is what makes sequential processing reproduce the
+    * one-shot batch-internal min rule) — but it is HELD as two frames, a
+    * frozen store side plus a delta-side accumulator, because the state
+    * transition re-checkpoints what it accumulates: folding the store into
+    * the accumulated frame would re-write the curated CORPUS's digest set
+    * on every micro-batch (~320 GB of checkpoint I/O per arrival at
+    * 100 TB), where the delta-side frames are bounded by the ingest. Same
+    * split for the near-dup reference: the store postings are the standing
+    * [[storePostings]] artifact, and only the admitted slices' postings
+    * accumulate. Everything here is id-/digest-scale (never text). */
   private[graft] final case class FunnelState(
-      ledgerKeys: DataFrame, admittedIds: DataFrame)
+      storeKeys: DataFrame, storeInv: DataFrame,
+      batchKeys: DataFrame, admittedIds: DataFrame, admittedInv: DataFrame)
+
+  private[graft] object FunnelState {
+    /** Initial state of an ingest against the FROZEN store: the memoized
+      * store digest keys and standing postings (session artifacts — built
+      * once, never re-written by steps), empty delta accumulators. */
+    def frozen(t: graft.Tables): FunnelState = {
+      val keys = frozenStoreKeys(t)
+      val inv = storePostings(t)
+      FunnelState(keys, inv,
+        keys.limit(0).localCheckpoint(),
+        frozenStoreIds(t).limit(0).localCheckpoint(),
+        inv.limit(0).localCheckpoint())
+    }
+  }
 
   /** The per-stage id frames one arrival slice produces:
     * raw / quality / exact / near-dup / clean survivors of THIS slice. */
@@ -474,10 +509,17 @@ object CurationQueries {
     * arriving slice checks against the frozen store plus the ledger of
     * earlier slices. PRECONDITION: slices arrive in ascending doc_id order
     * (each slice's ids all above the previous slice's) — that is what makes
-    * the sequential decisions identical to q215's one-shot rules. */
+    * the sequential decisions identical to q215's one-shot rules.
+    *
+    * Per-step cost accounting (the 100 TB contract): the store-side frames
+    * in `st` are never re-derived or re-checkpointed — the step WRITES only
+    * slice-scale frames (the slice's survivors, their digests, their
+    * postings), and the one corpus-index touch is a single postings scan
+    * restricted to the slice's exact survivors, reused for both the
+    * near-dup delta side and the admitted-postings append. */
   private[graft] def curationStep(
-      t: graft.Tables, storeIds: DataFrame, sliceIds: DataFrame,
-      st: FunnelState, storeInv: Option[DataFrame] = None): (FunnelState, SliceFrames) = {
+      t: graft.Tables, sliceIds: DataFrame,
+      st: FunnelState): (FunnelState, SliceFrames) = {
     val raw = rawDocs(t)
     val slice = raw.join(sliceIds, Seq("doc_id"), "left_semi")
     val g2 = slice.filter(qualityOk)
@@ -490,7 +532,7 @@ object CurationQueries {
     val keyedMin = keyed
       .join(keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
-    val ledgerHits = st.ledgerKeys
+    val ledgerHits = st.storeKeys.unionByName(st.batchKeys)
       .join(keyedMin.select("key").distinct(), Seq("key"), "left_semi")
       .distinct()
     val t3g = keyedMin
@@ -500,14 +542,13 @@ object CurationQueries {
     // (q125's economics): a slice doc drops on a pair with any store member
     // (either id order), any earlier admitted doc (all lower ids by the
     // ascending-slice precondition, so the lower-id rule covers them), or a
-    // lower-id member of this slice. The store-side postings restriction is
-    // slice-invariant, so callers running many slices pass the memoized
-    // checkpoint via `storeInv` (q216 → [[storePostings]]) instead of
-    // re-restricting per slice; only the slice/admitted postings recompute.
-    val refInv = storeInv.getOrElse(TextQueries.refPostings(t, storeIds))
-      .unionByName(TextQueries.refPostings(t, st.admittedIds))
+    // lower-id member of this slice. The slice survivors' postings are
+    // restricted once and checkpointed: they are the near-dup delta side
+    // NOW and the admitted-postings reference of every LATER slice.
+    val t3gInv = TextQueries.refPostings(t, t3g).localCheckpoint()
+    val refInv = st.storeInv.unionByName(st.admittedInv)
     val t4g = t3g
-      .join(TextQueries.deltaNearDupDropsFromRefInv(t, refInv, t3g),
+      .join(TextQueries.deltaNearDupDropsFromInvs(t, refInv, t3gInv),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set.
@@ -516,9 +557,11 @@ object CurationQueries {
       .join(benchmarkHitIds(t, t4g), Seq("doc_id"), "left_anti")
       .select("doc_id")
     val next = FunnelState(
-      st.ledgerKeys.unionByName(digests(slice.join(t3g, Seq("doc_id"), "left_semi"))
-        .select("key")).localCheckpoint(),
-      st.admittedIds.unionByName(t3g).localCheckpoint())
+      st.storeKeys, st.storeInv,
+      st.batchKeys.unionByName(
+        keyed.join(t3g, Seq("doc_id"), "left_semi").select("key")).localCheckpoint(),
+      st.admittedIds.unionByName(t3g).localCheckpoint(),
+      st.admittedInv.unionByName(t3gInv).localCheckpoint())
     (next, SliceFrames(sliceIds, g2.select("doc_id"), t3g, t4g, t5g))
   }
 
@@ -567,12 +610,10 @@ object CurationQueries {
     // curationStep's precondition).
     val gens = generations(raw.filter(isBatch).select(col("doc_id")), 3)
       .localCheckpoint()
-    val storeKeys = digests(stage(storeIds)).select("key").localCheckpoint()
-    var st = FunnelState(storeKeys, storeIds.limit(0).localCheckpoint())
+    var st = FunnelState.frozen(t)
     val slices = (1 to 3).map { g =>
-      val (next, frames) = curationStep(
-        t, storeIds, gens.filter(col("gen") === g).select("doc_id"), st,
-        storeInv = Some(storePostings(t)))
+      val (next, frames) =
+        curationStep(t, gens.filter(col("gen") === g).select("doc_id"), st)
       st = next
       frames
     }

@@ -1578,13 +1578,20 @@ object MultimodalQueries {
   val q222 = EngineQuery("q222_media_stream_ingest", None) { t =>
     val batchIdx = batchAssigned(t).localCheckpoint()
     val sliced = CurationQueries.generations(batchIdx, 3).localCheckpoint()
-    var ledger = mediaStoreIndex(t)
+    // The ledger the step joins is store ∪ processed-batch, but it is HELD
+    // as the frozen store index plus a delta-side accumulator: only the
+    // batch side re-checkpoints per arrival (slice-scale writes), because
+    // folding the store into the accumulated frame would re-write the
+    // corpus-scale index on every micro-batch (the curationStep contract).
+    val store = mediaStoreIndex(t)
+    var batchLedger = store.limit(0).localCheckpoint()
     var rejected: org.apache.spark.sql.DataFrame = null
     for (g <- 1 to 3) {
       val slice = sliced.filter(col("gen") === g).drop("gen")
-      val rej = mediaIngestStep(t, ledger, slice).localCheckpoint()
+      val rej =
+        mediaIngestStep(t, store.unionByName(batchLedger), slice).localCheckpoint()
       rejected = if (rejected == null) rej else rejected.unionByName(rej)
-      ledger = ledger.unionByName(slice).localCheckpoint()
+      batchLedger = batchLedger.unionByName(slice).localCheckpoint()
     }
     orderedByAll(
       batchIdx.select("doc_id", "bucket")

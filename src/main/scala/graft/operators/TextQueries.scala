@@ -352,8 +352,21 @@ object TextQueries {
       t: graft.Tables,
       refInv: org.apache.spark.sql.DataFrame,
       deltaIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (inv, sizes) = corpusPostings(t)
-    val deltaInv = inv.join(deltaIds, Seq("doc_id"), "left_semi")
+    val (inv, _) = corpusPostings(t)
+    deltaNearDupDropsFromInvs(t, refInv, inv.join(deltaIds, Seq("doc_id"), "left_semi"))
+  }
+
+  /** [[deltaNearDupDropsFromRefInv]] with BOTH sides pre-restricted: the
+    * delta postings arrive as a frame (typically a slice-scale checkpoint
+    * the caller also appends to its standing admitted-postings artifact —
+    * [[graft.operators.CurationQueries.curationStep]]'s shape), so one
+    * corpus-postings scan serves both the near-dup join and the append,
+    * instead of each step re-restricting the corpus index per use. */
+  private[operators] def deltaNearDupDropsFromInvs(
+      t: graft.Tables,
+      refInv: org.apache.spark.sql.DataFrame,
+      deltaInv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (_, sizes) = corpusPostings(t)
     val streamInv = refInv
       .withColumn("is_ref", lit(true))
       .unionByName(deltaInv.withColumn("is_ref", lit(false)))

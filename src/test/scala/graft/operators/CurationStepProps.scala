@@ -42,14 +42,17 @@ class CurationStepProps extends SharedSparkSpec {
   private def survivors(t: graft.Tables, slices: Int): Set[Long] = {
     val batchIds = t.documents.filter(col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    val storeIds = CurationQueries.frozenStoreIds(t)
-    var st = CurationQueries.FunnelState(
-      CurationQueries.storeDigestKeys(t, storeIds).localCheckpoint(),
-      storeIds.limit(0).localCheckpoint())
+    var st = CurationQueries.FunnelState.frozen(t)
     val chunks = batchIds.grouped(math.max(1, math.ceil(batchIds.length.toDouble / slices).toInt)).toSeq
     chunks.flatMap { chunk =>
       val sliceIds = chunk.toSeq.toDF("doc_id")
-      val (next, frames) = CurationQueries.curationStep(t, storeIds, sliceIds, st)
+      val (next, frames) = CurationQueries.curationStep(t, sliceIds, st)
+      // The step's 100 TB contract: the store-side frames pass through BY
+      // REFERENCE — a step that re-derives (or re-checkpoints) them would
+      // re-write the curated corpus's digest/postings artifacts on every
+      // micro-batch. Reference identity pins that structurally.
+      assert((next.storeKeys eq st.storeKeys) && (next.storeInv eq st.storeInv),
+        "curationStep must not touch the frozen store frames")
       st = next
       frames.clean.collect().map(_.getLong(0))
     }.toSet
@@ -62,17 +65,14 @@ class CurationStepProps extends SharedSparkSpec {
     val t = graft.Tables.forPath(spark, sf001)
     val batchIds = t.documents.filter(col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    val storeIds = CurationQueries.frozenStoreIds(t)
     def fold(withEmpty: Boolean): Seq[Long] = {
-      var st = CurationQueries.FunnelState(
-        CurationQueries.storeDigestKeys(t, storeIds).localCheckpoint(),
-        storeIds.limit(0).localCheckpoint())
+      var st = CurationQueries.FunnelState.frozen(t)
       val (lo, hi) = batchIds.toSeq.splitAt(batchIds.length / 2)
       val slices: Seq[Seq[Long]] =
         if (withEmpty) Seq(lo, Seq.empty, hi) else Seq(lo, hi)
       slices.flatMap { chunk =>
         val (next, frames) = CurationQueries.curationStep(
-          t, storeIds, chunk.toDF("doc_id"), st)
+          t, chunk.toDF("doc_id"), st)
         st = next
         val clean = frames.clean.collect().map(_.getLong(0)).toSeq
         if (chunk.isEmpty)

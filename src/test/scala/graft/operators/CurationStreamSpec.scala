@@ -32,9 +32,7 @@ class CurationStreamSpec extends SharedSparkSpec {
           java.nio.file.attribute.FileTime.fromMillis(1000000L + g * 60000L))
       }
     }
-    val storeIds = CurationQueries.frozenStoreIds(t)
-    val storeKeys = CurationQueries.storeDigestKeys(t, storeIds).localCheckpoint()
-    var st = CurationQueries.FunnelState(storeKeys, storeIds.limit(0).localCheckpoint())
+    var st = CurationQueries.FunnelState.frozen(t)
     val perStage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val schema = spark.read.parquet(s"$dir/in/g1").schema
     val q = spark.readStream.schema(schema)
@@ -43,7 +41,7 @@ class CurationStreamSpec extends SharedSparkSpec {
       .writeStream
       .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
         val sliceIds = mb.select("doc_id").localCheckpoint()
-        val (next, frames) = CurationQueries.curationStep(t, storeIds, sliceIds, st)
+        val (next, frames) = CurationQueries.curationStep(t, sliceIds, st)
         st = next
         perStage("raw") += frames.raw.count()
         perStage("quality") += frames.quality.count()

@@ -44,16 +44,18 @@ class MediaStepProps extends SharedSparkSpec {
   private def rejectedWith(t: graft.Tables, slices: Int): Set[Long] = {
     val batchIds = t.documents.filter(col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    var ledger = MultimodalQueries.mediaStoreIndex(t)
+    val store = MultimodalQueries.mediaStoreIndex(t)
+    var batchLedger = store.limit(0).localCheckpoint()
     val out = scala.collection.mutable.Set.empty[Long]
     val chunks = batchIds
       .grouped(math.max(1, math.ceil(batchIds.length.toDouble / slices).toInt)).toSeq
     for (chunk <- chunks) {
       val slice = MultimodalQueries
         .batchAssigned(t, Some(chunk.toSeq.toDF("doc_id"))).localCheckpoint()
-      out ++= MultimodalQueries.mediaIngestStep(t, ledger, slice)
+      out ++= MultimodalQueries
+        .mediaIngestStep(t, store.unionByName(batchLedger), slice)
         .collect().map(_.getLong(0))
-      ledger = ledger.unionByName(slice).localCheckpoint()
+      batchLedger = batchLedger.unionByName(slice).localCheckpoint()
     }
     out.toSet
   }

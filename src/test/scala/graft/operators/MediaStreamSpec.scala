@@ -31,7 +31,10 @@ class MediaStreamSpec extends SharedSparkSpec {
           java.nio.file.attribute.FileTime.fromMillis(1000000L + g * 60000L))
       }
     }
-    var ledger = MultimodalQueries.mediaStoreIndex(t)
+    // Frozen store + delta-side ledger accumulator (q222's shape: only
+    // slice-scale frames re-checkpoint per micro-batch).
+    val store = MultimodalQueries.mediaStoreIndex(t)
+    var batchLedger = store.limit(0).localCheckpoint()
     val rejected = scala.collection.mutable.Set.empty[Long]
     var processed = 0L
     val schema = spark.read.parquet(s"$dir/in/g1").schema
@@ -42,9 +45,10 @@ class MediaStreamSpec extends SharedSparkSpec {
       .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
         val sliceIds = mb.select("doc_id").localCheckpoint()
         val slice = MultimodalQueries.batchAssigned(t, Some(sliceIds)).localCheckpoint()
-        rejected ++= MultimodalQueries.mediaIngestStep(t, ledger, slice)
+        rejected ++= MultimodalQueries
+          .mediaIngestStep(t, store.unionByName(batchLedger), slice)
           .collect().map(_.getLong(0))
-        ledger = ledger.unionByName(slice).localCheckpoint()
+        batchLedger = batchLedger.unionByName(slice).localCheckpoint()
         processed += slice.count()
       }
       .option("checkpointLocation", s"$dir/ckpt")
