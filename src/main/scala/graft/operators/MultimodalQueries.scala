@@ -1351,24 +1351,26 @@ object MultimodalQueries {
         .localCheckpoint()
     })
 
-  val q220 = EngineQuery("q220_crossmodal_align", None) { t =>
+  /** Candidate formation + exact-cosine top-1 of a multi-probe query frame
+    * against a cross-modal image index — the retrieval kernel shared by the
+    * one-shot audit (q220) and the incremental form (q224). `probes` is one
+    * row per (query, probed bucket) with the query's 4-long sketch; `idx`
+    * is (img_id, bucket, 4-long sketch); embeddings are read for candidate
+    * ids only. Returns (doc_id, top_img, top_cos). */
+  private def crossModalTop1(
+      t: graft.Tables,
+      probes: org.apache.spark.sql.DataFrame,
+      idx: org.apache.spark.sql.DataFrame,
+      qEmb: org.apache.spark.sql.DataFrame,
+      iEmb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.CosineSimilarity
-    val img = mediaPixelEmbeddings(t)
-    val aud = audioSampleEmbeddings(t)
-
-    val aligned = img.select(col("doc_id"), col("embedding").as("ei"))
-      .join(aud.select(col("doc_id"), col("embedding").as("ea")), Seq("doc_id"))
-      .select(col("doc_id"),
-        round4(CosineSimilarity(col("ei"), col("ea"))).as("align"))
-
-    val idx = crossModalImageIndex(t)
     // Pin the pair join's width explicitly: its shuffle is byte-tiny (ids,
     // a bucket, four longs) but its probe side evaluates Σ|q_b|·|i_b|
     // Hamming conditions — AQE coalesces by BYTES and measured it down to
     // 4 partitions at sf1x, serializing ~90M condition evaluations onto 4
     // cores. An explicit numPartitions is a user constraint AQE keeps (and
     // it re-applies per run: a checkpoint read reports no partitioning).
-    val qry = crossModalAudioProbes(t)
+    val qry = probes
       .repartition(t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
     // No distinct: an image has exactly ONE assigned bucket, so a (query,
     // image) pair forms at most once across the probe fan-out.
@@ -1380,17 +1382,31 @@ object MultimodalQueries {
       .select(col("q.qid").as("qid"), col("i.img_id").as("img_id"))
       .localCheckpoint(eager = false)
     val scored = cand
-      .join(aud.select(col("doc_id").as("qid"), col("embedding").as("ea")), "qid")
-      .join(img.select(col("doc_id").as("img_id"), col("embedding").as("ei")), "img_id")
+      .join(qEmb.select(col("doc_id").as("qid"), col("embedding").as("ea")), "qid")
+      .join(iEmb.select(col("doc_id").as("img_id"), col("embedding").as("ei")), "img_id")
       .select(col("qid"), col("img_id"),
         round4(CosineSimilarity(col("ea"), col("ei"))).as("cos"))
     // Deterministic top-1 without a tie-broken max_by: lexicographic max of
     // (cos, -img_id) = highest cosine, then SMALLEST image id.
-    val top1 = scored
+    scored
       .groupBy("qid")
       .agg(max(struct(col("cos"), (-col("img_id")).as("neg_id"))).as("m"))
       .select(col("qid").as("doc_id"),
         (-col("m.neg_id")).as("top_img"), col("m.cos").as("top_cos"))
+  }
+
+  val q220 = EngineQuery("q220_crossmodal_align", None) { t =>
+    import graft.functions.CosineSimilarity
+    val img = mediaPixelEmbeddings(t)
+    val aud = audioSampleEmbeddings(t)
+
+    val aligned = img.select(col("doc_id"), col("embedding").as("ei"))
+      .join(aud.select(col("doc_id"), col("embedding").as("ea")), Seq("doc_id"))
+      .select(col("doc_id"),
+        round4(CosineSimilarity(col("ei"), col("ea"))).as("align"))
+
+    val top1 = crossModalTop1(t, crossModalAudioProbes(t), crossModalImageIndex(t),
+      aud, img)
 
     orderedByAll(
       aligned
@@ -1410,6 +1426,85 @@ object MultimodalQueries {
             (col("top_img") =!= col("doc_id") &&
               col("top_cos") < CrossModalAlignT), 1L).otherwise(0L))
             .as("n_miss")))
+  }
+
+  /** q224's standing STORE-side retrieval index: (img_id, bucket, 4-long
+    * sketch) for store docs (doc_id % 10 ≠ 0) under the FROZEN store-trained
+    * quantizer ([[mediaIncrementalModel]] — the incremental family never
+    * retrains per delta, because retraining re-buckets the standing index).
+    * This is [[crossModalImageIndex]]'s incremental twin: built once,
+    * checkpointed, maintained next to the vectors (at 100 TB a
+    * bucket-partitioned layout, q94's convention). */
+  private[graft] def crossModalStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    xmodalIdxCache.get(t.spark, s"${t.dir}#xmstoreidx")({
+      import graft.functions.KMeansTrainer
+      val km = mediaIncrementalModel(t)
+      mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("img_id") +:
+          KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket") +:
+          crossModalSigCols: _*)
+        .localCheckpoint()
+    })
+
+  /** Tonight's batch as a cross-modal probe frame under the frozen store
+    * model: (qid, probed bucket, 4-long sketch), one row per (query, probe).
+    * Delta-sized map-only work — deliberately NOT memoized: computing this
+    * per arrival IS the incremental query's per-night cost. */
+  private[graft] def crossModalBatchProbes(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    import graft.functions.KMeansTrainer
+    val km = mediaIncrementalModel(t)
+    audioSampleEmbeddings(t).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("qid") +:
+        explode(KMeansTrainer.probeBuckets(col("embedding"), km, CrossModalProbes))
+          .as("bucket") +: crossModalSigCols: _*)
+  }
+
+  /** The incremental retrieval's top-1 frame — exposed for
+    * CrossModalIncrementalSpec's per-doc parity assertions. */
+  private[graft] def crossModalIncrementalTop1(
+      t: graft.Tables): org.apache.spark.sql.DataFrame =
+    crossModalTop1(t, crossModalBatchProbes(t), crossModalStoreIndex(t),
+      audioSampleEmbeddings(t), mediaPixelEmbeddings(t))
+
+  /** INCREMENTAL cross-modal retrieval — the nightly form of q220's content
+    * join (the q221-of-q220, completing the incremental-twin convention for
+    * the cross-modal family): new AUDIO arrivals (doc_id ≡ 0 mod 10, the
+    * ingest split) query the FROZEN store-side image index by content —
+    * store-trained coarse blocks ([[mediaIncrementalModel]], query-side
+    * 8-probe fan-out), the 256-bit sign-sketch Hamming prefilter, exact
+    * cosine on candidate ids only, deterministic (cos desc, id asc) top-1.
+    * The batch's own images are NOT in the index, so a match is a genuine
+    * cross-doc, cross-modal resolution: the arrival's audio found a store
+    * doc whose image shares its canonical prefix — the content-level
+    * store-dup signal a multimodal ingest gates on (q221 gives the same
+    * signal within a modality; this is the across-modality form). Per-night
+    * work is delta-sized beyond the standing index: probe assignment is
+    * map-only over the batch, the candidate join carries ids + four longs
+    * per side, and the store is never re-bucketed or re-signed. No
+    * continuous (q222-style) form exists BY DESIGN: arrivals query the
+    * store independently and never join each other, so slicing the batch
+    * cannot change any decision — there is no sequential state to maintain.
+    * Output: per source, batch arrivals, content-matched (top-1 ≥ the
+    * alignment threshold), honest misses (blocking/sketch loss or
+    * sub-threshold top-1 — q210's audit-not-assume discipline). No SQL
+    * oracle (codec + trained quantizer); CrossModalIncrementalSpec pins
+    * full audit parity vs a single-node mirror on planted and real corpora,
+    * planted match/miss outcomes, accounting, the decode-once plan, and the
+    * no-cartesian plan. */
+  val q224 = EngineQuery("q224_crossmodal_incremental", None) { t =>
+    val batch = audioSampleEmbeddings(t).filter(col("doc_id") % 10 === 0)
+      .select("doc_id")
+    orderedByAll(
+      batch
+        .join(crossModalIncrementalTop1(t), Seq("doc_id"), "left")
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_batch"),
+          sum(when(col("top_img").isNotNull &&
+            col("top_cos") >= CrossModalAlignT, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("top_img").isNull ||
+            col("top_cos") < CrossModalAlignT, 1L).otherwise(0L)).as("n_miss")))
   }
 
   private val mediaIncModelCache =
@@ -1603,5 +1698,5 @@ object MultimodalQueries {
   }
 
   val all: Seq[EngineQuery] =
-    Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223)
+    Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223, q224)
 }
