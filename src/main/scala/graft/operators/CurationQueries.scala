@@ -202,20 +202,36 @@ object CurationQueries {
         .localCheckpoint()
     })
 
+  private val benchHitsCache = new graft.SessionCache[DataFrame]
+
+  /** The CORPUS-WIDE decontamination hit set — every non-benchmark doc
+    * sharing an 8-shingle with the RAW src0 benchmark set — memoized per
+    * (session, dir) as an id-scale localCheckpoint. A doc's hit flag is
+    * corpus-INVARIANT (it depends on the doc and the benchmark, not on
+    * which funnel stage asks), so this is docMeta's discipline applied to
+    * the last per-evaluation corpus text pass the funnels paid: q214
+    * re-shingled the survivor set (≈ the corpus) on every evaluation, and
+    * the store build + each incremental form paid its own restricted pass.
+    * Built once per session (q50's broadcast semi-join shape, the eval
+    * side from the [[evalShingles]] checkpoint); at 100 TB this is a
+    * per-doc metadata column maintained next to the corpus and recomputed
+    * only when the benchmark suite changes. */
+  private def corpusBenchmarkHits(t: graft.Tables): DataFrame =
+    benchHitsCache.get(t.spark, s"${t.dir}#curbenchhits")({
+      t.documents
+        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8 && col("source") =!= "src0")
+        .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
+        .join(broadcast(evalShingles(t)), "sh")
+        .select("doc_id").distinct()
+        .localCheckpoint()
+    })
+
   /** The ids among `ids` (non-benchmark docs) sharing an 8-shingle with the
-    * RAW src0 benchmark set — q50's broadcast semi-join shape, candidates
-    * semi-joined BEFORE the shingle explode, the eval side served from the
-    * [[evalShingles]] checkpoint. */
-  private def benchmarkHitIds(t: graft.Tables, ids: DataFrame): DataFrame = {
-    val sh8src = t.documents
-      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 8)
-    sh8src.filter(col("source") =!= "src0")
-      .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
-      .join(broadcast(evalShingles(t)), "sh")
-      .select("doc_id").distinct()
-  }
+    * RAW src0 benchmark set — an id-scale semi-join of the standing
+    * [[corpusBenchmarkHits]] artifact (no text is read on a warm path). */
+  private def benchmarkHitIds(t: graft.Tables, ids: DataFrame): DataFrame =
+    corpusBenchmarkHits(t).join(ids, Seq("doc_id"), "left_semi")
 
   /** One report row: (stage, name, n_docs, n_tokens). */
   private def rep(stageId: Int, name: String, df: DataFrame, tokCol: String): DataFrame =

@@ -36,6 +36,20 @@ class CurationPlanSpec extends SharedSparkSpec {
     assert(textScans(CurationQueries.q216.run(spark, sf001)) <= 8)
   }
 
+  test("warm curation plans read no text at all") {
+    // Once the session artifacts exist (docMeta, corpus postings, eval
+    // shingles, the corpus-wide decontamination hit set), EVERY stage of
+    // every funnel — including decontamination — decides off id-scale
+    // checkpoints: a second evaluation's plan must contain zero
+    // text-reading scans. This pins the standing-hit-set discipline the
+    // way the ≤-bounds above pin the cold build.
+    for (q <- CurationQueries.all) {
+      q.run(spark, sf001)
+      assert(textScans(q.run(spark, sf001)) == 0,
+        s"${q.name}: warm plan still reads corpus text")
+    }
+  }
+
   test("no curation plan contains a cartesian or corpus-scale unpartitioned window") {
     for (q <- CurationQueries.all) {
       val df = q.run(spark, sf001)
