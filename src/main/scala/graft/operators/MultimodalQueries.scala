@@ -1512,30 +1512,54 @@ object MultimodalQueries {
   private val mediaStoreIdxCache =
     new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
-  /** The FROZEN store-trained coarse quantizer for the nightly media
-    * ingest (q221): trained when the store was built, on STORE docs only
+  /** A decoded modality's handles for the incremental-ingest family: the
+    * memo tag, the filter-before-decode embed pass (model training), and
+    * the session decode-once embedding checkpoint. ONE ingest pipeline
+    * (model / store index / batch assignment / decision step / audit)
+    * serves all three modalities through this descriptor — shared code,
+    * not three copies. */
+  private[graft] final case class IngestModality(
+      tag: String,
+      embedSlice: (graft.Tables, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      embeddings: graft.Tables => org.apache.spark.sql.DataFrame)
+
+  private[graft] lazy val imageIngest: IngestModality =
+    IngestModality("media", embedDocSlice, mediaPixelEmbeddings)
+  private[graft] lazy val audioIngest: IngestModality =
+    IngestModality("audio", audioEmbedDocSlice, audioSampleEmbeddings)
+  private[graft] lazy val videoIngest: IngestModality =
+    IngestModality("video", videoEmbedDocSlice, videoFrameEmbeddings)
+
+  /** The FROZEN store-trained coarse quantizer for a modality's nightly
+    * ingest: trained when the store was built, on STORE docs only
     * (doc_id % 10 ≠ 0 — q90/q125's split convention), and never retrained
     * per delta — production does not retrain a quantizer per nightly
     * batch, because retraining re-buckets the entire standing index.
     * Same pre-decode driver-sized sample recipe as [[trainCoarseModel]],
-    * k ∝ √(store size). Memoized per (session, dir). */
-  private[graft] def mediaIncrementalModel(
-      t: graft.Tables): graft.functions.KMeansTrainer.Trained =
-    mediaIncModelCache.get(t.spark, s"${t.dir}#mediainc")({
+    * k ∝ √(store size). Memoized per (session, dir, modality). */
+  private[graft] def incrementalModelOf(
+      t: graft.Tables, m: IngestModality): graft.functions.KMeansTrainer.Trained =
+    mediaIncModelCache.get(t.spark, s"${t.dir}#${m.tag}inc")({
       val spark = t.spark
       import spark.implicits._
       val store = t.documents.filter(col("doc_id") % 10 =!= 0)
       val k = mediaCoarseK(store.count())
       val sampleLimit = math.max(256L, 32L * k)
-      val sample = embedDocSlice(t, store.filter(col("doc_id") < sampleLimit))
+      val sample = m.embedSlice(t, store.filter(col("doc_id") < sampleLimit))
         .as[(Long, Seq[Float])].collect().sortBy(_._1)
         .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
       graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
     })
 
-  /** The frozen store-side media index: (doc_id, bucket, sig) for every
-    * store doc under the store-trained model — the standing artifact a
-    * nightly media ingest joins against (the vector-space member of the
+  /** [[incrementalModelOf]] on the image modality (q221/q222's quantizer,
+    * also the frozen model of q224's cross-modal store index). */
+  private[graft] def mediaIncrementalModel(
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained =
+    incrementalModelOf(t, imageIngest)
+
+  /** The frozen store-side index of a modality: (doc_id, bucket, sig) for
+    * every store doc under the store-trained model — the standing artifact
+    * a nightly ingest joins against (the vector-space member of the
     * q125-postings / q183-minhash incremental-index family). Derived from
     * the session's decode-once embedding checkpoint and itself
     * checkpointed, so a served incremental plan reads it as ExistingRDD
@@ -1543,18 +1567,23 @@ object MultimodalQueries {
     * bucket-partitioned layout on disk (q94's bucketed-join convention) so
     * the nightly candidate join co-locates; 20-byte rows — never vectors
     * or media bytes. */
-  private[graft] def mediaStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
-    mediaStoreIdxCache.get(t.spark, s"${t.dir}#mediastoreidx")({
+  private[graft] def storeIndexOf(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
+    mediaStoreIdxCache.get(t.spark, s"${t.dir}#${m.tag}storeidx")({
       import graft.functions.{KMeansTrainer, HyperplaneSignature}
-      val km = mediaIncrementalModel(t)
-      mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
+      val km = incrementalModelOf(t, m)
+      m.embeddings(t).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"),
           KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
           HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
         .localCheckpoint()
     })
 
-  /** Batch docs the nightly media ingest REJECTS: a batch member with a
+  /** [[storeIndexOf]] on the image modality. */
+  private[graft] def mediaStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    storeIndexOf(t, imageIngest)
+
+  /** Batch docs a modality's nightly ingest REJECTS: a batch member with a
     * store neighbor (any — the store is already admitted) or an
     * EARLIER batch member (lower doc_id — q125's earlier-member rule) at
     * exact cosine ≥ [[MediaNearDupT]] inside its frozen-model block.
@@ -1564,39 +1593,52 @@ object MultimodalQueries {
     * long per side through the exchange) plus the batch's internal pairs,
     * and exact cosine verifies embeddings fetched for CANDIDATE ids only.
     * The store is never re-bucketed, re-signed, or re-decoded. */
+  private[graft] def incrementalDroppedOf(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
+    ingestStepOf(t, m, storeIndexOf(t, m), batchAssignedOf(t, m))
+
+  /** [[incrementalDroppedOf]] on the image modality — q221's rejected set,
+    * exposed for MediaIncrementalSpec/MediaStreamSpec. */
   private[graft] def mediaIncrementalDropped(
       t: graft.Tables): org.apache.spark.sql.DataFrame =
-    mediaIngestStep(t, mediaStoreIndex(t), batchAssigned(t))
+    incrementalDroppedOf(t, imageIngest)
 
-  /** The batch slice's (doc_id, bucket, sig) under the frozen model —
-    * map-only over the decode-once checkpoint (in production, over the
-    * night's freshly decoded delta). */
-  private[graft] def batchAssigned(
-      t: graft.Tables,
+  /** The batch slice's (doc_id, bucket, sig) under a modality's frozen
+    * model — map-only over the decode-once checkpoint (in production, over
+    * the night's freshly decoded delta). */
+  private[graft] def batchAssignedOf(
+      t: graft.Tables, m: IngestModality,
       sliceIds: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.{KMeansTrainer, HyperplaneSignature}
-    val km = mediaIncrementalModel(t)
-    val base = mediaPixelEmbeddings(t).filter(col("doc_id") % 10 === 0)
+    val km = incrementalModelOf(t, m)
+    val base = m.embeddings(t).filter(col("doc_id") % 10 === 0)
     val sliced = sliceIds.fold(base)(ids => base.join(ids, Seq("doc_id"), "left_semi"))
     sliced.select(col("doc_id"),
       KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
       HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
   }
 
-  /** One ingest decision step, shared by the nightly (q221) and continuous
-    * (q222) forms: the ids of `slice` members with a LEDGER neighbor (any
-    * — everything in the ledger was processed earlier) or an earlier
+  /** [[batchAssignedOf]] on the image modality. */
+  private[graft] def batchAssigned(
+      t: graft.Tables,
+      sliceIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    batchAssignedOf(t, imageIngest, sliceIds)
+
+  /** One ingest decision step, shared by the nightly and continuous forms
+    * of every modality: the ids of `slice` members with a LEDGER neighbor
+    * (any — everything in the ledger was processed earlier) or an earlier
     * (lower-id) member of the same slice at exact cosine ≥
     * [[MediaNearDupT]] inside their frozen-model block. The slice side is
     * delta-sized; the ledger side joins as its standing (bucket, sig)
     * index — ids and one long per side through the exchange, embeddings
     * fetched for CANDIDATE ids only. */
-  private[graft] def mediaIngestStep(
-      t: graft.Tables,
+  private[graft] def ingestStepOf(
+      t: graft.Tables, m: IngestModality,
       ledger: org.apache.spark.sql.DataFrame,
       slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val emb = mediaPixelEmbeddings(t)
+    val emb = m.embeddings(t)
     // Slice-sized; feeds both joins. The bucket repartition pins the pair
     // joins' width (q220's AQE lesson — byte-tiny shuffles, Σ-pair
     // compute): pinning the slice side forces the co-partitioned ledger
@@ -1626,6 +1668,32 @@ object MultimodalQueries {
       .distinct()
   }
 
+  /** [[ingestStepOf]] on the image modality — q222's unit of work, also
+    * driven from a real foreachBatch sink by MediaStreamSpec. */
+  private[graft] def mediaIngestStep(
+      t: graft.Tables,
+      ledger: org.apache.spark.sql.DataFrame,
+      slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ingestStepOf(t, imageIngest, ledger, slice)
+
+  /** A modality's nightly-ingest audit (q221/q225/q226's shared body):
+    * per frozen-model bucket, batch arrivals, rejected, admitted. */
+  private def ingestAudit(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame = {
+    import graft.functions.KMeansTrainer
+    val km = incrementalModelOf(t, m)
+    val batch = m.embeddings(t).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
+    val rejected = incrementalDroppedOf(t, m).withColumn("rej", lit(1))
+    orderedByAll(
+      batch.join(rejected, Seq("doc_id"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("rej").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+          sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_admitted")))
+  }
+
   /** INCREMENTAL media near-dup — the nightly-ingest form of q218 (the
     * family convention: q90 exact / q125 fuzzy / q183 minhash / q185
     * semdedup all have incremental twins; this is the trained-block vector
@@ -1641,18 +1709,33 @@ object MultimodalQueries {
     * batch-internal-dup, unique) corpora and the real corpus, audit
     * accounting, the decode-once plan, and the no-cartesian plan. */
   val q221 = EngineQuery("q221_media_neardup_incremental", None) { t =>
-    import graft.functions.KMeansTrainer
-    val km = mediaIncrementalModel(t)
-    val batch = mediaPixelEmbeddings(t).filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"),
-        KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"))
-    val rejected = mediaIncrementalDropped(t).withColumn("rej", lit(1))
-    orderedByAll(
-      batch.join(rejected, Seq("doc_id"), "left")
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_batch"),
-          sum(when(col("rej").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
-          sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_admitted")))
+    ingestAudit(t, imageIngest)
+  }
+
+  /** AUDIO nightly ingest — q221 on the WAV sample bridge, through the
+    * SAME parametrized pipeline ([[IngestModality]]: one model-train /
+    * store-index / batch-assign / decision-step / audit implementation
+    * serves all three modalities). The audio span is 512 text bytes, so
+    * the ingest's dup structure genuinely differs from the image form: an
+    * image-span (256-byte) store dup that diverges later is NOT an audio
+    * store dup (MediaIncrementalFamilySpec plants exactly that doc and
+    * asserts the asymmetry). No SQL oracle (codec + trained quantizer);
+    * the family spec pins rejected-set parity vs the single-node mirror on
+    * planted and real corpora, plus decode-once and cartesian-free. */
+  val q225 = EngineQuery("q225_audio_neardup_incremental", None) { t =>
+    ingestAudit(t, audioIngest)
+  }
+
+  /** VIDEO nightly ingest — q221 on the sampled-frame bridge (span
+    * [0,256)∪[32,288)), completing the (modality × form) matrix's nightly
+    * column: image/audio/video each have one-shot (q218/q219/q223) and
+    * nightly (q221/q225/q226) forms, all through shared code; the
+    * continuous form's stream ≡ nightly equivalence is proven once on the
+    * image modality (q222/MediaStreamSpec) and transfers because the step
+    * function is the same parametrized [[ingestStepOf]] for every
+    * modality. Same spec coverage as q225. */
+  val q226 = EngineQuery("q226_video_neardup_incremental", None) { t =>
+    ingestAudit(t, videoIngest)
   }
 
   /** CONTINUOUS media ingest — the third member of the media triple
@@ -1698,5 +1781,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[EngineQuery] =
-    Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223, q224)
+    Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223, q224,
+      q225, q226)
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SharedSparkSpec
+import org.apache.spark.sql.functions._
+
+/** q225 (audio) and q226 (video) nightly ingest — q221's rule through the
+  * SAME parametrized pipeline ([[MultimodalQueries.IngestModality]]). Pins
+  * (1) FULL parity of each modality's rejected set against a single-node
+  * mirror of the exact rule (store-trained blocks, sign-sketch Hamming
+  * prefilter, exact round4-cosine, store-or-lower-id-batch neighbor) on a
+  * planted corpus and the real sf0.001 corpus, (2) the modality SPAN
+  * asymmetry on the planted corpus — an arrival that duplicates a store
+  * doc's 256-byte image span but diverges later is rejected by the image
+  * and video ingests (480/512 embedded bytes shared, cos ≈ 0.94) but
+  * ADMITTED by the audio ingest (256/512 shared, cos ≈ 0.5) — the reason
+  * the three forms are separate queries and not one, (3) audit accounting,
+  * and (4) the decode-once and cartesian-free plans.
+  */
+class MediaIncrementalFamilySpec extends SharedSparkSpec {
+  import spark.implicits._
+  import MultimodalQueries.{IngestModality, audioIngest, videoIngest, imageIngest}
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def collectEmb(t: graft.Tables, m: IngestModality): Array[(Long, Array[Double])] =
+    m.embeddings(t).as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+      .sortBy(_._1)
+
+  /** Single-node mirror of the nightly rejection rule for one modality. */
+  private def localRejected(t: graft.Tables, m: IngestModality): Set[Long] = {
+    import graft.functions.KMeansTrainer
+    val km = MultimodalQueries.incrementalModelOf(t, m)
+    val emb = collectEmb(t, m)
+    val sigOf = emb.map { case (id, v) => id -> MultimodalQueries.mediaSignLocal(v) }.toMap
+    val bucketOf = emb.map { case (id, v) => id -> KMeansTrainer.assignLocal(v, km) }.toMap
+    val byId = emb.toMap
+    val store = emb.map(_._1).filter(_ % 10 != 0)
+    val batch = emb.map(_._1).filter(_ % 10 == 0)
+    val storeByBucket = store.groupBy(bucketOf)
+    val batchByBucket = batch.groupBy(bucketOf)
+
+    def near(a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)) <=
+        MultimodalQueries.MediaHammingSlack &&
+        round4(cos(byId(a), byId(b))) >= MultimodalQueries.MediaNearDupT
+
+    batch.filter { b =>
+      val k = bucketOf(b)
+      storeByBucket.getOrElse(k, Array.empty[Long]).exists(s => near(s, b)) ||
+        batchByBucket.getOrElse(k, Array.empty[Long]).exists(a => a < b && near(a, b))
+    }.toSet
+  }
+
+  private def engineRejected(t: graft.Tables, m: IngestModality): Set[Long] =
+    MultimodalQueries.incrementalDroppedOf(t, m)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("planted corpus: per-modality parity and the span asymmetry") {
+    val dir = tmpDir("media_inc_family")
+    def words(p: String, n: Int): String = (1 to n).map(i => s"$p$i").mkString(" ")
+    val store = (1 to 45).filter(_ % 10 != 0)
+      .map(i => (i.toLong, "src1", words(s"u$i", 90)))
+    val imagePrefix = "y " * 128 // 256 chars: exactly the image span
+    val planted = Seq(
+      (7L, "src1", words("full", 120)),                 // store original (full dup)
+      (9L, "src1", imagePrefix + words("sA", 80)),      // store original (prefix)
+      (70L, "src1", words("full", 120)),                // batch: full-span store dup
+      (90L, "src1", imagePrefix + words("sB", 80)),     // batch: image-span-only dup
+      (130L, "src1", words("pair", 95)),                // batch pair ->
+      (140L, "src1", words("pair", 95)),                //   140 rejected, 130 admitted
+      (150L, "src1", words("solo", 88)))                // batch: unique
+    // ids 7 and 9 collide with the generated store range; drop the
+    // generated rows for those ids so each id appears once.
+    val base = store.filterNot(r => r._1 == 7L || r._1 == 9L)
+    (base ++ planted).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val t = new graft.Tables(spark, dir)
+
+    val rej = Seq(imageIngest, audioIngest, videoIngest)
+      .map(m => m.tag -> engineRejected(t, m)).toMap
+    for (m <- Seq(imageIngest, audioIngest, videoIngest))
+      assert(rej(m.tag) == localRejected(t, m),
+        s"${m.tag}: engine=${rej(m.tag)} local=${localRejected(t, m)}")
+
+    // Full-span dup and the batch pair reject identically in every modality.
+    for ((tag, r) <- rej) {
+      assert(Set(70L, 140L).subsetOf(r), s"$tag: planted dups not rejected: $r")
+      assert(!r.contains(130L), s"$tag: the earlier pair member must be admitted")
+      assert(!r.contains(150L), s"$tag: the unique arrival must be admitted")
+    }
+    // The SPAN asymmetry: doc 90 duplicates store doc 9's image span only.
+    assert(rej("media").contains(90L), "image ingest must reject the image-span dup")
+    assert(rej("video").contains(90L),
+      "video ingest must reject it too (480/512 embedded bytes shared)")
+    assert(!rej("audio").contains(90L),
+      "audio ingest must ADMIT it (only 256/512 PCM bytes shared)")
+  }
+
+  test("q225/q226: real sf0.001 — parity, accounting, decode-once, no cartesian") {
+    val t = graft.Tables.forPath(spark, sf001)
+    for ((q, m) <- Seq((MultimodalQueries.q225, audioIngest),
+                       (MultimodalQueries.q226, videoIngest))) {
+      val audit = q.run(spark, sf001)
+      val plan = audit.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian in plan")
+      val textScans = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet") &&
+          l.contains("text"))
+      assert(textScans == 0,
+        s"${q.name}: plan re-decodes raw text $textScans time(s)")
+
+      val expect = localRejected(t, m)
+      assert(engineRejected(t, m) == expect, s"${q.name}: sf0.001 parity")
+      val rows = audit.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nBatch = collectEmb(t, m).count(_._1 % 10 == 0).toLong
+      assert(rows.map(_._2).sum == nBatch, s"${q.name}: arrivals must partition the batch")
+      assert(rows.forall { case (_, n, r2, a) => r2 + a == n },
+        s"${q.name}: admitted + rejected must equal arrivals per bucket")
+      assert(rows.map(_._3).sum == expect.size.toLong,
+        s"${q.name}: rejected counts must sum to the rejected set")
+    }
+  }
+}
