@@ -39,11 +39,35 @@ def gen(table, sql):
 # whitespace FIRST so a double space can never mint bare 'rKx' tokens shared
 # by every replica (which would create spurious within-replica shingle
 # matches and skew the intended exactly-10x pair scaling).
+
+def pow10_shift(table, *cols):
+    """Replica key shift: the smallest power of 10 STRICTLY above the source's
+    max key. A FIXED shift (the first version used k*10_000_000) collides the
+    moment the generator is applied to its own output — sf1x ids a + 1e7*j
+    re-shifted by 1e7*k give a + 1e7*(j+k), collapsing 500k rows onto ~95k
+    distinct ids (measured: the media verify fetch degenerated from
+    candidate-scale to a whole-corpus join, and every doc_id-keyed decade
+    ratio was polluted). Deriving the shift from max(key) makes replication
+    idempotent-safe at any decade; powers of 10 preserve doc_id % 10 (the
+    batch split) and keep ids readable."""
+    m = max(con.sql(f"SELECT max({c}) FROM read_parquet('{src}/{table}.parquet')")
+            .fetchone()[0] for c in cols)
+    s = 10
+    while s <= m:
+        s *= 10
+    return s
+
+DOC = pow10_shift("documents", "doc_id")
+EVT = pow10_shift("events", "event_id")
+USR = pow10_shift("events", "user_id")
+ORD = max(pow10_shift("orders", "o_orderkey"), pow10_shift("lineitem", "l_orderkey"))
+CUS = pow10_shift("orders", "o_custkey")
+
 gen("documents", f"""
   WITH d AS (SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS text,
                     lang, source
              FROM read_parquet('{src}/documents.parquet'))
-  SELECT doc_id + k*10000000 AS doc_id,
+  SELECT doc_id + k*{DOC} AS doc_id,
          CASE WHEN k = 0 THEN text
               ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END AS text,
          lang, source,
@@ -52,21 +76,30 @@ gen("documents", f"""
   FROM d CROSS JOIN ks""")
 
 gen("events", f"""
-  SELECT event_id + k*100000000 AS event_id, ts,
-         user_id + k*10000000 AS user_id, event_type, value, props
+  SELECT event_id + k*{EVT} AS event_id, ts,
+         user_id + k*{USR} AS user_id, event_type, value, props
   FROM read_parquet('{src}/events.parquet') CROSS JOIN ks""")
 
 gen("orders", f"""
-  SELECT o_orderkey + k*100000000 AS o_orderkey,
-         o_custkey + k*10000000 AS o_custkey,
+  SELECT o_orderkey + k*{ORD} AS o_orderkey,
+         o_custkey + k*{CUS} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM read_parquet('{src}/orders.parquet') CROSS JOIN ks""")
 
 gen("lineitem", f"""
-  SELECT l_orderkey + k*100000000 AS l_orderkey, l_partkey, l_suppkey,
+  SELECT l_orderkey + k*{ORD} AS l_orderkey, l_partkey, l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM read_parquet('{src}/lineitem.parquet') CROSS JOIN ks""")
+
+# Post-generation invariant: replication must never collide keys.
+for tbl, col in [("documents", "doc_id"), ("events", "event_id"),
+                 ("orders", "o_orderkey")]:
+    n, d = con.sql(f"""SELECT count(*), count(DISTINCT {col})
+                       FROM read_parquet('{out}/{tbl}.parquet')""").fetchone()
+    if n != d:
+        raise SystemExit(f"{tbl}.{col}: {n} rows but {d} distinct — replica shift collided")
+print("key-uniqueness check: ok")
 
 for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
     shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
