@@ -300,6 +300,95 @@ object CurationQueries {
     storeKeysCache.get(t.spark, s"${t.dir}#curstorekeys")(
       storeDigestKeys(t, frozenStoreIds(t)).localCheckpoint())
 
+  /** Benchmark-DELTA decontamination — the reverse-incremental form of
+    * q50: the curated corpus STANDS and the REFERENCE changes (an eval
+    * suite is added — production re-sweeps the corpus for contamination
+    * against the new benchmarks without re-running the funnel). The
+    * standing state is the kept set under yesterday's benchmarks (src0
+    * docs with odd doc_id — the q90-family split convention applied to the
+    * reference side); tonight src0's even-id docs arrive as NEW
+    * benchmarks, and the audit reports, per source: docs kept before, docs
+    * NEWLY dropped (an 8-shingle hit on the new suite), docs kept after.
+    *
+    * Scale shape: the kept state is a session artifact (id-scale,
+    * checkpointed — in production it IS the standing corpus); the delta
+    * sweep pays the one unavoidable corpus-candidate shingle pass (a new
+    * reference must be checked against every kept doc) with the semi-join
+    * BEFORE the explode and only the DELTA's shingle set broadcast —
+    * further shrunk to shingles NOT already in the old reference, which is
+    * output-lossless: a kept doc by definition hits no old shingle, so
+    * old∩new shingles cannot newly drop anything (the hash gate proves the
+    * reduction exact). Benchmark suites are KB–MB at any corpus size, so
+    * the broadcast stays bounded. */
+  private val deltaOldEvCache = new graft.SessionCache[DataFrame]
+  private val deltaKeptCache = new graft.SessionCache[DataFrame]
+
+  val q227 = EngineQuery(
+    "q227_decontam_delta",
+    Some("""WITH raw AS (SELECT doc_id, source, string_split(text, ' ') AS tk,
+           |               len(string_split(text, ' ')) AS ntok FROM documents),
+           |oldev AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS sh8
+           |          FROM raw, unnest(generate_series(1, ntok - 7)) AS u(i)
+           |          WHERE source = 'src0' AND ntok >= 8 AND doc_id % 2 = 1),
+           |newev AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS sh8
+           |          FROM raw, unnest(generate_series(1, ntok - 7)) AS u(i)
+           |          WHERE source = 'src0' AND ntok >= 8 AND doc_id % 2 = 0),
+           |cand AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS sh8
+           |         FROM raw, unnest(generate_series(1, ntok - 7)) AS u(i)
+           |         WHERE source <> 'src0' AND ntok >= 8),
+           |oldhit AS (SELECT DISTINCT doc_id FROM cand JOIN oldev USING (sh8)),
+           |kept AS (SELECT doc_id, source FROM raw WHERE source <> 'src0'
+           |           AND doc_id NOT IN (SELECT doc_id FROM oldhit)),
+           |newdrop AS (SELECT DISTINCT c.doc_id
+           |            FROM cand c JOIN kept k USING (doc_id)
+           |                 JOIN newev USING (sh8))
+           |SELECT k.source,
+           |       CAST(count(*) AS BIGINT) AS n_kept_before,
+           |       CAST(sum(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_newly_dropped,
+           |       CAST(sum(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_kept_after
+           |FROM kept k LEFT JOIN newdrop n USING (doc_id)
+           |GROUP BY k.source ORDER BY ALL""".stripMargin)) { t =>
+    val sh8src = t.documents
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    def evOf(pred: org.apache.spark.sql.Column): DataFrame =
+      sh8src.filter(col("source") === "src0" && pred)
+        .select(explode(shingles(col("tk"), 8)).as("sh")).distinct()
+    // Standing state, memoized per (session, dir): the old suite's shingle
+    // set and the kept set under it — in production both exist before the
+    // new suite arrives (the kept set IS the curated corpus), so a served
+    // delta sweep pays only the candidate pass below.
+    val oldEv = deltaOldEvCache.get(t.spark, s"${t.dir}#decontoldev")(
+      evOf(col("doc_id") % 2 === 1).localCheckpoint())
+    val cand = sh8src.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
+    val kept = deltaKeptCache.get(t.spark, s"${t.dir}#decontkept")({
+      val oldHits = cand.join(broadcast(oldEv), "sh").select("doc_id").distinct()
+      t.documents.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"))
+        .join(oldHits, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    })
+    // New-suite shingles minus the old suite's: output-lossless (see
+    // scaladoc) and it keeps the broadcast delta-sized even when suites
+    // overlap heavily (the common case for versioned benchmarks).
+    val newOnly = evOf(col("doc_id") % 2 === 0).join(oldEv, Seq("sh"), "left_anti")
+    val newDrops = cand
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(broadcast(newOnly), "sh")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    orderedByAll(
+      kept.join(newDrops, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_kept_before"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_newly_dropped"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept_after")))
+  }
+
   /** The INCREMENTAL run of q214's pipeline — the nightly form: yesterday's
     * store is FROZEN (the base split run through the full funnel), and only
     * today's batch (doc_id ≡ 0 mod 10, q90/q125's ingest split) flows
@@ -644,5 +733,5 @@ object CurationQueries {
         .unionByName(rep(5, "decontaminate", stage(acc(_.clean)), "ntok")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q214, q215, q216)
+  val all: Seq[EngineQuery] = Seq(q214, q215, q216, q227)
 }

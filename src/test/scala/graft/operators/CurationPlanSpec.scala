@@ -42,11 +42,17 @@ class CurationPlanSpec extends SharedSparkSpec {
     // every funnel — including decontamination — decides off id-scale
     // checkpoints: a second evaluation's plan must contain zero
     // text-reading scans. This pins the standing-hit-set discipline the
-    // way the ≤-bounds above pin the cold build.
+    // way the ≤-bounds above pin the cold build. The one exception is
+    // q227: its REFERENCE changes per run, so a warm evaluation still
+    // pays exactly the two by-design text reads — the new suite's shingle
+    // set (delta-sized in production, where benchmarks are their own
+    // table) and the corpus-candidate sweep no changed reference can
+    // avoid — and nothing else (kept state and old suite are standing).
     for (q <- CurationQueries.all) {
       q.run(spark, sf001)
-      assert(textScans(q.run(spark, sf001)) == 0,
-        s"${q.name}: warm plan still reads corpus text")
+      val bound = if (q.name.startsWith("q227")) 2 else 0
+      assert(textScans(q.run(spark, sf001)) <= bound,
+        s"${q.name}: warm plan reads more corpus text than its contract")
     }
   }
 
