@@ -125,9 +125,13 @@ object KMeansTrainer {
       .rdd
       .map { case (id, v) => (id, v.toArray) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Seed = first k vectors by id (q92's deterministic init).
-    val seed = vecs.filter(_._1 < k).collect().sortBy(_._1)
-    require(seed.length == k, s"need vec_id 0..${k - 1} as seeds, got ${seed.length}")
+    // Seed = the k smallest vec_ids (q92's deterministic first-k-by-id
+    // init, same rule as trainLocal's sortBy(_._1).take(k)). takeOrdered
+    // collects exactly k (id, vector) pairs — driver-sized regardless of
+    // corpus size — and reduces to the old `vec_id < k` seed whenever ids
+    // 0..k-1 exist (the embeddings-table case), so q108 parity holds.
+    val seed = vecs.takeOrdered(k)(Ordering.by(_._1)).sortBy(_._1)
+    require(seed.length == k, s"need at least $k vectors to seed, got ${seed.length}")
     val dim = seed.head._2.length
     var cents: IndexedSeq[Array[Double]] =
       seed.map(_._2.map(_.toDouble).toArray).toIndexedSeq

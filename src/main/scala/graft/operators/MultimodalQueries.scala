@@ -1017,25 +1017,66 @@ object MultimodalQueries {
   private[graft] def mediaCoarseK(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  /** Coarse quantizer trained on a deterministic driver-sized sample of a
-    * modality's decoded-feature vectors — q108's train-once recipe (the
+  /** Crossover above which coarse-model training runs the DISTRIBUTED
+    * Lloyd's loop ([[graft.functions.KMeansTrainer.train]]) instead of a
+    * driver-local pass over a collected sample. The driver-local cost is
+    * k·(32k)·dim·iters = 32·N·dim·iters SERIAL ops under k = √N — already
+    * ~15 s single-core at 500 k docs and hours at 100 TB while the cluster
+    * idles. The distributed trainer is one no-shuffle job per superstep
+    * with driver state k×dim (KMeansTrainSpec pins its shape and its
+    * 1e-8 parity with the local reference), so above this k the sample
+    * frame trains in place and is never collected. Below it, the local
+    * pass is cheaper than superstep scheduling (~0.1 s/iter of fixed job
+    * cost vs <0.1 s of total arithmetic at k ≤ 128) and keeps small-SF
+    * outputs byte-identical to the historical path. */
+  private[graft] val CoarseDistributedK = 128
+
+  /** True when a corpus of this coarse fan-out trains distributed —
+    * the routing predicate CoarseTrainRoutingSpec pins: every 100 TB-scale
+    * N (k = √N ≥ 128 ⇔ N ≳ 16 k docs) must route away from the
+    * driver-local O(k·n) pass. */
+  private[graft] def coarseTrainsDistributed(k: Int): Boolean =
+    k >= CoarseDistributedK
+
+  /** Train a coarse quantizer from a `(doc_id, embedding)` sample FRAME,
+    * routing by [[coarseTrainsDistributed]]: above the crossover the frame
+    * goes straight into the distributed trainer (no driver-side vector
+    * collect anywhere on that path — the trainer's driver work is the k
+    * seed rows plus #partitions × k cell merges); below it the sample is
+    * driver-sized by construction and the single-node reference trainer is
+    * cheaper than superstep scheduling. Both paths share the seed rule
+    * (first k by id), d2 fold order, and tie-breaks, so they agree to
+    * centroid ulps and to EXACT bucket assignments (CoarseTrainRoutingSpec
+    * pins both on real decoded media vectors). */
+  private[graft] def trainCoarseFrom(
+      sample: org.apache.spark.sql.DataFrame, k: Int,
+      forceDistributed: Boolean = false): graft.functions.KMeansTrainer.Trained =
+    if (forceDistributed || coarseTrainsDistributed(k)) {
+      graft.functions.KMeansTrainer.train(
+        sample.select(col("doc_id").as("vec_id"), col("embedding")), k, 15, 1e-4)
+    } else {
+      val spark = sample.sparkSession
+      import spark.implicits._
+      val local = sample.as[(Long, Seq[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+      graft.functions.KMeansTrainer.trainLocal(local, k, 15, 1e-4)
+    }
+
+  /** Coarse quantizer trained on a deterministic sample of a modality's
+    * decoded-feature vectors — q108's train-once recipe (the
     * embeddings-table models live in a different vector space and cannot be
     * reused). The sample is taken by filtering the DOCUMENTS side BEFORE
     * the decode mapPartitions (32 docs per centroid, min 256) — the opaque
     * decode means a post-decode filter would pay a full-corpus decode just
-    * to keep the sample rows. */
+    * to keep the sample rows. Training routes through [[trainCoarseFrom]]:
+    * at scale the sample frame is trained distributed, never collected. */
   private def trainCoarseModel(
       t: graft.Tables,
       embedSlice: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : graft.functions.KMeansTrainer.Trained = {
-    val spark = t.spark
-    import spark.implicits._
     val k = mediaCoarseK(t.documents.count())
     val sampleLimit = math.max(256L, 32L * k)
-    val sample = embedSlice(t.documents.filter(col("doc_id") < sampleLimit))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
-    graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
+    trainCoarseFrom(embedSlice(t.documents.filter(col("doc_id") < sampleLimit)), k)
   }
 
   private val mediaModelCache =
@@ -1535,20 +1576,16 @@ object MultimodalQueries {
     * (doc_id % 10 ≠ 0 — q90/q125's split convention), and never retrained
     * per delta — production does not retrain a quantizer per nightly
     * batch, because retraining re-buckets the entire standing index.
-    * Same pre-decode driver-sized sample recipe as [[trainCoarseModel]],
-    * k ∝ √(store size). Memoized per (session, dir, modality). */
+    * Same pre-decode sample recipe and [[trainCoarseFrom]] routing as
+    * [[trainCoarseModel]], k ∝ √(store size). Memoized per
+    * (session, dir, modality). */
   private[graft] def incrementalModelOf(
       t: graft.Tables, m: IngestModality): graft.functions.KMeansTrainer.Trained =
     mediaIncModelCache.get(t.spark, s"${t.dir}#${m.tag}inc")({
-      val spark = t.spark
-      import spark.implicits._
       val store = t.documents.filter(col("doc_id") % 10 =!= 0)
       val k = mediaCoarseK(store.count())
       val sampleLimit = math.max(256L, 32L * k)
-      val sample = m.embedSlice(t, store.filter(col("doc_id") < sampleLimit))
-        .as[(Long, Seq[Float])].collect().sortBy(_._1)
-        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
-      graft.functions.KMeansTrainer.trainLocal(sample, k, 15, 1e-4)
+      trainCoarseFrom(m.embedSlice(t, store.filter(col("doc_id") < sampleLimit)), k)
     })
 
   /** [[incrementalModelOf]] on the image modality (q221/q222's quantizer,
