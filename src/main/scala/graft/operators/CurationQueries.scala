@@ -375,8 +375,13 @@ object CurationQueries {
     // scaladoc) and it keeps the broadcast delta-sized even when suites
     // overlap heavily (the common case for versioned benchmarks).
     val newOnly = evOf(col("doc_id") % 2 === 0).join(oldEv, Seq("sh"), "left_anti")
-    val newDrops = cand
+    // Candidate frame for the DELTA sweep: semi-join kept ids BEFORE the
+    // shingle explode — structurally, not by optimizer pushdown — so the
+    // Generate only ever fans out rows that can still drop (kept docs),
+    // never the already-contaminated remainder.
+    val newDrops = sh8src.filter(col("source") =!= "src0")
       .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles(col("tk"), 8)).as("sh"))
       .join(broadcast(newOnly), "sh")
       .select("doc_id").distinct()
       .withColumn("hit", lit(1))

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * the sizes that determine its cost — batch rows, store-index rows,
   * Hamming-admitted candidate pairs (ledger-side and slice-internal
   * separately), and rejected docs — with wall time per piece. Usage:
-  * graft.MediaIngestProbe <sfDir>. The candidate counts are the honest
+  * sbt "Test/runMain graft.MediaIngestProbe <sfDir>" (test scope — a dev
+  * diagnostic must not ship in the library jar). The candidate counts are
+  * the honest
   * scale denominators for PLANS' decade ratios: the assignment cost is
   * identical across modalities, so warm differences between q221/q225/q226
   * are candidate-population differences, and this prints them. */
 object MediaIngestProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    require(args.nonEmpty, "usage: graft.MediaIngestProbe <sfDir>")
+    val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

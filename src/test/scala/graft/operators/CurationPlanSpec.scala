@@ -96,6 +96,25 @@ class CurationPlanSpec extends SharedSparkSpec {
     }
   }
 
+  test("q227's kept semi-join sits BELOW the candidate shingle explode") {
+    // The delta sweep's candidate pass must fan out shingles only for docs
+    // that can still drop: the kept-ids semi-join is built UNDER the
+    // Generate structurally, and this pins that no optimizer change (or
+    // refactor back to a shared post-explode candidate frame) re-orders it
+    // — a LeftSemi join whose left subtree contains a Generate would mean
+    // the corpus-scale explode ran first and the semi-join filtered its
+    // output.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    CurationQueries.q227.run(spark, sf001) // warm the standing state
+    val plan = CurationQueries.q227.run(spark, sf001).queryExecution.optimizedPlan
+    val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, "expected the kept-ids LeftSemi in the warm q227 plan")
+    for (j <- semis)
+      assert(j.left.collect { case g: Generate => g }.isEmpty,
+        "kept semi-join applied ABOVE a shingle explode — candidate fan-out must be kept-only")
+  }
+
   test("generation slicing is window-free and an ascending cover of the batch") {
     import org.apache.spark.sql.functions._
     val t = new graft.Tables(spark, sf001)
