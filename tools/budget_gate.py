@@ -16,14 +16,59 @@ because only the intersection of bench times and budgets was checked):
  - a budget entry with NO bench time is reported as stale (renamed/removed
    query) so COLD_BUDGET.json can't silently rot.
 
+Breach attribution (the r12 q56 lesson, now encoded instead of documented):
+this box is a guest with invisible co-tenant contention, so a single-query
+breach inside an otherwise-green board is usually a scheduling transient,
+while a uniform whole-board elevation is host noise. The gate distinguishes:
+ - <= RERUN_MAX offenders AND board median ratio normal: each offender gets
+   ONE isolated fresh-JVM rerun (tools/bench_one.sh); a rerun inside its
+   limit is recorded as a transient and does not fail the gate, a rerun
+   still over it is a confirmed regression and fails.
+ - more offenders, or an elevated board median: no rerun — fail with the
+   host-noise note so the run is repeated on a quiet window instead of
+   retried per query.
+
 Usage: tools/budget_gate.py <bench_detail.json> [cold_budget.json] [tolerance]
+Env: BUDGET_GATE_SF (sf dir for offender reruns, default /root/testdata/sf0.1),
+     BUDGET_GATE_NO_RERUN=1 to disable the rerun step (pure comparison).
 """
-import sys, json
+import os, sys, json, re, statistics, subprocess
+
+RERUN_MAX = 2        # at most this many offenders are attributable as transients
+UNIFORM_MEDIAN = 1.25  # board median ratio above this = host-noise signature
+
+
+def rerun_cold(name, sf_dir):
+    """One isolated fresh-JVM cold run of a single query; None on any failure.
+
+    A warmup query runs first (untimed) so the measurement matches the
+    suite-cold semantics the budgets were taken under — in the budget suite,
+    JVM/session/codegen warmup is absorbed by alphabetically earlier queries,
+    and without it an isolated run1 over-reads cheap queries by ~3 s.
+    """
+    warmup = "q01_scan_project" if name != "q01_scan_project" else "q02_filter"
+    try:
+        out = subprocess.run(
+            ["tools/bench_one.sh", name, sf_dir, "1"],
+            capture_output=True, text=True, timeout=900, cwd="/root/repo",
+            env={**os.environ, "SPARK_GRAFT_WARMUP": warmup})
+    except Exception as e:
+        print(f"[budget_gate]   rerun of {name} failed to launch: {e}")
+        return None
+    m = re.search(rf"{re.escape(name)} run1: ([0-9.]+)s", out.stdout)
+    if not m:
+        tail = (out.stdout + out.stderr).strip().splitlines()[-3:]
+        print(f"[budget_gate]   rerun of {name} produced no timing: {tail}")
+        return None
+    return float(m.group(1))
+
 
 def main():
     detail_path = sys.argv[1]
     budget_path = sys.argv[2] if len(sys.argv) > 2 else "COLD_BUDGET.json"
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    sf_dir = os.environ.get("BUDGET_GATE_SF", "/root/testdata/sf0.1")
+    no_rerun = os.environ.get("BUDGET_GATE_NO_RERUN") == "1"
     detail = json.load(open(detail_path))
     budget = json.load(open(budget_path))
     if int(detail.get("failed", 0)) != 0:
@@ -42,24 +87,50 @@ def main():
         print(f"[budget_gate] FAIL: {len(stale)} budget entries match no bench "
               f"query (renamed/removed?): {', '.join(stale)}")
         failed = True
-    offenders = []
-    for name in sorted(set(times) & set(budgets)):
-        limit = budgets[name]["max"] * tol
-        if times[name] > limit:
-            offenders.append((name, times[name], budgets[name]["max"], limit))
+    shared = sorted(set(times) & set(budgets))
+    ratios = {n: times[n] / budgets[n]["max"] for n in shared}
+    offenders = [(n, times[n], budgets[n]["max"], budgets[n]["max"] * tol)
+                 for n in shared if times[n] > budgets[n]["max"] * tol]
     if offenders:
-        print(f"[budget_gate] FAIL: {len(offenders)} queries over budget-max x{tol}:")
+        med = statistics.median(ratios.values()) if ratios else 0.0
+        print(f"[budget_gate] {len(offenders)} queries over budget-max x{tol} "
+              f"(board median ratio {med:.2f}x):")
         for name, t, bmax, limit in offenders:
             print(f"  {name}: cold {t:.3f}s > {limit:.3f}s "
                   f"(budget max {bmax:.3f}s, ratio {t / bmax:.2f}x)")
-        failed = True
+        if no_rerun:
+            print("[budget_gate] FAIL: reruns disabled (BUDGET_GATE_NO_RERUN=1)")
+            failed = True
+        elif med > UNIFORM_MEDIAN or len(offenders) > RERUN_MAX:
+            print(f"[budget_gate] FAIL: breach is board-wide "
+                  f"(median {med:.2f}x > {UNIFORM_MEDIAN} or "
+                  f"{len(offenders)} > {RERUN_MAX} offenders) — host-noise "
+                  f"signature; repeat the whole gate on a quiet window rather "
+                  f"than rerunning queries")
+            failed = True
+        else:
+            for name, t, bmax, limit in offenders:
+                print(f"[budget_gate]   isolated fresh-JVM rerun of {name} ...")
+                t2 = rerun_cold(name, sf_dir)
+                if t2 is None:
+                    print(f"[budget_gate] FAIL: {name} rerun unmeasurable")
+                    failed = True
+                elif t2 > limit:
+                    print(f"[budget_gate] FAIL: {name} confirmed over budget on "
+                          f"rerun: {t2:.3f}s > {limit:.3f}s")
+                    failed = True
+                else:
+                    print(f"[budget_gate]   {name} transient: rerun {t2:.3f}s "
+                          f"<= {limit:.3f}s (first pass {t:.3f}s) — not a "
+                          f"regression")
     if failed:
         return 1
-    worst = max(((times[n] / budgets[n]["max"], n)
-                 for n in set(times) & set(budgets)), default=(0.0, "-"))
-    print(f"[budget_gate] ok: {len(set(times) & set(budgets))} queries within "
-          f"budget-max x{tol} (worst ratio {worst[0]:.2f}x on {worst[1]})")
+    worst = max(((ratios[n], n) for n in shared), default=(0.0, "-"))
+    print(f"[budget_gate] ok: {len(shared)} queries within "
+          f"budget-max x{tol} (worst ratio {worst[0]:.2f}x on {worst[1]}"
+          f"{'; ' + str(len(offenders)) + ' transient(s) attributed by rerun' if offenders else ''})")
     return 0
+
 
 if __name__ == "__main__":
     sys.exit(main())

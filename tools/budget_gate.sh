@@ -31,4 +31,4 @@ echo "[budget_gate] cold pass (fresh JVM, scratch cwd $TMP) ..."
     -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" graft.Bench \
     > "$TMP/stdout.log" 2>&1 )
-python3 tools/budget_gate.py "$TMP/BENCH_DETAIL.json" COLD_BUDGET.json "$TOL"
+BUDGET_GATE_SF="$SF" python3 tools/budget_gate.py "$TMP/BENCH_DETAIL.json" COLD_BUDGET.json "$TOL"
