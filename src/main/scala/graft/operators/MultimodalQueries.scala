@@ -1149,6 +1149,43 @@ object MultimodalQueries {
   private[graft] def videoNearDupIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     nearDupIndex(t, "vidnearidx", videoFrameEmbeddings(t), videoNearDupModel(t))
 
+  private val nearDupLayoutCache = new graft.SessionCache[String]
+
+  /** A modality's standing near-dup index AT REST — the (doc_id, bucket,
+    * sig) rows written ONCE as a `bucket`-bucketed, bucket-sorted parquet
+    * table (q94/q145's layout mechanism) next to the data. The session
+    * localCheckpoint ([[nearDupIndex]]) dies with the session, so every
+    * new session re-paid decode + train + assign (the video index alone is
+    * ~107 s/session at sf10x; at 100 TB it is the whole media pipeline's
+    * build cost) — this is the at-rest complement a production pipeline
+    * serves from instead. Bucket count = the session shuffle width, so the
+    * within-block candidate self-join is BOTH exchange-free (v1 bucketing
+    * reports hashpartitioning(bucket)) and full-width for its Σn_c²
+    * Hamming-condition compute — the explicit-repartition width pin
+    * becomes a property of the layout itself. */
+  private[graft] def nearDupIndexTable(
+      t: graft.Tables, tag: String,
+      idx: => org.apache.spark.sql.DataFrame): String =
+    nearDupLayoutCache.get(t.spark, s"${t.dir}#$tag#layout")({
+      val tbl = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "_")}"
+      graft.sources.LayoutWriter.writeBucketed(
+        idx, tbl, "bucket", t.spark.sessionState.conf.numShufflePartitions, "overwrite")
+      tbl
+    })
+
+  /** [[nearDupIndexTable]] of the image modality (q228's serve source). */
+  private[graft] def mediaNearDupIndexTable(t: graft.Tables): String =
+    nearDupIndexTable(t, "imgnearidx", mediaNearDupIndex(t))
+
+  /** [[nearDupIndexTable]] of the audio modality. */
+  private[graft] def audioNearDupIndexTable(t: graft.Tables): String =
+    nearDupIndexTable(t, "audnearidx", audioNearDupIndex(t))
+
+  /** [[nearDupIndexTable]] of the video modality (the named sf10x
+    * rebuild cost). */
+  private[graft] def videoNearDupIndexTable(t: graft.Tables): String =
+    nearDupIndexTable(t, "vidnearidx", videoNearDupIndex(t))
+
   /** The docs a min-id-wins near-dup dedup would drop from a decoded
     * modality: members with a lower-id neighbor at exact cosine ≥
     * [[MediaNearDupT]] inside their trained coarse block. Pipeline: block
@@ -1162,15 +1199,19 @@ object MultimodalQueries {
     * q219 (audio) and q223 (video). */
   private def nearDupDroppedFrom(
       emb: org.apache.spark.sql.DataFrame,
-      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      idx: org.apache.spark.sql.DataFrame,
+      prePartitioned: Boolean = false): org.apache.spark.sql.DataFrame = {
     // Pin the pair join's width (q220's AQE lesson): the shuffle carries
     // ~28 B/row but the join evaluates Σn_c² Hamming conditions, and AQE
     // coalesces by BYTES — an explicit numPartitions is a user constraint
     // it keeps, and the self-join reuses the one exchange. The repartition
     // re-applies per run because a checkpoint read (ExistingRDD) reports no
     // Catalyst partitioning; the 20-byte-row shuffle is noise next to the
-    // Hamming-condition compute it spreads.
-    val assigned = idx.repartition(
+    // Hamming-condition compute it spreads. An AT-REST index
+    // ([[nearDupIndexTable]]) already reports hashpartitioning(bucket) at
+    // shuffle width from its bucketing — `prePartitioned` skips the no-op
+    // exchange so the layout serves exchange-FREE.
+    val assigned = if (prePartitioned) idx else idx.repartition(
       emb.sparkSession.sessionState.conf.numShufflePartitions, col("bucket"))
     val cand = assigned.as("a")
       .join(assigned.as("b"),
@@ -1280,6 +1321,35 @@ object MultimodalQueries {
   val q223 = EngineQuery("q223_video_neardup", None) { t =>
     nearDupAudit(videoNearDupIndex(t), videoNearDupDropped(t))
   }
+
+  /** q218's near-dup audit served from the AT-REST index layout
+    * ([[nearDupIndexTable]]) — the media member of the stored-artifact
+    * family (q144 postings, q145 bands, q146 IVF-PQ codes): a session that
+    * finds the (doc_id, bucket, sig) table on disk serves the whole
+    * near-dup family from 20-byte parquet rows instead of re-paying
+    * decode + train + assign, and the candidate self-join runs off the
+    * table's bucketing with NO exchange on `bucket` (full shuffle-width
+    * buckets, so the Σn_c² Hamming compute keeps its parallelism — the
+    * repartition width pin became a property of the layout). The exact
+    * -cosine verification still fetches embeddings for CANDIDATE ids only
+    * (decode count per session unchanged at ≤ 1). Same output as q218 by
+    * construction (same index rows, same serve tail — MediaLayoutSpec
+    * pins row-for-row equality for image AND the ~107 s/session sf10x
+    * case, video, plus the exchange-free bucketed scan and the build-once
+    * memo); no SQL oracle for the same reason q218 has none (trained
+    * quantizer + real codec). */
+  val q228 = EngineQuery("q228_media_index_layout", None) { t =>
+    nearDupAuditServed(mediaPixelEmbeddings(t),
+      t.spark.table(mediaNearDupIndexTable(t)))
+  }
+
+  /** The audit pipeline served from a STORED index frame — q228's body,
+    * shared with MediaLayoutSpec's per-modality round-trip assertions so
+    * the layout-serve tail cannot drift from the live one. */
+  private[graft] def nearDupAuditServed(
+      emb: org.apache.spark.sql.DataFrame,
+      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nearDupAudit(idx, nearDupDroppedFrom(emb, idx, prePartitioned = true))
 
   /** q220's operating point. The two modality embeddings share a vector
     * space BY CONSTRUCTION of the encoder boundary: the image embeds the
@@ -1819,5 +1889,5 @@ object MultimodalQueries {
 
   val all: Seq[EngineQuery] =
     Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223, q224,
-      q225, q226)
+      q225, q226, q228)
 }
