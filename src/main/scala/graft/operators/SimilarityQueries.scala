@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{EngineQuery, dsl}
 import graft.dsl._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1191,7 +1191,82 @@ object SimilarityQueries {
     orderedByAll(hits.unionByName(overall))
   }
 
+  /** Deterministic stub TEXT encoder into the embeddings table's 64-dim
+    * space: the document's UTF-8 bytes through the SAME partition-level
+    * encoder boundary as the media modalities
+    * ([[Multimodal.embedFeatures]] — stub model with the avalanche-fixed
+    * geometry, real plumbing: in production this is where the text tower
+    * of a two-tower model loads, once per partition). Filter-the-documents
+    * -side-first contract as every encoder caller: the query set is
+    * bounded (doc_id < `limit`, q25/q37's convention), so the encode is a
+    * map-only pass over `limit` rows, never the corpus. */
+  private[graft] def textQueryEmbeddings(
+      t: graft.Tables, limit: Long = 10): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    implicit val mEnc = Encoders.product[Multimodal.MediaRecord]
+    val qdocs = t.documents.filter(col("doc_id") < limit)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        Multimodal.MediaRecord(id, src, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    Multimodal.embedFeatures(qdocs).toDF
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+  }
+
+  /** Buckets probed per text query in q229 — 4 of [[graft.functions.
+    * KMeansTrainer.K]] = 8: a text-tower query vector is NOT a member of
+    * the indexed corpus, so it lands between cells more often than q37's
+    * in-corpus queries and needs a wider probe fan to reach the same
+    * recall regime (measured on the gate fixtures sf0.001/sf0.01:
+    * recall@5 0.54/0.52 at nprobe 2, 0.76/0.78 at 4, 1.00/1.00 at 8 =
+    * exhaustive; 4 is the knee — half the candidate volume of exhaustive
+    * for three quarters of its recall, and TextRetrievalSpec re-measures
+    * the sweep so these numbers cannot rot). */
+  private[graft] val NProbeText = 4
+
+  /** TEXT→EMBEDDINGS cross-modal retrieval — documents querying the
+    * `embeddings` table BY CONTENT with no id bridge (the two-tower serving
+    * shape: text through its encoder tower, ANN against the standing
+    * vector index): each query doc's text embeds via the shared stub
+    * encoder boundary ([[textQueryEmbeddings]]), probes its [[NProbeText]]
+    * nearest cells of q37's TRAINED coarse quantizer (probe selection is
+    * the fused codegen literal-centroid expression — map-only, zero
+    * exchange), and exact cosine + deterministic top-5 runs on the probed
+    * cells only (candidates ≈ nprobe·N/k per query, never all-pairs; the
+    * bounded query set broadcasts, the corpus never shuffles). Same output
+    * shape as q37. Approximate by construction (trained quantizer + stub
+    * encoder) → no SQL oracle; TextRetrievalSpec pins recall@5 vs the
+    * exact brute-force anchor under the SAME query vectors, determinism,
+    * and the cartesian-free plan. */
+  val q229 = EngineQuery("q229_text_vec_retrieval", None) { t =>
+    textRetrievalTop5(t, NProbeText)
+  }
+
+  /** q229's serve body at an explicit probe width — TextRetrievalSpec
+    * sweeps it to keep [[NProbeText]]'s measured-knee claim honest. */
+  private[graft] def textRetrievalTop5(t: graft.Tables, nprobe: Int): DataFrame = {
+    val model = graft.functions.KMeansTrainer.trainedModel(t)
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val buckets = e.select(col("vec_id"), col("embedding"),
+      graft.functions.KMeansTrainer.coarseBucket(col("embedding"), model).as("bucket"))
+    val q = textQueryEmbeddings(t).select(
+      col("query_id"), col("q_emb"),
+      explode(graft.functions.KMeansTrainer
+        .probeBuckets(col("q_emb"), model, nprobe)).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    orderedByAll(
+      buckets.join(broadcast(q), "bucket")
+        .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round4(col("cos")).as("cos_sim"), col("rn")))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q24, q25, q35, q37, q38, q49, q92, q108, q118, q127, q140, q145, q146,
-      q154, q164, q183, q185, q186, q199, q209, q210, q217)
+      q154, q164, q183, q185, q186, q199, q209, q210, q217, q229)
 }
