@@ -1619,13 +1619,18 @@ object TextQueries {
            |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
            |ORDER BY ALL""".stripMargin)) { t =>
-    val cand = prefixCandidates(corpusPrefixPostings(t))
-    // Exact verification on candidates only, candidate-LOCAL: fetch the two
-    // docs' shingle-hash arrays from the standing [[corpusShingleArrays]]
-    // (restricted to candidate ids first — the media-family fetch pattern)
-    // and count the overlap in one codegen'd array_intersect per pair. The
-    // corpus-scale inverted index never enters the verify plan.
-    val arrs = corpusShingleArrays(t)
+    serveSetsimFrom(corpusPrefixPostings(t), corpusShingleArrays(t))
+  }
+
+  /** q151's serve pipeline over explicit index frames — shared verbatim by
+    * q230 (the at-rest layout form) so the two serve paths cannot drift:
+    * prefix+positional candidate join, then exact verification on
+    * candidates only, candidate-LOCAL — fetch the two docs' shingle-hash
+    * arrays (restricted to candidate ids first — the media-family fetch
+    * pattern) and count the overlap in one codegen'd array_intersect per
+    * pair. The corpus-scale inverted index never enters the verify plan. */
+  private def serveSetsimFrom(pre: DataFrame, arrs: DataFrame): DataFrame = {
+    val cand = prefixCandidates(pre)
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val fetch = arrs.join(candDocs, Seq("doc_id")).localCheckpoint(eager = false)
@@ -1638,6 +1643,61 @@ object TextQueries {
     orderedByAll(
       scored.filter(jac >= SimT)
         .select(col("doc_a"), col("doc_b"), round4(jac).as("jaccard")))
+  }
+
+  private val setsimLayoutCache = new graft.SessionCache[(String, String)]
+
+  /** q151's standing text indexes AT REST — the set-sim members of the
+    * stored-artifact family (q144 postings / q145 bands / q146 codes /
+    * q228 media): the PREFIX postings land bucketed+sorted by `s` (the
+    * candidate self-join key, so the join runs off the bucketing with no
+    * exchange) and the per-doc shingle-hash ARRAYS bucketed by `doc_id`
+    * (the verify-fetch key). Both were per-session localCheckpoints — a
+    * pure function of the corpus re-derived every session (df-count +
+    * rank window + pivot over the full postings; the declared q151 cold
+    * trade) — a production AllPairs/PPJoin pipeline maintains them next to
+    * the corpus and pays only the candidate join per evaluation. */
+  private[operators] def setsimIndexTables(t: graft.Tables): (String, String) =
+    setsimLayoutCache.get(t.spark, s"${t.dir}#setsimlayout")({
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val width = t.spark.sessionState.conf.numShufflePartitions
+      val preT = s"graft_prefix5_$tag"
+      val arrT = s"graft_ngram5arr_$tag"
+      graft.sources.LayoutWriter.writeBucketed(
+        corpusPrefixPostings(t), preT, "s", width, "overwrite")
+      graft.sources.LayoutWriter.writeBucketed(
+        corpusShingleArrays(t), arrT, "doc_id", width, "overwrite")
+      (preT, arrT)
+    })
+
+  /** q151's exact set-sim join served from the STORED index layout
+    * ([[setsimIndexTables]]) — same serve tail verbatim, so the candidate
+    * join reads bucket-aligned prefix files (no exchange on `s`) and the
+    * verification fetch reads doc_id-bucketed arrays. Oracled with q151's
+    * SQL (byte-identical to q36's semantics): the hash gate proves the
+    * layout round-trip lossless, the same way q145/q183 prove the band
+    * index. SetsimLayoutSpec additionally pins the exchange-free bucketed
+    * candidate join, build-once memoization, and a served plan with zero
+    * documents scans. */
+  val q230 = EngineQuery(
+    "q230_setsim_layout",
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+           |           WHERE len(string_split(text,' ')) >= 5),
+           |s AS (SELECT DISTINCT doc_id,
+           |        unnest(list_transform(generate_series(1, len(toks) - 4),
+           |          i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           |      FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE), 4) AS jaccard
+           |FROM c JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+           |ORDER BY ALL""".stripMargin)) { t =>
+    val (preT, arrT) = setsimIndexTables(t)
+    serveSetsimFrom(t.spark.table(preT), t.spark.table(arrT))
   }
 
   /** Cross-document repeated-span coverage — the ExactSubstr family (Lee et
@@ -2368,5 +2428,6 @@ object TextQueries {
   val all: Seq[EngineQuery] =
     Seq(q23, q26, q29, q31, q32, q33, q34, q36, q44, q45, q47, q50, q51, q55,
       q57, q60, q87, q90, q97, q104, q105, q110, q112, q119, q125, q144, q151,
-      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187, q191, q207)
+      q153, q157, q160, q172, q173, q174, q175, q181, q184, q187, q191, q207,
+      q230)
 }
