@@ -965,11 +965,37 @@ object MultimodalQueries {
   private[graft] val MediaHammingSlack = 20
   private[graft] val MediaSignBits = 64
 
+  /** Combined slack of the one-shot family's 128-bit sketch (two 64-bit
+    * signature words, [[mediaSignPlanes]] + [[mediaSignPlanes2]]). The
+    * σ-distance argument that set slack 20 at 64 bits, rerun at 128: a
+    * true pair at cos ≥ 0.9 flips 128·θ/π ≈ 18.4 bits (σ ≈ 3.97), so 34
+    * is the same +3.9σ admission floor (loss ~5e-5 per borderline pair) —
+    * but the AMBIENT in-bucket population (the 100 TB cost driver) sits a
+    * fixed angular gap away whose σ-distance grows as √bits: measured on
+    * the sf1x/sf10x decades, the 64-bit slack-20 filter admitted ~2.6–3.2%
+    * of within-block pairs (≈ 96× the true pairs — the verify join, which
+    * carries 256 B vectors per side, was 96-fold oversized and dominated
+    * q218's warm cost), while 128/34 admits a population close to the
+    * true pair count. Same +3.9σ recall discipline; the worst measured
+    * true pair sits well inside (admissibility spec-pinned per modality at
+    * both gate SFs). The incremental family keeps the 64-bit single-word
+    * sketch: its batch ⋈ store joins are delta-sized, so over-admission
+    * costs batch-scale there, not corpus-scale. */
+  private[graft] val MediaHammingSlack128 = 34
+
   /** Seeded Gaussian hyperplanes (64 × 64-dim, row-major) for the q218 sign
     * sketch — deterministic, its own seed so q49's plane set stays
     * independent. */
   private[graft] lazy val mediaSignPlanes: IndexedSeq[Double] = {
     val rng = new scala.util.Random(20260814L)
+    IndexedSeq.fill(MediaSignBits * 64)(rng.nextGaussian())
+  }
+
+  /** Second plane set for the one-shot family's 128-bit sketch (seed
+    * disjoint from [[mediaSignPlanes]] and [[crossModalPlaneSets]]'s
+    * 20260815–20260818 range). */
+  private[graft] lazy val mediaSignPlanes2: IndexedSeq[Double] = {
+    val rng = new scala.util.Random(20260820L)
     IndexedSeq.fill(MediaSignBits * 64)(rng.nextGaussian())
   }
 
@@ -1000,6 +1026,10 @@ object MultimodalQueries {
     * [[graft.functions.HyperplaneSignature]]). */
   private[graft] def mediaSignLocal(v: Array[Double]): Long =
     signLocalWith(v, mediaSignPlanes)
+
+  /** Local parity twin of the 128-bit sketch's second word. */
+  private[graft] def mediaSign2Local(v: Array[Double]): Long =
+    signLocalWith(v, mediaSignPlanes2)
 
   /** Local parity twin of the 256-bit cross-modal sketch (4 longs). */
   private[graft] def crossModalSignLocal(v: Array[Double]): IndexedSeq[Long] =
@@ -1111,7 +1141,7 @@ object MultimodalQueries {
   private val nearDupIdxCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
   /** The STANDING near-dup index of a decoded modality: (doc_id, bucket,
-    * sig) under the trained coarse model — 20-byte rows, the one-shot
+    * sig, sig2) under the trained coarse model — 28-byte rows, the one-shot
     * family's analogue of q221's [[mediaStoreIndex]], memoized per
     * (session, dir, modality) and checkpointed. The assignment pass is
     * O(N·k·dim) with k ∝ √N — an N^1.5 term that was silently re-paid on
@@ -1133,7 +1163,8 @@ object MultimodalQueries {
       val m = km
       emb.select(col("doc_id"),
         KMeansTrainer.coarseBucket(col("embedding"), m).as("bucket"),
-        HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"))
+        HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"),
+        HyperplaneSignature(col("embedding"), mediaSignPlanes2, 64).as("sig2"))
         .localCheckpoint()
     })
 
@@ -1190,9 +1221,9 @@ object MultimodalQueries {
     * modality: members with a lower-id neighbor at exact cosine ≥
     * [[MediaNearDupT]] inside their trained coarse block. Pipeline: block
     * (Σn_c² candidates with k ∝ √N blocks, never all-pairs) → sign-sketch
-    * Hamming prefilter (the pair join shuffles ONE long per side, never
-    * vectors or media bytes — see [[MediaHammingSlack]] for why sign bits
-    * and not PQ-SDC here) → exact cosine on embeddings fetched for
+    * Hamming prefilter (the pair join shuffles TWO longs per side, never
+    * vectors or media bytes — see [[MediaHammingSlack128]] for why sign
+    * bits and not PQ-SDC here, and for the 64→128-bit admission math) → exact cosine on embeddings fetched for
     * CANDIDATE ids only (q24's verification economics in vector space).
     * Takes the modality's standing [[nearDupIndex]]; `emb` is read for the
     * candidate-restricted verification fetch only. Shared by q218 (image),
@@ -1202,7 +1233,7 @@ object MultimodalQueries {
       idx: org.apache.spark.sql.DataFrame,
       prePartitioned: Boolean = false): org.apache.spark.sql.DataFrame = {
     // Pin the pair join's width (q220's AQE lesson): the shuffle carries
-    // ~28 B/row but the join evaluates Σn_c² Hamming conditions, and AQE
+    // ~36 B/row but the join evaluates Σn_c² Hamming conditions, and AQE
     // coalesces by BYTES — an explicit numPartitions is a user constraint
     // it keeps, and the self-join reuses the one exchange. The repartition
     // re-applies per run because a checkpoint read (ExistingRDD) reports no
@@ -1216,7 +1247,8 @@ object MultimodalQueries {
     val cand = assigned.as("a")
       .join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= MediaHammingSlack)
+          (bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) +
+            bit_count(col("a.sig2").bitwiseXOR(col("b.sig2")))) <= MediaHammingSlack128)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.bucket").as("bucket"))
       .localCheckpoint(eager = false)
@@ -1248,7 +1280,7 @@ object MultimodalQueries {
 
   /** The per-bucket near-dup audit (q154's shape): media count and members
     * a min-id-wins dedup would drop — q218/q219/q223's shared report body.
-    * Counts come off the standing index (20-byte rows), not a fresh
+    * Counts come off the standing index (28-byte rows), not a fresh
     * corpus-wide bucket assignment. */
   private def nearDupAudit(
       idx: org.apache.spark.sql.DataFrame,
@@ -1266,9 +1298,10 @@ object MultimodalQueries {
     * composing q136's real PNG decode, q109's encoder-boundary embedding,
     * q154's SemDeDup cluster blocking (trained coarse quantizer, k ∝ √N —
     * candidate pairs are Σn_c², never all-pairs), q49's hyperplane sign
-    * sketch as the pair prefilter (the within-block pair join carries one
-    * 64-bit signature instead of 256 B vectors; [[MediaHammingSlack]]
-    * documents why sign bits beat PQ-SDC in this threshold regime), and
+    * sketch as the pair prefilter (the within-block pair join carries a
+    * 128-bit signature — two longs — instead of 256 B vectors;
+    * [[MediaHammingSlack128]] documents the σ-distance argument and why
+    * sign bits beat PQ-SDC in this threshold regime), and
     * q24's candidate-restricted exact verification. Output is the
     * per-bucket audit a pipeline logs (q154's shape): media count and
     * members a min-id-wins dedup would drop. No SQL oracle (real codec +

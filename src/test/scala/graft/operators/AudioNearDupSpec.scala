@@ -96,8 +96,10 @@ class AudioNearDupSpec extends SharedSparkSpec {
       val (_, va) = ms(j); val (_, vb) = ms(i)
       if (round4(cos(va, vb)) >= MultimodalQueries.MediaNearDupT) {
         val ham = java.lang.Long.bitCount(
-          MultimodalQueries.mediaSignLocal(va) ^ MultimodalQueries.mediaSignLocal(vb))
-        assert(ham <= MultimodalQueries.MediaHammingSlack,
+          MultimodalQueries.mediaSignLocal(va) ^ MultimodalQueries.mediaSignLocal(vb)) +
+          java.lang.Long.bitCount(
+            MultimodalQueries.mediaSign2Local(va) ^ MultimodalQueries.mediaSign2Local(vb))
+        assert(ham <= MultimodalQueries.MediaHammingSlack128,
           s"sign-sketch prefilter would lose a true pair: hamming=$ham")
       }
     }
