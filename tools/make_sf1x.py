@@ -16,7 +16,7 @@ scales linearly and ratios are interpretable:
    (baskets grow 10x over the same item space — how basket data scales).
  - dimension tables + embeddings copied verbatim.
 
-Usage: tools/make_sf1x.py [src_dir] [out_dir] [factor]
+Usage: tools/make_sf1x.py [src_dir] [out_dir] [factor] [prefix_letter]
 """
 import sys, os, shutil
 import duckdb
@@ -24,6 +24,17 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scaledata/sf1x"
 F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# Replica token-prefix LETTER — must be UNIQUE per application depth.
+# With a fixed letter, chained applications collide: sf10x replica k>0 of
+# sf1x's ORIGINAL docs gets tokens 'r{k}x'+orig, textually identical to
+# sf10x replica 0's verbatim copy of sf1x replica k — 9 duplicated
+# sub-corpora = 45,000 planted identical cross-replica doc pairs at sf10x
+# (measured: q36 pairs 75,208 instead of the intended 10x25,600 -> 2.9x
+# per-decade pair inflation, compounding at sf100x). A distinct letter per
+# depth ('r' then 's' then 't') makes chains injective at every decade and
+# the pair census exactly 10x per application.
+PFX = sys.argv[4] if len(sys.argv) > 4 else "r"
+
 
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -69,10 +80,10 @@ gen("documents", f"""
              FROM read_parquet('{src}/documents.parquet'))
   SELECT doc_id + k*{DOC} AS doc_id,
          CASE WHEN k = 0 THEN text
-              ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END AS text,
+              ELSE '{PFX}'||k||'x'||replace(text, ' ', ' {PFX}'||k||'x') END AS text,
          lang, source,
          CAST(length(CASE WHEN k = 0 THEN text
-              ELSE 'r'||k||'x'||replace(text, ' ', ' r'||k||'x') END) AS BIGINT) AS n_chars
+              ELSE '{PFX}'||k||'x'||replace(text, ' ', ' {PFX}'||k||'x') END) AS BIGINT) AS n_chars
   FROM d CROSS JOIN ks""")
 
 gen("events", f"""
