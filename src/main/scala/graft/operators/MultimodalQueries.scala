@@ -1524,10 +1524,22 @@ object MultimodalQueries {
     val cand = qry.as("q")
       .join(idx.as("i"), col("q.bucket") === col("i.bucket") && ham <= CrossModalHammingSlack)
       .select(col("q.qid").as("qid"), col("i.img_id").as("img_id"))
-      .localCheckpoint(eager = false)
-    val scored = cand
-      .join(qEmb.select(col("doc_id").as("qid"), col("embedding").as("ea")), "qid")
-      .join(iEmb.select(col("doc_id").as("img_id"), col("embedding").as("ei")), "img_id")
+    // Fetch joins as SHUFFLED HASH with the EMBEDDING side as the build:
+    // the candidate side is pair-scale (admission ∝ in-bucket pairs — at
+    // the sf100x decade ~7×10⁸ rows) while each embedding side is
+    // corpus-scale (N rows, N/width per task ≈ MBs). Sort-merge would sort
+    // the pair side TWICE — an UnsafeExternalSorter spill that exceeded the
+    // measurement box's 70 GB scratch at sf100x — where hash-building the
+    // small side lets the pair stream through unsorted. Same reason the
+    // candidate frame is NOT checkpointed here: it has exactly one
+    // downstream consumer chain, and a block-store copy of a pair-scale
+    // frame is another O(pairs) of storage for zero reuse.
+    val cand2 = cand
+      .join(qEmb.select(col("doc_id").as("qid"), col("embedding").as("ea"))
+        .hint("shuffle_hash"), "qid")
+    val scored = cand2
+      .join(iEmb.select(col("doc_id").as("img_id"), col("embedding").as("ei"))
+        .hint("shuffle_hash"), "img_id")
       .select(col("qid"), col("img_id"),
         round4(CosineSimilarity(col("ea"), col("ei"))).as("cos"))
     // Deterministic top-1 without a tie-broken max_by: lexicographic max of
