@@ -1421,6 +1421,24 @@ object MultimodalQueries {
   private[graft] val CrossModalHammingSlack = 88
   private[graft] val CrossModalProbes = 8
 
+  /** Per-(query, probed bucket) shortlist cap for the cross-modal candidate
+    * kernel ([[graft.functions.HammingShortlist]]) — the bound that makes
+    * the verify volume LINEAR in the corpus (probes·m·N) where the plain
+    * slack cut stayed pair-scale (slack-88 admitted ~2.3% of the probes·N·n_c
+    * probed population at sf100x ≈ 7×10⁸ rows, all flowing into the
+    * embedding fetch joins). Eviction-loss math at the measured operating
+    * point: aligned candidates sit at E = 64, σ ≈ 6.9 of 256 bits; the
+    * in-bucket ambient population at E ≈ 104–116, σ ≈ 8 — an ambient entry
+    * outranks an aligned one with p = Φ(−4σ..−6σ) ≈ 1e-5, so with n_c = √N
+    * entries per bucket the expected intruder count per probe is ≲ 0.2 at
+    * sf100x and the aligned candidate is evicted only if ≥ m intruders ALL
+    * beat it (Poisson tail at 16: < 1e-20). The self pair and every
+    * identical-prefix dup share ONE image sketch, so ties cannot push a
+    * planted dup below its twin — the (ham, id) order keeps the min id.
+    * CrossModalSpec/CrossModalIncrementalSpec pin mirror parity of exactly
+    * this rule; the recall floors are unchanged from the slack-only rule. */
+  private[graft] val CrossModalShortlistM = 16
+
   /** CROSS-MODAL alignment + retrieval audit — the text↔image↔audio
     * pairing that goes BEYOND doc_id identity (the last multimodal corner:
     * q218/q219 dedup within a modality; production multimodal curation
@@ -1438,9 +1456,12 @@ object MultimodalQueries {
     *      IMAGE corpus by content — trained coarse blocks
     *      ([[mediaNearDupModel]]'s quantizer, index-side single
     *      assignment, query-side [[CrossModalProbes]]-probe fan-out —
-    *      measured knee of the recall/candidate-volume curve), the
-    *      128-bit sign-sketch Hamming prefilter at [[CrossModalHammingSlack]]
-    *      (the candidate join carries two longs per side, never vectors),
+    *      measured knee of the recall/candidate-volume curve), the 256-bit
+    *      sign-sketch Hamming scan fused into one packed-array kernel
+    *      ([[graft.functions.HammingShortlist]] at
+    *      [[CrossModalHammingSlack]], top-[[CrossModalShortlistM]] per
+    *      probe — candidates carry ids and longs, never vectors, and the
+    *      verify volume is linear in the corpus),
     *      exact cosine on candidate ids only, top-1 by (cos desc, id asc).
     *      The audit counts, per source: queries whose top-1 is their own
     *      doc (`n_top1_self`), queries resolved to a DIFFERENT doc at
@@ -1463,20 +1484,44 @@ object MultimodalQueries {
     crossModalPlaneSets.zipWithIndex.map { case (ps, h) =>
       graft.functions.HyperplaneSignature(col("embedding"), ps, 64).as(s"sig$h") }
 
-  /** q220's standing IMAGE-side retrieval index: (img_id, bucket, 4-long
-    * sketch) under the image coarse model — the [[nearDupIndex]] discipline
-    * at the cross-modal operating point (256-bit sketch, see
-    * [[crossModalPlaneSets]]). Memoized per (session, dir): the assignment
-    * plus four signature passes are O(N·k·dim) with k ∝ √N, and a retrieval
-    * system maintains this index next to the vectors rather than re-bucketing
-    * the corpus per query batch. */
+  /** Pack a flat (img_id, bucket, sig0..sig3) cross-modal index into ONE
+    * row per coarse bucket — ids ascending, signatures id-major in one long
+    * array — [[graft.functions.HammingShortlist]]'s operand layout. The
+    * probe join then matches k ≈ √N bucket rows instead of N index rows,
+    * and the Σ|q_b|·|i_b| Hamming population is evaluated as a primitive
+    * array loop INSIDE one projection instead of as join-row conditions.
+    * The higher-order projections here run interpreted, but once per INDEX
+    * BUILD (O(N)), not per probed pair (O(N^1.5)). */
+  private[graft] def packXModal(
+      flat: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    flat.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(
+        col("img_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3")))).as("es"))
+      .select(col("bucket"),
+        transform(col("es"), e => e.getField("img_id")).as("ids"),
+        flatten(transform(col("es"), e => array(
+          e.getField("sig0"), e.getField("sig1"), e.getField("sig2"),
+          e.getField("sig3")))).as("sigs"))
+
+  /** q220's IMAGE-side flat index rows: (img_id, bucket, 4-long sketch)
+    * under the image coarse model — the [[nearDupIndex]] discipline at the
+    * cross-modal operating point (256-bit sketch, [[crossModalPlaneSets]]).
+    * Assignment plus four signature passes are O(N·k·dim) with k ∝ √N. */
+  private[graft] def crossModalImageFlat(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    import graft.functions.KMeansTrainer
+    mediaPixelEmbeddings(t).select(col("doc_id").as("img_id") +:
+      KMeansTrainer.coarseBucket(col("embedding"), mediaNearDupModel(t))
+        .as("bucket") +: crossModalSigCols: _*)
+  }
+
+  /** q220's standing IMAGE-side retrieval index in PACKED per-bucket form
+    * ([[packXModal]]). Memoized per (session, dir): a retrieval system
+    * maintains this index next to the vectors rather than re-bucketing the
+    * corpus per query batch — and at rest it is exactly the frame q231
+    * stores bucketed by `bucket`. */
   private[graft] def crossModalImageIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmimgidx")({
-      import graft.functions.KMeansTrainer
-      mediaPixelEmbeddings(t).select(col("doc_id").as("img_id") +:
-        KMeansTrainer.coarseBucket(col("embedding"), mediaNearDupModel(t))
-          .as("bucket") +: crossModalSigCols: _*)
-        .localCheckpoint()
+      packXModal(crossModalImageFlat(t)).localCheckpoint()
     })
 
   /** q220's AUDIO-side probe frame: (qid, probed bucket, 4-long sketch),
@@ -1496,44 +1541,57 @@ object MultimodalQueries {
     })
 
   /** Candidate formation + exact-cosine top-1 of a multi-probe query frame
-    * against a cross-modal image index — the retrieval kernel shared by the
-    * one-shot audit (q220) and the incremental form (q224). `probes` is one
-    * row per (query, probed bucket) with the query's 4-long sketch; `idx`
-    * is (img_id, bucket, 4-long sketch); embeddings are read for candidate
-    * ids only. Returns (doc_id, top_img, top_cos). */
+    * against a PACKED cross-modal image index — the retrieval kernel shared
+    * by the one-shot audit (q220), the incremental form (q224) and the
+    * at-rest serve (q231). `probes` is one row per (query, probed bucket)
+    * with the query's 4-long sketch; `idx` is [[packXModal]]'s (bucket,
+    * ids, sigs); embeddings are read for candidate ids only. Returns
+    * (doc_id, top_img, top_cos).
+    *
+    * Scale shape (the round-13 `weak`, fixed): the former flat pair join
+    * evaluated probes·N·n_c Hamming CONDITIONS as join rows and admitted a
+    * pair-scale candidate set (~7×10⁸ rows at sf100x) into the fetch joins
+    * — the board's only super-linear decade term. Here the same Hamming
+    * population is scanned INSIDE [[graft.functions.HammingShortlist]]
+    * (4 XOR+POPCNT per entry over packed long arrays, no row machinery)
+    * and only a top-[[CrossModalShortlistM]] shortlist per (query, probe)
+    * leaves the projection, so every downstream frame is ≤ probes·m·N —
+    * linear in the corpus. The arithmetic term probes·N·n_c remains (it is
+    * the price of k = √N blocking) but at ~1 ns/entry it saturates compute
+    * ~two orders later than the join-row form. */
   private def crossModalTop1(
       t: graft.Tables,
       probes: org.apache.spark.sql.DataFrame,
       idx: org.apache.spark.sql.DataFrame,
       qEmb: org.apache.spark.sql.DataFrame,
       iEmb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import graft.functions.CosineSimilarity
-    // Pin the pair join's width explicitly: its shuffle is byte-tiny (ids,
-    // a bucket, four longs) but its probe side evaluates Σ|q_b|·|i_b|
-    // Hamming conditions — AQE coalesces by BYTES and measured it down to
-    // 4 partitions at sf1x, serializing ~90M condition evaluations onto 4
+    import graft.functions.{CosineSimilarity, HammingShortlist}
+    // Pin the probe side's width explicitly: the shuffle is byte-tiny (an
+    // id, a bucket, four longs per row) but each joined row scans a whole
+    // bucket's packed arrays — AQE coalesces by BYTES and measured it down
+    // to 4 partitions at sf1x, serializing the Hamming compute onto 4
     // cores. An explicit numPartitions is a user constraint AQE keeps (and
     // it re-applies per run: a checkpoint read reports no partitioning).
     val qry = probes
       .repartition(t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
-    // No distinct: an image has exactly ONE assigned bucket, so a (query,
-    // image) pair forms at most once across the probe fan-out.
-    val ham = (0 until crossModalPlaneSets.length)
-      .map(h => bit_count(col(s"q.sig$h").bitwiseXOR(col(s"i.sig$h"))))
-      .reduce(_ + _)
-    val cand = qry.as("q")
-      .join(idx.as("i"), col("q.bucket") === col("i.bucket") && ham <= CrossModalHammingSlack)
-      .select(col("q.qid").as("qid"), col("i.img_id").as("img_id"))
+    // The packed index joins as SHUFFLED HASH build side: k ≈ √N rows —
+    // hash-partitioned by bucket it is exchange-light at any scale, where a
+    // broadcast would ship the WHOLE index (40·N bytes) to every executor.
+    // No distinct on the output: an image has exactly ONE assigned bucket
+    // and probe lists are distinct, so a (query, image) pair forms at most
+    // once across the fan-out.
+    val cand = qry
+      .join(idx.hint("shuffle_hash"), Seq("bucket"))
+      .select(col("qid"), explode(HammingShortlist(
+        col("ids"), col("sigs"),
+        array(col("sig0"), col("sig1"), col("sig2"), col("sig3")),
+        crossModalPlaneSets.length, CrossModalHammingSlack,
+        CrossModalShortlistM)).as("img_id"))
     // Fetch joins as SHUFFLED HASH with the EMBEDDING side as the build:
-    // the candidate side is pair-scale (admission ∝ in-bucket pairs — at
-    // the sf100x decade ~7×10⁸ rows) while each embedding side is
-    // corpus-scale (N rows, N/width per task ≈ MBs). Sort-merge would sort
-    // the pair side TWICE — an UnsafeExternalSorter spill that exceeded the
-    // measurement box's 70 GB scratch at sf100x — where hash-building the
-    // small side lets the pair stream through unsorted. Same reason the
-    // candidate frame is NOT checkpointed here: it has exactly one
-    // downstream consumer chain, and a block-store copy of a pair-scale
-    // frame is another O(pairs) of storage for zero reuse.
+    // the candidate side (≤ probes·m·N rows) still outweighs each
+    // corpus-scale embedding side (N rows, N/width per task ≈ MBs), and
+    // sort-merge would sort the big side twice — hash-building the small
+    // side lets candidates stream through unsorted.
     val cand2 = cand
       .join(qEmb.select(col("doc_id").as("qid"), col("embedding").as("ea"))
         .hint("shuffle_hash"), "qid")
@@ -1589,16 +1647,18 @@ object MultimodalQueries {
     * quantizer ([[mediaIncrementalModel]] — the incremental family never
     * retrains per delta, because retraining re-buckets the standing index).
     * This is [[crossModalImageIndex]]'s incremental twin: built once,
-    * checkpointed, maintained next to the vectors (at 100 TB a
-    * bucket-partitioned layout, q94's convention). */
+    * checkpointed in [[packXModal]]'s per-bucket packed form, maintained
+    * next to the vectors (at 100 TB a bucket-partitioned layout, q94's
+    * convention). */
   private[graft] def crossModalStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmstoreidx")({
       import graft.functions.KMeansTrainer
       val km = mediaIncrementalModel(t)
-      mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("img_id") +:
-          KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket") +:
-          crossModalSigCols: _*)
+      packXModal(
+        mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("img_id") +:
+            KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket") +:
+            crossModalSigCols: _*))
         .localCheckpoint()
     })
 
@@ -1627,8 +1687,9 @@ object MultimodalQueries {
     * the cross-modal family): new AUDIO arrivals (doc_id ≡ 0 mod 10, the
     * ingest split) query the FROZEN store-side image index by content —
     * store-trained coarse blocks ([[mediaIncrementalModel]], query-side
-    * 8-probe fan-out), the 256-bit sign-sketch Hamming prefilter, exact
-    * cosine on candidate ids only, deterministic (cos desc, id asc) top-1.
+    * 8-probe fan-out), the 256-bit packed-array Hamming shortlist
+    * ([[graft.functions.HammingShortlist]]), exact cosine on candidate ids
+    * only, deterministic (cos desc, id asc) top-1.
     * The batch's own images are NOT in the index, so a match is a genuine
     * cross-doc, cross-modal resolution: the arrival's audio found a store
     * doc whose image shares its canonical prefix — the content-level

@@ -33,24 +33,30 @@ object CrossModalProbe {
     }
 
     println(s"== cross-modal (q220 decomposition) ==")
-    timed("image index build") { crossModalImageIndex(t).count() }
+    timed("image index build (packed)") { crossModalImageIndex(t).count() }
     timed("audio probe frame build") { crossModalAudioProbes(t).count() }
     val idx = crossModalImageIndex(t)
     val probes = crossModalAudioProbes(t)
       .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
-    val probedPairs = timed("probed pairs (bucket only)") {
-      probes.as("q").join(idx.as("i"), col("q.bucket") === col("i.bucket")).count()
+    // Hamming-eval population Σ|q_b|·|i_b| — now an arithmetic SUM over the
+    // packed index's per-bucket sizes, not a materialized pair join.
+    val probedPairs = timed("probed pairs (Σ|q_b|·|i_b|)") {
+      probes.groupBy("bucket").count().as("q")
+        .join(idx.select(col("bucket"), size(col("ids")).as("n")).as("i"), "bucket")
+        .agg(sum(col("count") * col("n"))).head().getLong(0)
     }
-    val ham = (0 until 4)
-      .map(h => bit_count(col(s"q.sig$h").bitwiseXOR(col(s"i.sig$h"))))
-      .reduce(_ + _)
-    val admitted = timed("sketch-admitted candidates") {
-      probes.as("q").join(idx.as("i"),
-        col("q.bucket") === col("i.bucket") && ham <= CrossModalHammingSlack).count()
+    val shortlisted = timed("shortlist candidates") {
+      probes
+        .join(idx.hint("shuffle_hash"), Seq("bucket"))
+        .select(explode(graft.functions.HammingShortlist(
+          col("ids"), col("sigs"),
+          array(col("sig0"), col("sig1"), col("sig2"), col("sig3")),
+          4, CrossModalHammingSlack, CrossModalShortlistM)).as("img_id"))
+        .count()
     }
     timed("full q220 audit (warm 1)") { q220.run(spark, sfDir).count() }
     timed("full q220 audit (warm 2)") { q220.run(spark, sfDir).count() }
-    println(s"  rows: probedPairs=$probedPairs admitted=$admitted")
+    println(s"  rows: probedPairs=$probedPairs shortlisted=$shortlisted")
     spark.stop()
   }
 }

@@ -54,13 +54,20 @@ class CrossModalIncrementalSpec extends SharedSparkSpec {
 
     aud.flatMap { case (qid, av) =>
       val qsig = MultimodalQueries.crossModalSignLocal(av)
-      val candIds = probes(av).flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
-        .map(_._1).distinct
-        .filter { i =>
-          val isig = sigOf(i)
-          qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum <=
-            MultimodalQueries.CrossModalHammingSlack
-        }
+      def ham(i: Long): Int = {
+        val isig = sigOf(i)
+        qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum
+      }
+      // Mirror of HammingShortlist's rule: per probed bucket, the
+      // (ham asc, id asc) top-M of the slack-admitted entries.
+      val candIds = probes(av).flatMap { b =>
+        byBucket.getOrElse(b, Array.empty).toSeq.map(_._1)
+          .map(i => (i, ham(i)))
+          .filter(_._2 <= MultimodalQueries.CrossModalHammingSlack)
+          .sortBy { case (i, h) => (h, i) }
+          .take(MultimodalQueries.CrossModalShortlistM)
+          .map(_._1)
+      }
       val scored = candIds.map(i => (i, round4(cos(av, imgById(i)))))
       if (scored.isEmpty) None
       else Some(qid -> scored.minBy { case (i, c) => (-c, i) })
@@ -123,7 +130,8 @@ class CrossModalIncrementalSpec extends SharedSparkSpec {
       s"fresh arrival must miss, got ${top1.get(130L)}")
     // The index side never contains a batch image.
     val idxIds = MultimodalQueries.crossModalStoreIndex(t)
-      .select("img_id").collect().map(_.getLong(0))
+      .select(explode(col("ids")).as("img_id"))
+      .collect().map(_.getLong(0))
     assert(idxIds.forall(_ % 10 != 0), "batch image leaked into the store index")
   }
 

@@ -55,13 +55,20 @@ class CrossModalSpec extends SharedSparkSpec {
 
     val rows = aud.map { case (qid, av) =>
       val qsig = MultimodalQueries.crossModalSignLocal(av)
-      val candIds = probes(av).flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
-        .map(_._1).distinct
-        .filter { i =>
-          val isig = sigOf(i)
-          qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum <=
-            MultimodalQueries.CrossModalHammingSlack
-        }
+      def ham(i: Long): Int = {
+        val isig = sigOf(i)
+        qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum
+      }
+      // Mirror of HammingShortlist's rule: per probed bucket, the
+      // (ham asc, id asc) top-M of the slack-admitted entries.
+      val candIds = probes(av).flatMap { b =>
+        byBucket.getOrElse(b, Array.empty).toSeq.map(_._1)
+          .map(i => (i, ham(i)))
+          .filter(_._2 <= MultimodalQueries.CrossModalHammingSlack)
+          .sortBy { case (i, h) => (h, i) }
+          .take(MultimodalQueries.CrossModalShortlistM)
+          .map(_._1)
+      }
       val scored = candIds.map(i => (i, round4(cos(av, imgById(i)))))
       val top = if (scored.isEmpty) None
         else Some(scored.minBy { case (i, c) => (-c, i) })
