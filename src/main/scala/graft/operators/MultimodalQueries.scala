@@ -1182,25 +1182,45 @@ object MultimodalQueries {
 
   private val nearDupLayoutCache = new graft.SessionCache[String]
 
+  /** Deterministic at-rest table name keyed on (tag, data dir, bucket
+    * width): same artifact → same name, so re-runs and fresh sessions
+    * OVERWRITE one table instead of accumulating UUID-named orphans in the
+    * warehouse (the pre-round-14 behavior leaked one table per session and
+    * per gate rerun). The dir rides as an md5 prefix — table identifiers
+    * cannot carry paths — and the width is part of the identity because
+    * the bucketed join's exchange elision only holds at the width the
+    * table was written with. */
+  private[graft] def layoutName(tag: String, dir: String, width: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_${tag}_w${width}_$h"
+  }
+
   /** A modality's standing near-dup index AT REST — the (doc_id, bucket,
-    * sig) rows written ONCE as a `bucket`-bucketed, bucket-sorted parquet
-    * table (q94/q145's layout mechanism) next to the data. The session
-    * localCheckpoint ([[nearDupIndex]]) dies with the session, so every
-    * new session re-paid decode + train + assign (the video index alone is
+    * sig, sig2) rows (28-byte parquet rows: an id, a bucket, the 128-bit
+    * sketch as two longs) written ONCE as a `bucket`-bucketed,
+    * bucket-sorted parquet table (q94/q145's layout mechanism) next to the
+    * data, under a DETERMINISTIC name ([[layoutName]]) so every rebuild
+    * overwrites the same table. The session localCheckpoint
+    * ([[nearDupIndex]]) dies with the session, so every new session
+    * re-paid decode + train + assign (the video index alone is
     * ~107 s/session at sf10x; at 100 TB it is the whole media pipeline's
     * build cost) — this is the at-rest complement a production pipeline
-    * serves from instead. Bucket count = the session shuffle width, so the
-    * within-block candidate self-join is BOTH exchange-free (v1 bucketing
-    * reports hashpartitioning(bucket)) and full-width for its Σn_c²
+    * serves from instead (rebuilt-and-overwritten per session here because
+    * the fixture dirs are regenerated in place between runs; a production
+    * table would be maintained incrementally, q221's discipline). Bucket
+    * count = the session shuffle width, so the within-block candidate
+    * self-join is BOTH exchange-free (v1 bucketing reports
+    * hashpartitioning(bucket)) and full-width for its Σn_c²
     * Hamming-condition compute — the explicit-repartition width pin
     * becomes a property of the layout itself. */
   private[graft] def nearDupIndexTable(
       t: graft.Tables, tag: String,
       idx: => org.apache.spark.sql.DataFrame): String =
     nearDupLayoutCache.get(t.spark, s"${t.dir}#$tag#layout")({
-      val tbl = s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "_")}"
-      graft.sources.LayoutWriter.writeBucketed(
-        idx, tbl, "bucket", t.spark.sessionState.conf.numShufflePartitions, "overwrite")
+      val width = t.spark.sessionState.conf.numShufflePartitions
+      val tbl = layoutName(tag, t.dir, width)
+      graft.sources.LayoutWriter.writeBucketed(idx, tbl, "bucket", width, "overwrite")
       tbl
     })
 
@@ -1237,7 +1257,7 @@ object MultimodalQueries {
     // coalesces by BYTES — an explicit numPartitions is a user constraint
     // it keeps, and the self-join reuses the one exchange. The repartition
     // re-applies per run because a checkpoint read (ExistingRDD) reports no
-    // Catalyst partitioning; the 20-byte-row shuffle is noise next to the
+    // Catalyst partitioning; the 28-byte-row shuffle is noise next to the
     // Hamming-condition compute it spreads. An AT-REST index
     // ([[nearDupIndexTable]]) already reports hashpartitioning(bucket) at
     // shuffle width from its bucketing — `prePartitioned` skips the no-op
@@ -1357,10 +1377,10 @@ object MultimodalQueries {
 
   /** q218's near-dup audit served from the AT-REST index layout
     * ([[nearDupIndexTable]]) — the media member of the stored-artifact
-    * family (q144 postings, q145 bands, q146 IVF-PQ codes): a session that
-    * finds the (doc_id, bucket, sig) table on disk serves the whole
-    * near-dup family from 20-byte parquet rows instead of re-paying
-    * decode + train + assign, and the candidate self-join runs off the
+    * family (q144 postings, q145 bands, q146 IVF-PQ codes): the
+    * (doc_id, bucket, sig, sig2) table — 28-byte parquet rows, the 128-bit
+    * sketch as two longs — serves the whole near-dup family instead of
+    * re-paying decode + train + assign, and the candidate self-join runs off the
     * table's bucketing with NO exchange on `bucket` (full shuffle-width
     * buckets, so the Σn_c² Hamming compute keeps its parallelism — the
     * repartition width pin became a property of the layout). The exact
@@ -1564,7 +1584,8 @@ object MultimodalQueries {
       probes: org.apache.spark.sql.DataFrame,
       idx: org.apache.spark.sql.DataFrame,
       qEmb: org.apache.spark.sql.DataFrame,
-      iEmb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      iEmb: org.apache.spark.sql.DataFrame,
+      prePartitioned: Boolean = false): org.apache.spark.sql.DataFrame = {
     import graft.functions.{CosineSimilarity, HammingShortlist}
     // Pin the probe side's width explicitly: the shuffle is byte-tiny (an
     // id, a bucket, four longs per row) but each joined row scans a whole
@@ -1572,7 +1593,10 @@ object MultimodalQueries {
     // to 4 partitions at sf1x, serializing the Hamming compute onto 4
     // cores. An explicit numPartitions is a user constraint AQE keeps (and
     // it re-applies per run: a checkpoint read reports no partitioning).
-    val qry = probes
+    // An AT-REST probe table (q231) already reports hashpartitioning(bucket)
+    // at shuffle width from its bucketing — `prePartitioned` skips the
+    // no-op exchange so the layout serves exchange-free on BOTH sides.
+    val qry = if (prePartitioned) probes else probes
       .repartition(t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
     // The packed index joins as SHUFFLED HASH build side: k ≈ √N rows —
     // hash-partitioned by bucket it is exchange-light at any scale, where a
@@ -1609,7 +1633,15 @@ object MultimodalQueries {
         (-col("m.neg_id")).as("top_img"), col("m.cos").as("top_cos"))
   }
 
-  val q220 = EngineQuery("q220_crossmodal_align", None) { t =>
+  /** q220's audit body over an arbitrary (probe frame, packed index) pair —
+    * shared VERBATIM by the live form (q220, session-built frames) and the
+    * at-rest serve (q231, bucketed tables), so the serve tail cannot drift
+    * from the live one (q230's discipline in vector space). */
+  private[graft] def crossModalAuditFrom(
+      t: graft.Tables,
+      probes: org.apache.spark.sql.DataFrame,
+      idx: org.apache.spark.sql.DataFrame,
+      prePartitioned: Boolean): org.apache.spark.sql.DataFrame = {
     import graft.functions.CosineSimilarity
     val img = mediaPixelEmbeddings(t)
     val aud = audioSampleEmbeddings(t)
@@ -1619,8 +1651,7 @@ object MultimodalQueries {
       .select(col("doc_id"),
         round4(CosineSimilarity(col("ei"), col("ea"))).as("align"))
 
-    val top1 = crossModalTop1(t, crossModalAudioProbes(t), crossModalImageIndex(t),
-      aud, img)
+    val top1 = crossModalTop1(t, probes, idx, aud, img, prePartitioned)
 
     orderedByAll(
       aligned
@@ -1640,6 +1671,62 @@ object MultimodalQueries {
             (col("top_img") =!= col("doc_id") &&
               col("top_cos") < CrossModalAlignT), 1L).otherwise(0L))
             .as("n_miss")))
+  }
+
+  val q220 = EngineQuery("q220_crossmodal_align", None) { t =>
+    crossModalAuditFrom(t, crossModalAudioProbes(t), crossModalImageIndex(t),
+      prePartitioned = false)
+  }
+
+  private val xmodalLayoutCache = new graft.SessionCache[(String, String)]
+
+  /** q220's retrieval artifacts AT REST: the packed per-bucket image index
+    * (bucket, ids, sigs) AND the multi-probe audio query frame (qid,
+    * bucket, sig0..3), each written once as a `bucket`-bucketed,
+    * bucket-sorted parquet table at the session shuffle width under
+    * deterministic names ([[layoutName]] — re-runs overwrite, never
+    * accumulate). Returns (indexTable, probeTable). With BOTH sides
+    * bucketed by the candidate-join key at the same width, the shortlist
+    * join plans with no exchange on either side — the repartition width
+    * pin became a property of the layout, q228's convention extended to
+    * the query frame (a batch cross-modal join's query corpus is itself a
+    * standing artifact). */
+  private[graft] def crossModalLayoutTables(t: graft.Tables): (String, String) =
+    xmodalLayoutCache.get(t.spark, s"${t.dir}#xmlayout")({
+      val width = t.spark.sessionState.conf.numShufflePartitions
+      val idxTbl = layoutName("xmidx", t.dir, width)
+      val prbTbl = layoutName("xmprobes", t.dir, width)
+      graft.sources.LayoutWriter.writeBucketed(
+        crossModalImageIndex(t), idxTbl, "bucket", width, "overwrite")
+      graft.sources.LayoutWriter.writeBucketed(
+        crossModalAudioProbes(t), prbTbl, "bucket", width, "overwrite")
+      (idxTbl, prbTbl)
+    })
+
+  /** q220's cross-modal audit served from the AT-REST retrieval layout
+    * ([[crossModalLayoutTables]]) — the cross-modal member of the
+    * stored-artifact family (q144/q145/q146/q228/q230), closing the one
+    * per-session rebuild the round-13 audit named: the trained coarse
+    * model, bucket assignment, 256-bit signatures and 8-probe lists of
+    * BOTH modality frames were session state (at sf100x ~90% of q220's
+    * 881 s cold was this one-time build), so a new session re-paid the
+    * whole O(N·k·dim) pipeline before its first candidate. Stored, the
+    * serve path starts at the shortlist join: both tables are bucketed by
+    * `bucket` at shuffle width, so the candidate join runs with NO
+    * exchange on either side; the model itself is not needed to serve
+    * (assignments and probe lists are materialized in the tables). Exact
+    * -cosine verification and the alignment join still read the session's
+    * decode-once embedding checkpoints (candidate-restricted fetch;
+    * decode ≤ 1/modality/session unchanged). Same output as q220 by
+    * construction — [[crossModalAuditFrom]] is shared verbatim;
+    * CrossModalLayoutSpec pins row-for-row equality, the exchange-free
+    * served plan, the build-once memo, and deterministic table naming. No
+    * SQL oracle for the same reason q220 has none (real codec + trained
+    * quantizer). */
+  val q231 = EngineQuery("q231_crossmodal_index_layout", None) { t =>
+    val (idxTbl, prbTbl) = crossModalLayoutTables(t)
+    crossModalAuditFrom(t, t.spark.table(prbTbl), t.spark.table(idxTbl),
+      prePartitioned = true)
   }
 
   /** q224's standing STORE-side retrieval index: (img_id, bucket, 4-long
@@ -1995,5 +2082,5 @@ object MultimodalQueries {
 
   val all: Seq[EngineQuery] =
     Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223, q224,
-      q225, q226, q228)
+      q225, q226, q228, q231)
 }

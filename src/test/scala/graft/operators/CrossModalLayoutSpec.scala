@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SharedSparkSpec
+import org.apache.spark.sql.functions._
+
+/** q231 (cross-modal retrieval index at rest): serving q220's audit from
+  * the stored bucketed (index, probe) tables must reproduce q220
+  * row-for-row, the shortlist candidate join must run off the bucketing
+  * with no exchange on `bucket` on EITHER side, the layout must build once
+  * per (session, dir) under a deterministic name, and the stored frames
+  * must be lossless round-trips of the session-built ones. */
+class CrossModalLayoutSpec extends SharedSparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("q231 equals q220 row-for-row (stored layout serves the same audit)") {
+    val live = rows(MultimodalQueries.q220.run(spark, sf001))
+    val stored = rows(MultimodalQueries.q231.run(spark, sf001))
+    assert(stored == live)
+    assert(stored.nonEmpty)
+  }
+
+  test("stored frames are lossless: index and probe tables == session frames") {
+    val t = new graft.Tables(spark, sf001)
+    val (idxTbl, prbTbl) = MultimodalQueries.crossModalLayoutTables(t)
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bucket"), col("ids"), col("sigs"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+        .sortBy(_._1).toSeq
+    assert(idxRows(spark.table(idxTbl))
+      == idxRows(MultimodalQueries.crossModalImageIndex(t)))
+    def prbRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("bucket"), col("sig0"), col("sig1"),
+        col("sig2"), col("sig3"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(prbRows(spark.table(prbTbl))
+      == prbRows(MultimodalQueries.crossModalAudioProbes(t)))
+  }
+
+  test("q231: shortlist join runs off the bucketing — no exchange on bucket") {
+    // Pin the 100 TB shape: an index too big to broadcast.
+    val t = new graft.Tables(spark, sf001)
+    val (idxTbl, prbTbl) = MultimodalQueries.crossModalLayoutTables(t)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = spark.table(prbTbl)
+        .join(spark.table(idxTbl).hint("shuffle_hash"), Seq("bucket"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("Exchange hashpartitioning(bucket"),
+        "candidate join re-shuffled the stored bucket key:\n" + p.take(1500))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("layout builds once per (session, dir), names are deterministic") {
+    val t = new graft.Tables(spark, sf001)
+    val first = MultimodalQueries.crossModalLayoutTables(t)
+    assert(first == MultimodalQueries.crossModalLayoutTables(t))
+    val width = spark.sessionState.conf.numShufflePartitions
+    assert(first._1 == MultimodalQueries.layoutName("xmidx", t.dir, width))
+    assert(first._2 == MultimodalQueries.layoutName("xmprobes", t.dir, width))
+    // Same inputs, same name — no per-session UUID accumulation.
+    assert(!first._1.matches(".*[0-9a-f]{8}_[0-9a-f]{4}.*"),
+      s"layout table name looks UUID-derived: ${first._1}")
+  }
+}
