@@ -30,12 +30,18 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    // SPARK_GRAFT_WARMUP=<query>: run a DIFFERENT query once, untimed,
-    // before timing the target. Suite-cold budgets (tools/cold_budget.sh)
-    // are measured in a JVM whose session/codegen/page-cache warmup was
-    // absorbed by earlier queries; an isolated run1 without this pays ~3 s
-    // of JVM warmup and over-reads every cheap query's cold time.
-    for (w <- sys.env.get("SPARK_GRAFT_WARMUP") if w != name;
+    // SPARK_GRAFT_WARMUP=<query>[,<query>...]: run DIFFERENT queries once,
+    // untimed and in order, before timing the target. Suite-cold budgets
+    // (tools/cold_budget.sh) are measured in a JVM whose session/codegen/
+    // page-cache warmup was absorbed by earlier queries; an isolated run1
+    // without this pays ~3 s of JVM warmup and over-reads every cheap
+    // query's cold time. The list form exists for CACHE-SHARING queries
+    // (tools/budget_gate.py's upstream map): a layout/incremental query's
+    // suite-cold assumes the suite-order upstream already built the shared
+    // memoized state, so its isolated rerun must warm with that exact
+    // upstream or it re-measures the upstream's build as its own breach.
+    for (ws <- sys.env.get("SPARK_GRAFT_WARMUP").toSeq;
+         w <- ws.split(',').map(_.trim) if w.nonEmpty && w != name;
          wfn <- SparkEntry.queries.get(w)) {
       wfn(spark, sfDir).count()
     }

@@ -1190,11 +1190,8 @@ object MultimodalQueries {
     * cannot carry paths — and the width is part of the identity because
     * the bucketed join's exchange elision only holds at the width the
     * table was written with. */
-  private[graft] def layoutName(tag: String, dir: String, width: Int): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"graft_${tag}_w${width}_$h"
-  }
+  private[graft] def layoutName(tag: String, dir: String, width: Int): String =
+    graft.sources.LayoutWriter.deterministicName(tag, dir, width)
 
   /** A modality's standing near-dup index AT REST — the (doc_id, bucket,
     * sig, sig2) rows (28-byte parquet rows: an id, a bucket, the 128-bit

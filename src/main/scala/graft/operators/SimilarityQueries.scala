@@ -605,8 +605,7 @@ object SimilarityQueries {
 
   private[graft] def minhashBandTable(t: graft.Tables): String =
     minhashLayouts.get(t.spark, t.dir)({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val tbl = s"graft_mh_bands_$tag"
+      val tbl = graft.sources.LayoutWriter.deterministicName("mh_bands", t.dir, 8)
       graft.sources.LayoutWriter.writeBucketed(
         bandRows(t.documents), tbl, Seq("band", "bh"), 8, "overwrite")
       tbl
@@ -634,8 +633,7 @@ object SimilarityQueries {
     * with no exchange on the band keys. */
   private[graft] def appendedBandStats(t: graft.Tables): BandAppendStats =
     appendedBandLayouts.get(t.spark, t.dir)({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val tbl = s"graft_mh_bands_inc_$tag"
+      val tbl = graft.sources.LayoutWriter.deterministicName("mh_bands_inc", t.dir, 8)
       val isDelta = pmod(col("doc_id"), lit(8)) === 0
       graft.sources.LayoutWriter.writeBucketed(
         bandRows(t.documents.filter(!isDelta)), tbl, Seq("band", "bh"), 8, "overwrite")

@@ -103,23 +103,22 @@ object SinkQueries {
     * join needs NO exchange (PlanInvariantsSpec asserts the join keys never
     * hash-shuffle; scans show `Bucketed: true`). This is the layout that
     * amortizes a repeatedly-joined 100 TB fact table: pay the shuffle once
-    * at write time, join exchange-free forever after. Unique table names
-    * per invocation — the catalog is session-global and Verify runs
-    * queries concurrently. */
+    * at write time, join exchange-free forever after. */
   /** Bucketed layouts memoized per (session, data dir): the layout's whole
     * point is "pay the shuffle once at write time, join exchange-free
     * forever after" — re-writing the tables on every q94 call would
     * benchmark the write, not the join. First call per session writes;
-    * warm calls measure the exchange-free join itself. Unique table names
-    * per layout — the catalog is session-global and Verify runs queries
-    * concurrently. */
+    * warm calls measure the exchange-free join itself. Table names are
+    * DETERMINISTIC per (tag, dir, width) with overwrite semantics — the
+    * SessionCache already serializes writers per (session, dir), and one
+    * stable name per artifact stops warehouse accumulation across
+    * sessions and gate reruns. */
   private val bucketedLayouts = new graft.SessionCache[(String, String)]
 
   private def bucketedTables(t: graft.Tables): (String, String) =
     bucketedLayouts.get(t.spark, t.dir)({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val liT = s"graft_bkt_li_$tag"
-      val ordT = s"graft_bkt_ord_$tag"
+      val liT = graft.sources.LayoutWriter.deterministicName("bkt_li", t.dir, 8)
+      val ordT = graft.sources.LayoutWriter.deterministicName("bkt_ord", t.dir, 8)
       graft.sources.LayoutWriter.writeBucketed(
         t.lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         liT, "l_orderkey", 8)

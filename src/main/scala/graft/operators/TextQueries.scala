@@ -1232,8 +1232,7 @@ object TextQueries {
 
   private[graft] def postingsTable(t: graft.Tables): String =
     postingsLayouts.get(t.spark, t.dir)({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val tbl = s"graft_postings_$tag"
+      val tbl = graft.sources.LayoutWriter.deterministicName("postings", t.dir, 8)
       // The write reads the memoized in-session postings (corpusPostings) —
       // the durable layout and the session artifact are the same frame, so
       // the build never re-shingles text the session already indexed.
@@ -1317,8 +1316,7 @@ object TextQueries {
     * through one bucketed scan — still no exchange on `s`. */
   private[graft] def appendedPostingsStats(t: graft.Tables): PostingsAppendStats =
     appendedPostingsLayouts.get(t.spark, t.dir)({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val tbl = s"graft_postings_inc_$tag"
+      val tbl = graft.sources.LayoutWriter.deterministicName("postings_inc", t.dir, 8)
       val isDelta = pmod(col("doc_id"), lit(8)) === 0
       // Both generations slice the memoized corpus postings by doc_id —
       // identical rows to invPostings over the filtered text (the split
@@ -1358,8 +1356,7 @@ object TextQueries {
     compactedPostingsLayouts.get(t.spark, t.dir)({
       val src = appendedPostingsStats(t)
       val before = t.spark.table(src.table).inputFiles.length
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val tbl = s"graft_postings_cmp_$tag"
+      val tbl = graft.sources.LayoutWriter.deterministicName("postings_cmp", t.dir, 8)
       // NO exchange: the source table is already bucketed by s, so the
       // planner collapses the explicit repartition(8, s) — the bucketing IS
       // the required distribution — and each write task streams exactly one
@@ -1429,8 +1426,7 @@ object TextQueries {
     * build cost is spread over arrival instead of paid as one rebuild. */
   private[graft] def ingestedPostingsStats(t: graft.Tables): PostingsIngestStats =
     ingestedPostingsLayouts.get(t.spark, t.dir)({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
-      val tbl = s"graft_postings_ing_$tag"
+      val tbl = graft.sources.LayoutWriter.deterministicName("postings_ing", t.dir, 8)
       val rows = (0 until 4).map { g =>
         graft.sources.LayoutWriter.writeBucketed(
           invPostings(t.documents.filter(pmod(col("doc_id"), lit(4)) === g)),
@@ -1659,10 +1655,9 @@ object TextQueries {
     * the corpus and pays only the candidate join per evaluation. */
   private[operators] def setsimIndexTables(t: graft.Tables): (String, String) =
     setsimLayoutCache.get(t.spark, s"${t.dir}#setsimlayout")({
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
       val width = t.spark.sessionState.conf.numShufflePartitions
-      val preT = s"graft_prefix5_$tag"
-      val arrT = s"graft_ngram5arr_$tag"
+      val preT = graft.sources.LayoutWriter.deterministicName("prefix5", t.dir, width)
+      val arrT = graft.sources.LayoutWriter.deterministicName("ngram5arr", t.dir, width)
       graft.sources.LayoutWriter.writeBucketed(
         corpusPrefixPostings(t), preT, "s", width, "overwrite")
       graft.sources.LayoutWriter.writeBucketed(

@@ -132,6 +132,20 @@ object LayoutWriter {
     (files.length, after, total)
   }
 
+  /** Deterministic at-rest table name keyed on (tag, data dir, bucket
+    * count): same artifact → same name, so re-runs and fresh sessions
+    * OVERWRITE one catalog table instead of accumulating UUID-named
+    * orphans in the warehouse (one table per session and per gate rerun,
+    * pre-round-14). The dir rides as an md5 prefix — table identifiers
+    * cannot carry paths — and the bucket count is part of the identity
+    * because exchange elision only holds at the width the table was
+    * written with. */
+  def deterministicName(tag: String, dir: String, buckets: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_${tag}_w${buckets}_$h"
+  }
+
   /** Bucketed table write: pre-shuffle the data into `buckets` hash buckets
     * on the join key, sorted within buckets. Two tables bucketed the same
     * way join with NO exchange and NO sort — the co-located-join layout for

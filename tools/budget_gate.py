@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Budget-drift gate: compare a cold bench pass (BENCH_DETAIL.json format)
 against the committed per-query cold budgets (COLD_BUDGET.json) and exit
-nonzero listing every query whose cold time exceeds budget-max x TOLERANCE.
+nonzero listing every query whose cold time exceeds
+max(budget-max x TOLERANCE, budget-max + 1 s) — the absolute floor keeps
+sub-second-query scheduling jitter from tripping the gate.
 
 COLD_BUDGET.json existed since r10 but nothing FAILED when a plan change
 blew a budget — a regression could ride until the judge's cross-round diff.
@@ -36,6 +38,38 @@ import os, sys, json, re, statistics, subprocess
 
 RERUN_MAX = 2        # at most this many offenders are attributable as transients
 UNIFORM_MEDIAN = 1.25  # board median ratio above this = host-noise signature
+ABS_FLOOR = 1.0      # seconds: limit = max(budget*tol, budget + ABS_FLOOR) —
+                     # sub-second queries swing 2-3x on this co-tenanted box
+                     # (two r13 gate runs named different sub-second "worst"
+                     # queries at 1.70x/1.21x, both noise); a relative-only
+                     # limit lets that jitter trip the gate and train readers
+                     # to ignore it, while +1 s is far above scheduling noise
+                     # yet far below any real plan regression on big queries.
+
+# Suite-order upstream state map: these queries' suite-cold budgets were
+# measured in a session where an alphabetically EARLIER query had already
+# built the shared memoized state they serve from (decode checkpoints,
+# trained coarse models, standing indexes). An isolated rerun without that
+# upstream rebuilds everything and spuriously "confirms" a transient as a
+# regression — exactly for the heavyweight layout/incremental queries most
+# likely to breach. Values are comma-separated SPARK_GRAFT_WARMUP chains.
+CACHE_UPSTREAM = {
+    # layout serves: warmed by the live form that builds the memoized index
+    "q228_media_index_layout": "q218_media_neardup",
+    "q230_setsim_layout": "q151_setsim_prefix",
+    "q231_crossmodal_index_layout": "q220_crossmodal_align",
+    # cross-modal: both modality decodes + the image coarse model come from
+    # the one-shot near-dups that precede it in suite order
+    "q220_crossmodal_align": "q218_media_neardup,q219_audio_neardup",
+    "q224_crossmodal_incremental":
+        "q220_crossmodal_align,q221_media_neardup_incremental",
+    # incremental/continuous media: decode + models from the modality's
+    # one-shot form; q222 additionally serves off q221's store index
+    "q221_media_neardup_incremental": "q218_media_neardup",
+    "q222_media_stream_ingest": "q221_media_neardup_incremental",
+    "q225_audio_neardup_incremental": "q219_audio_neardup",
+    "q226_video_neardup_incremental": "q223_video_neardup",
+}
 
 
 def rerun_cold(name, sf_dir):
@@ -45,8 +79,12 @@ def rerun_cold(name, sf_dir):
     suite-cold semantics the budgets were taken under — in the budget suite,
     JVM/session/codegen warmup is absorbed by alphabetically earlier queries,
     and without it an isolated run1 over-reads cheap queries by ~3 s.
+    Cache-sharing queries (CACHE_UPSTREAM) additionally warm with the exact
+    suite-order upstream that builds their shared memoized state.
     """
-    warmup = "q01_scan_project" if name != "q01_scan_project" else "q02_filter"
+    generic = "q01_scan_project" if name != "q01_scan_project" else "q02_filter"
+    upstream = CACHE_UPSTREAM.get(name)
+    warmup = f"{generic},{upstream}" if upstream else generic
     try:
         out = subprocess.run(
             ["tools/bench_one.sh", name, sf_dir, "1"],
@@ -89,8 +127,10 @@ def main():
         failed = True
     shared = sorted(set(times) & set(budgets))
     ratios = {n: times[n] / budgets[n]["max"] for n in shared}
-    offenders = [(n, times[n], budgets[n]["max"], budgets[n]["max"] * tol)
-                 for n in shared if times[n] > budgets[n]["max"] * tol]
+    def limit_of(bmax):
+        return max(bmax * tol, bmax + ABS_FLOOR)
+    offenders = [(n, times[n], budgets[n]["max"], limit_of(budgets[n]["max"]))
+                 for n in shared if times[n] > limit_of(budgets[n]["max"])]
     if offenders:
         med = statistics.median(ratios.values()) if ratios else 0.0
         print(f"[budget_gate] {len(offenders)} queries over budget-max x{tol} "
@@ -125,9 +165,15 @@ def main():
                           f"regression")
     if failed:
         return 1
-    worst = max(((ratios[n], n) for n in shared), default=(0.0, "-"))
+    # Worst margin against the ACTUAL limit (floor included) — the relative
+    # ratio alone over-dramatizes sub-second jitter the floor absorbs.
+    worst = max(((times[n] / limit_of(budgets[n]["max"]), n) for n in shared),
+                default=(0.0, "-"))
+    worst_ratio = max(((ratios[n], n) for n in shared), default=(0.0, "-"))
     print(f"[budget_gate] ok: {len(shared)} queries within "
-          f"budget-max x{tol} (worst ratio {worst[0]:.2f}x on {worst[1]}"
+          f"max(budget x{tol}, budget + {ABS_FLOOR:.0f}s) "
+          f"(worst margin {worst[0]:.2f}x of limit on {worst[1]}; "
+          f"worst raw ratio {worst_ratio[0]:.2f}x on {worst_ratio[1]}"
           f"{'; ' + str(len(offenders)) + ' transient(s) attributed by rerun' if offenders else ''})")
     return 0
 

@@ -1,7 +1,15 @@
 #!/bin/bash
-# Third-decade sweep for the pair-family frontier: fresh-JVM bench of the
-# named queries at each scale fixture, heap sized per decade.
+# Scaling-decade sweep: fresh-JVM bench of the named queries at each scale
+# fixture, heap + shuffle width sized per decade (the 100 TB sizing rule:
+# per-task build/state must not grow with the corpus).
+#
+# A failed query prints an explicit "FAILED" marker for its (query, sf)
+# cell — a crash or OOM must be distinguishable from a row that was never
+# run (the old `| grep || true` swallowed crashes despite set -e).
+#
 # Usage: tools/decade_sweep.sh [n]
+# Env:  QUERIES="q36_... q151_..." to override the default list
+#       DECADES="sf1x sf10x sf100x" to override the fixture list
 set -e
 cd /root/repo
 N=${1:-3}
@@ -15,15 +23,36 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 run() { # sf_dir xmx shuffle_partitions query
   echo "== $4 @ $1 (xmx=$2 shufP=$3) =="
+  local log rc
+  log=$(mktemp)
+  rc=0
   SPARK_GRAFT_SHUFFLE_PARTITIONS=$3 java $ADD_OPENS -Xmx$2 \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-    graft.BenchOne "$4" "$1" "$N" 2>/dev/null | grep -E "run[0-9]:" || true
+    graft.BenchOne "$4" "$1" "$N" >"$log" 2>&1 || rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "  FAILED: exit $rc for $4 @ $1"
+    grep -E "Exception|Error|OutOfMemory" "$log" | head -3 | sed 's/^/  /'
+  elif ! grep -E "run[0-9]:" "$log"; then
+    echo "  FAILED: no timing lines for $4 @ $1 (silent crash?)"
+    tail -3 "$log" | sed 's/^/  /'
+  fi
+  rm -f "$log"
 }
-# Shuffle width sized to the decade (the 100 TB sizing rule): per-task
-# build/state must not grow with the corpus.
-for q in q36_dedup_ngram_jaccard q151_setsim_prefix q218_media_neardup q220_crossmodal_align; do
-  run /root/repo/scaledata/sf1x   12g 32  "$q"
-  run /root/repo/scaledata/sf10x  24g 64  "$q"
-  run /root/repo/scaledata/sf100x 56g 256 "$q"
+# Default: the pair-family frontier (q36 = the linear control) + the
+# at-rest SERVE paths (layout-served cold should track warm at every
+# decade — the proof the stored-artifact convention is what makes 100 TB
+# sessions affordable).
+DEFAULT_QUERIES="q36_dedup_ngram_jaccard q151_setsim_prefix q218_media_neardup \
+q220_crossmodal_align q228_media_index_layout q230_setsim_layout \
+q231_crossmodal_index_layout"
+for q in ${QUERIES:-$DEFAULT_QUERIES}; do
+  for sf in ${DECADES:-sf1x sf10x sf100x}; do
+    case $sf in
+      sf1x)   run /root/repo/scaledata/sf1x   12g 32  "$q" ;;
+      sf10x)  run /root/repo/scaledata/sf10x  24g 64  "$q" ;;
+      sf100x) run /root/repo/scaledata/sf100x 56g 256 "$q" ;;
+      *)      echo "unknown decade: $sf" ; exit 2 ;;
+    esac
+  done
 done

@@ -34,10 +34,32 @@ F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # depth ('r' then 's' then 't') makes chains injective at every decade and
 # the pair census exactly 10x per application.
 PFX = sys.argv[4] if len(sys.argv) > 4 else "r"
+_explicit_pfx = len(sys.argv) > 4
 
 
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
+
+# Collision guard (the round-13 census flaw, now detected instead of
+# documented): if the SOURCE documents already carry replica prefixes of
+# this letter (text beginning '<letter><digits>x'), re-using it reproduces
+# the exact cross-depth duplicate-pair inflation the per-depth letters
+# exist to prevent. An explicitly-passed colliding letter FAILS; the
+# default 'r' AUTO-ADVANCES to the first unused letter so a forgotten
+# 4th argument can never silently poison a decade fixture.
+_used = {r[0] for r in con.sql(f"""
+    SELECT DISTINCT regexp_extract(text, '^([a-z])[0-9]+x', 1)
+    FROM read_parquet('{src}/documents.parquet')
+    WHERE regexp_matches(text, '^[a-z][0-9]+x')""").fetchall() if r[0]}
+if PFX in _used:
+    if _explicit_pfx:
+        raise SystemExit(
+            f"prefix letter '{PFX}' is already present in the source "
+            f"documents (letters in use: {sorted(_used)}); pass a distinct "
+            f"prefix_letter per chaining depth (e.g. r -> s -> t)")
+    PFX = next(c for c in "rstuvwxyz" if c not in _used)
+    print(f"source already uses replica letters {sorted(_used)}; "
+          f"auto-advanced prefix letter to '{PFX}'")
 con.execute(f"CREATE VIEW ks AS SELECT unnest(generate_series(0, {F-1})) AS k")
 
 def gen(table, sql):
