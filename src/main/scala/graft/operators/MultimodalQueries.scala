@@ -1217,7 +1217,8 @@ object MultimodalQueries {
     nearDupLayoutCache.get(t.spark, s"${t.dir}#$tag#layout")({
       val width = t.spark.sessionState.conf.numShufflePartitions
       val tbl = layoutName(tag, t.dir, width)
-      graft.sources.LayoutWriter.writeBucketed(idx, tbl, "bucket", width, "overwrite")
+      graft.sources.LayoutWriter.serveOrWriteBucketed(
+        t.spark, idx, tbl, Seq("bucket"), width)
       tbl
     })
 
@@ -1693,10 +1694,10 @@ object MultimodalQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val idxTbl = layoutName("xmidx", t.dir, width)
       val prbTbl = layoutName("xmprobes", t.dir, width)
-      graft.sources.LayoutWriter.writeBucketed(
-        crossModalImageIndex(t), idxTbl, "bucket", width, "overwrite")
-      graft.sources.LayoutWriter.writeBucketed(
-        crossModalAudioProbes(t), prbTbl, "bucket", width, "overwrite")
+      graft.sources.LayoutWriter.serveOrWriteBucketed(
+        t.spark, crossModalImageIndex(t), idxTbl, Seq("bucket"), width)
+      graft.sources.LayoutWriter.serveOrWriteBucketed(
+        t.spark, crossModalAudioProbes(t), prbTbl, Seq("bucket"), width)
       (idxTbl, prbTbl)
     })
 

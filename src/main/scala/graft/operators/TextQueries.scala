@@ -1658,10 +1658,10 @@ object TextQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val preT = graft.sources.LayoutWriter.deterministicName("prefix5", t.dir, width)
       val arrT = graft.sources.LayoutWriter.deterministicName("ngram5arr", t.dir, width)
-      graft.sources.LayoutWriter.writeBucketed(
-        corpusPrefixPostings(t), preT, "s", width, "overwrite")
-      graft.sources.LayoutWriter.writeBucketed(
-        corpusShingleArrays(t), arrT, "doc_id", width, "overwrite")
+      graft.sources.LayoutWriter.serveOrWriteBucketed(
+        t.spark, corpusPrefixPostings(t), preT, Seq("s"), width)
+      graft.sources.LayoutWriter.serveOrWriteBucketed(
+        t.spark, corpusShingleArrays(t), arrT, Seq("doc_id"), width)
       (preT, arrT)
     })
 

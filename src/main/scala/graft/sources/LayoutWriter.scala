@@ -163,17 +163,89 @@ object LayoutWriter {
     * when the join keys EXACTLY equal the bucket columns (a join on
     * (band, bh) over a table bucketed by bh alone re-shuffles both sides —
     * measured), so composite-keyed layouts must bucket by the full key
-    * list. */
+    * list.
+    *
+    * Orphan-location cleanup: with the default in-memory catalog, a
+    * managed table's CATALOG entry dies with its JVM while the warehouse
+    * files persist — so under deterministic table names a fresh JVM's
+    * overwrite-save would throw LOCATION_ALREADY_EXISTS (measured). When
+    * the table is absent from this session's catalog but its default
+    * location survives from a previous session, the location is deleted
+    * first (append mode keeps this safe: every append in this codebase
+    * follows an overwrite-write of the same table in the same session, so
+    * the catalog entry exists by then). */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
       buckets: Int,
-      mode: String): Unit =
+      mode: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = defaultTableLocation(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** The default (managed) warehouse location of a table name. */
+  private def defaultTableLocation(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+
+  /** SERVE-or-build for a deterministic-named bucketed layout — the
+    * cross-session at-rest story the layout queries (q228/q230/q231) are
+    * measured on. When `SPARK_GRAFT_SERVE_LAYOUTS=1` and the table's data
+    * directory already exists in the warehouse (written by a PREVIOUS
+    * session — catalog entries die with the JVM, files don't), the files
+    * are registered in this session's catalog as an EXTERNAL bucketed
+    * table over the existing location: zero rewrite, zero upstream build,
+    * and the bucket metadata is restored so exchange elision still holds
+    * (bucket ids ride in the part-file names; the CLUSTERED BY declaration
+    * must match the writing session's, which deterministic names keyed on
+    * bucket count guarantee). Returns true when served from rest.
+    *
+    * Without the flag (the default), the artifact is rebuilt and
+    * overwritten — the safe choice on fixture dirs that are regenerated
+    * in place; a production deployment would flip the flag and maintain
+    * the table incrementally (q181/q183's append discipline). `df` is
+    * by-name and never forced on the serve path — forcing it would run
+    * the exact upstream build the layout exists to skip. */
+  def serveOrWriteBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int): Boolean = {
+    // Env for deployments; system property so a spec can exercise the
+    // serve path in-process (JVM env is immutable after launch).
+    val reuse = sys.env.get("SPARK_GRAFT_SERVE_LAYOUTS")
+      .orElse(sys.props.get("spark.graft.serveLayouts")).contains("1")
+    if (reuse && spark.catalog.tableExists(table)) return true
+    if (reuse) {
+      val loc = defaultTableLocation(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(loc) && fs.listStatus(loc)
+        .exists(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      if (hasData) {
+        val schema = spark.read.parquet(loc.toString).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $table ($schema) USING parquet
+             |CLUSTERED BY (${bucketCols.mkString(", ")})
+             |SORTED BY (${bucketCols.mkString(", ")})
+             |INTO $buckets BUCKETS LOCATION '${loc.toString}'""".stripMargin)
+        return true
+      }
+    }
+    writeBucketed(df, table, bucketCols, buckets, "overwrite")
+    false
+  }
 }

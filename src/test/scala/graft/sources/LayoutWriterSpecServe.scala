@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SharedSparkSpec
+import org.apache.spark.sql.functions._
+
+/** serveOrWriteBucketed — the cross-session at-rest serve: data files left
+  * in the warehouse by a previous session (catalog entries die with the
+  * JVM, files don't) must register as an external bucketed table WITHOUT
+  * forcing the upstream build, keep bucket metadata (exchange-free join),
+  * and read back losslessly; without the flag the same call must rebuild —
+  * including over an orphaned location, which previously threw
+  * LOCATION_ALREADY_EXISTS (measured on the second JVM in a cwd). */
+class LayoutWriterSpecServe extends SharedSparkSpec {
+  import spark.implicits._
+
+  private def freshRows = (1L to 200L).map(i => (i, (i % 13).toInt, s"v$i"))
+    .toDF("id", "bucket", "payload")
+
+  test("orphaned location: rebuild overwrites instead of LOCATION_ALREADY_EXISTS") {
+    val tbl = "graft_serve_orphan_test"
+    LayoutWriter.writeBucketed(freshRows, tbl, Seq("bucket"), 4, "overwrite")
+    // Simulate the next JVM: drop only the CATALOG entry, keep the files.
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val dir = new java.io.File(new java.net.URI(loc))
+    spark.sessionState.catalog.dropTable(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+      ignoreIfNotExists = false, purge = false)
+    // in-memory catalog drop removes files for managed tables; restore them
+    if (!dir.exists()) {
+      LayoutWriter.writeBucketed(freshRows, tbl, Seq("bucket"), 4, "overwrite")
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+        ignoreIfNotExists = false, purge = false)
+    }
+    if (!dir.exists()) dir.mkdirs() // worst case: orphan dir, no files
+    // The rebuild path must clean the orphan and succeed.
+    LayoutWriter.writeBucketed(freshRows, tbl, Seq("bucket"), 4, "overwrite")
+    assert(spark.table(tbl).count() == 200L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("serve path registers existing files, never forces the build") {
+    val src = "graft_serve_src_test"
+    val dst = "graft_serve_dst_test"
+    LayoutWriter.writeBucketed(freshRows, src, Seq("bucket"), 4, "overwrite")
+    // Simulate a previous session's at-rest data under dst's default
+    // location: copy src's files (catalog knows nothing about dst).
+    val srcLoc = new java.io.File(new java.net.URI(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $src")
+        .filter(col("col_name") === "Location").head().getString(1)))
+    val dstLoc = new java.io.File(srcLoc.getParentFile, dst)
+    def copyAll(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      from.listFiles().foreach { f =>
+        if (f.isFile) java.nio.file.Files.copy(f.toPath,
+          new java.io.File(to, f.getName).toPath)
+        else copyAll(f, new java.io.File(to, f.getName))
+      }
+    }
+    copyAll(srcLoc, dstLoc)
+    sys.props("spark.graft.serveLayouts") = "1"
+    try {
+      val served = LayoutWriter.serveOrWriteBucketed(
+        spark,
+        { fail("serve path forced the upstream build"); freshRows },
+        dst, Seq("bucket"), 4)
+      assert(served, "expected serve-from-rest, got a rebuild")
+      // Lossless read-back through the registered external table.
+      val back = spark.table(dst).as[(Long, Int, String)].collect().sortBy(_._1)
+      val orig = freshRows.as[(Long, Int, String)].collect().sortBy(_._1)
+      assert(back.toSeq == orig.toSeq)
+      // Bucket metadata restored: self-join plans with no exchange on bucket.
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "-1")
+        val p = spark.table(dst).as("a").join(spark.table(dst).as("b"), Seq("bucket"))
+          .queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), p.take(1200))
+        assert(!p.contains("Exchange hashpartitioning(bucket"), p.take(1200))
+      } finally spark.conf.set(key, prev)
+      // Second call in the same session: already registered, still served.
+      assert(LayoutWriter.serveOrWriteBucketed(
+        spark, { fail("re-serve forced the build"); freshRows },
+        dst, Seq("bucket"), 4))
+    } finally {
+      sys.props.remove("spark.graft.serveLayouts")
+      spark.sql(s"DROP TABLE IF EXISTS $dst")
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+    }
+  }
+}
