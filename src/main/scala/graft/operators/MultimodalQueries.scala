@@ -1439,23 +1439,6 @@ object MultimodalQueries {
   private[graft] val CrossModalHammingSlack = 88
   private[graft] val CrossModalProbes = 8
 
-  /** Per-(query, probed bucket) shortlist cap for the cross-modal candidate
-    * kernel ([[graft.functions.HammingShortlist]]) — the bound that makes
-    * the verify volume LINEAR in the corpus (probes·m·N) where the plain
-    * slack cut stayed pair-scale (slack-88 admitted ~2.3% of the probes·N·n_c
-    * probed population at sf100x ≈ 7×10⁸ rows, all flowing into the
-    * embedding fetch joins). Eviction-loss math at the measured operating
-    * point: aligned candidates sit at E = 64, σ ≈ 6.9 of 256 bits; the
-    * in-bucket ambient population at E ≈ 104–116, σ ≈ 8 — an ambient entry
-    * outranks an aligned one with p = Φ(−4σ..−6σ) ≈ 1e-5, so with n_c = √N
-    * entries per bucket the expected intruder count per probe is ≲ 0.2 at
-    * sf100x and the aligned candidate is evicted only if ≥ m intruders ALL
-    * beat it (Poisson tail at 16: < 1e-20). The self pair and every
-    * identical-prefix dup share ONE image sketch, so ties cannot push a
-    * planted dup below its twin — the (ham, id) order keeps the min id.
-    * CrossModalSpec/CrossModalIncrementalSpec pin mirror parity of exactly
-    * this rule; the recall floors are unchanged from the slack-only rule. */
-  private[graft] val CrossModalShortlistM = 16
 
   /** CROSS-MODAL alignment + retrieval audit — the text↔image↔audio
     * pairing that goes BEYOND doc_id identity (the last multimodal corner:
@@ -1502,34 +1485,44 @@ object MultimodalQueries {
     crossModalPlaneSets.zipWithIndex.map { case (ps, h) =>
       graft.functions.HyperplaneSignature(col("embedding"), ps, 64).as(s"sig$h") }
 
-  /** Pack a flat (img_id, bucket, sig0..sig3) cross-modal index into ONE
-    * row per coarse bucket — ids ascending, signatures id-major in one long
-    * array — [[graft.functions.HammingShortlist]]'s operand layout. The
-    * probe join then matches k ≈ √N bucket rows instead of N index rows,
-    * and the Σ|q_b|·|i_b| Hamming population is evaluated as a primitive
-    * array loop INSIDE one projection instead of as join-row conditions.
-    * The higher-order projections here run interpreted, but once per INDEX
-    * BUILD (O(N)), not per probed pair (O(N^1.5)). */
+  /** Pack a flat (img_id, bucket, sig0..sig3, embedding) cross-modal index
+    * into ONE row per coarse bucket — ids ascending, signatures id-major in
+    * one long array, embeddings id-major in one float array —
+    * [[graft.functions.HammingCosineTop1]]'s operand layout. The probe join
+    * then matches k ≈ √N bucket rows instead of N index rows, the
+    * Σ|q_b|·|i_b| Hamming population is evaluated as a primitive array loop
+    * INSIDE one projection instead of as join-row conditions, and the
+    * admitted entries are cosine-scored in place so NOTHING pair-scale ever
+    * leaves the scan (the shortlist intermediate still fed 23.3 M rows at
+    * sf10x into two embedding fetch joins — measured as ~8.4 s of the 13 s
+    * warm). The higher-order projections here run interpreted, but once
+    * per INDEX BUILD (O(N)), not per probed pair (O(N^1.5)). Row cost:
+    * 8 B id + 32 B signature + 4·dim B embedding ≈ 296 B/entry at dim 64 —
+    * the embeddings move from a per-query fetch join into the standing
+    * artifact, exactly where a production IVF index keeps them. */
   private[graft] def packXModal(
       flat: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     flat.groupBy("bucket")
       .agg(sort_array(collect_list(struct(
-        col("img_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3")))).as("es"))
+        col("img_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+        col("embedding")))).as("es"))
       .select(col("bucket"),
         transform(col("es"), e => e.getField("img_id")).as("ids"),
         flatten(transform(col("es"), e => array(
           e.getField("sig0"), e.getField("sig1"), e.getField("sig2"),
-          e.getField("sig3")))).as("sigs"))
+          e.getField("sig3")))).as("sigs"),
+        flatten(transform(col("es"), e => e.getField("embedding"))).as("embs"))
 
-  /** q220's IMAGE-side flat index rows: (img_id, bucket, 4-long sketch)
-    * under the image coarse model — the [[nearDupIndex]] discipline at the
-    * cross-modal operating point (256-bit sketch, [[crossModalPlaneSets]]).
-    * Assignment plus four signature passes are O(N·k·dim) with k ∝ √N. */
+  /** q220's IMAGE-side flat index rows: (img_id, bucket, 4-long sketch,
+    * embedding) under the image coarse model — the [[nearDupIndex]]
+    * discipline at the cross-modal operating point (256-bit sketch,
+    * [[crossModalPlaneSets]]). Assignment plus four signature passes are
+    * O(N·k·dim) with k ∝ √N. */
   private[graft] def crossModalImageFlat(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     import graft.functions.KMeansTrainer
     mediaPixelEmbeddings(t).select(col("doc_id").as("img_id") +:
       KMeansTrainer.coarseBucket(col("embedding"), mediaNearDupModel(t))
-        .as("bucket") +: crossModalSigCols: _*)
+        .as("bucket") +: (crossModalSigCols :+ col("embedding")): _*)
   }
 
   /** q220's standing IMAGE-side retrieval index in PACKED per-bucket form
@@ -1554,79 +1547,71 @@ object MultimodalQueries {
       audioSampleEmbeddings(t).select(col("doc_id").as("qid") +:
         explode(KMeansTrainer.probeBuckets(
           col("embedding"), mediaNearDupModel(t), CrossModalProbes))
-          .as("bucket") +: crossModalSigCols: _*)
+          .as("bucket") +: (crossModalSigCols :+ col("embedding").as("qemb")): _*)
         .localCheckpoint()
     })
 
-  /** Candidate formation + exact-cosine top-1 of a multi-probe query frame
-    * against a PACKED cross-modal image index — the retrieval kernel shared
-    * by the one-shot audit (q220), the incremental form (q224) and the
-    * at-rest serve (q231). `probes` is one row per (query, probed bucket)
-    * with the query's 4-long sketch; `idx` is [[packXModal]]'s (bucket,
-    * ids, sigs); embeddings are read for candidate ids only. Returns
-    * (doc_id, top_img, top_cos).
+  /** Retrieval top-1 of a multi-probe query frame against a PACKED
+    * cross-modal image index — the kernel shared by the one-shot audit
+    * (q220), the incremental form (q224) and the at-rest serve (q231).
+    * `probes` is one row per (query, probed bucket) with the query's 4-long
+    * sketch AND its embedding; `idx` is [[packXModal]]'s (bucket, ids,
+    * sigs, embs). Returns (doc_id, top_img, top_cos).
     *
-    * Scale shape (the round-13 `weak`, fixed): the former flat pair join
-    * evaluated probes·N·n_c Hamming CONDITIONS as join rows and admitted a
-    * pair-scale candidate set (~7×10⁸ rows at sf100x) into the fetch joins
-    * — the board's only super-linear decade term. Here the same Hamming
-    * population is scanned INSIDE [[graft.functions.HammingShortlist]]
-    * (4 XOR+POPCNT per entry over packed long arrays, no row machinery)
-    * and only a top-[[CrossModalShortlistM]] shortlist per (query, probe)
-    * leaves the projection, so every downstream frame is ≤ probes·m·N —
-    * linear in the corpus. The arithmetic term probes·N·n_c remains (it is
-    * the price of k = √N blocking) but at ~1 ns/entry it saturates compute
-    * ~two orders later than the join-row form. */
+    * Scale shape (the round-13 `weak`, fixed in two measured steps): the
+    * r13 flat pair join evaluated probes·N·n_c Hamming CONDITIONS as join
+    * rows (N^1.5 under k = √N) and admitted a pair-scale candidate set
+    * (~7×10⁸ rows at sf100x) into embedding fetch joins. A packed-array
+    * Hamming scan made candidate FORMATION cheap (3.04 G evals in 2.4 s at
+    * sf10x) but the admitted population (23.3 M rows at sf10x) still paid
+    * two fetch joins + a pair-scale top-1 (~8.4 s of 13 s warm). The fused
+    * [[graft.functions.HammingCosineTop1]] scores admitted entries with
+    * exact rounded cosine INSIDE the scan and emits ONE (img_id, cos)
+    * struct per (query, probe): nothing pair-scale ever leaves the
+    * projection, the per-query top-1 is an 8-row aggregation, and the
+    * semantics are exactly the slack-only rule (no shortlist eviction
+    * tail). The arithmetic term probes·N·n_c remains — the price of k = √N
+    * blocking — but as 4 XOR+POPCNT per entry it saturates compute orders
+    * later than the join-row form. */
   private def crossModalTop1(
       t: graft.Tables,
       probes: org.apache.spark.sql.DataFrame,
       idx: org.apache.spark.sql.DataFrame,
-      qEmb: org.apache.spark.sql.DataFrame,
-      iEmb: org.apache.spark.sql.DataFrame,
       prePartitioned: Boolean = false): org.apache.spark.sql.DataFrame = {
-    import graft.functions.{CosineSimilarity, HammingShortlist}
-    // Pin the probe side's width explicitly: the shuffle is byte-tiny (an
-    // id, a bucket, four longs per row) but each joined row scans a whole
-    // bucket's packed arrays — AQE coalesces by BYTES and measured it down
-    // to 4 partitions at sf1x, serializing the Hamming compute onto 4
-    // cores. An explicit numPartitions is a user constraint AQE keeps (and
-    // it re-applies per run: a checkpoint read reports no partitioning).
-    // An AT-REST probe table (q231) already reports hashpartitioning(bucket)
-    // at shuffle width from its bucketing — `prePartitioned` skips the
-    // no-op exchange so the layout serves exchange-free on BOTH sides.
+    import graft.functions.HammingCosineTop1
+    // Pin the probe side's width explicitly: the shuffle is small (a qid,
+    // a bucket, four longs, one dim-float vector per row) but each joined
+    // row scans a whole bucket's packed arrays — AQE coalesces by BYTES
+    // and measured it down to 4 partitions at sf1x, serializing the
+    // Hamming+cosine compute onto 4 cores. An explicit numPartitions is a
+    // user constraint AQE keeps (and it re-applies per run: a checkpoint
+    // read reports no partitioning). An AT-REST probe table (q231) already
+    // reports hashpartitioning(bucket) at shuffle width from its bucketing
+    // — `prePartitioned` skips the no-op exchange so the layout serves
+    // exchange-free on BOTH sides.
     val qry = if (prePartitioned) probes else probes
       .repartition(t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
     // The packed index joins as SHUFFLED HASH build side: k ≈ √N rows —
-    // hash-partitioned by bucket it is exchange-light at any scale, where a
-    // broadcast would ship the WHOLE index (40·N bytes) to every executor.
-    // No distinct on the output: an image has exactly ONE assigned bucket
-    // and probe lists are distinct, so a (query, image) pair forms at most
+    // hash-partitioned by bucket it is exchange-light at any scale, where
+    // a broadcast would ship the WHOLE index (~300·N bytes) to every
+    // executor. No distinct: an image has exactly ONE assigned bucket and
+    // probe lists are distinct, so a (query, image) pair forms at most
     // once across the fan-out.
-    val cand = qry
+    val perProbe = qry
       .join(idx.hint("shuffle_hash"), Seq("bucket"))
-      .select(col("qid"), explode(HammingShortlist(
-        col("ids"), col("sigs"),
+      .select(col("qid"), HammingCosineTop1(
+        col("ids"), col("sigs"), col("embs"),
         array(col("sig0"), col("sig1"), col("sig2"), col("sig3")),
-        crossModalPlaneSets.length, CrossModalHammingSlack,
-        CrossModalShortlistM)).as("img_id"))
-    // Fetch joins as SHUFFLED HASH with the EMBEDDING side as the build:
-    // the candidate side (≤ probes·m·N rows) still outweighs each
-    // corpus-scale embedding side (N rows, N/width per task ≈ MBs), and
-    // sort-merge would sort the big side twice — hash-building the small
-    // side lets candidates stream through unsorted.
-    val cand2 = cand
-      .join(qEmb.select(col("doc_id").as("qid"), col("embedding").as("ea"))
-        .hint("shuffle_hash"), "qid")
-    val scored = cand2
-      .join(iEmb.select(col("doc_id").as("img_id"), col("embedding").as("ei"))
-        .hint("shuffle_hash"), "img_id")
-      .select(col("qid"), col("img_id"),
-        round4(CosineSimilarity(col("ea"), col("ei"))).as("cos"))
-    // Deterministic top-1 without a tie-broken max_by: lexicographic max of
-    // (cos, -img_id) = highest cosine, then SMALLEST image id.
-    scored
+        col("qemb"),
+        crossModalPlaneSets.length, CrossModalHammingSlack, 64).as("tc"))
+      .filter(col("tc").isNotNull)
+    // Deterministic global top-1 over ≤ CrossModalProbes rows per query:
+    // lexicographic max of (cos, -img_id) = highest rounded cosine, then
+    // SMALLEST image id — the same rule the kernel applies within a bucket.
+    perProbe
       .groupBy("qid")
-      .agg(max(struct(col("cos"), (-col("img_id")).as("neg_id"))).as("m"))
+      .agg(max(struct(col("tc.cos").as("cos"),
+        (-col("tc.img_id")).as("neg_id"))).as("m"))
       .select(col("qid").as("doc_id"),
         (-col("m.neg_id")).as("top_img"), col("m.cos").as("top_cos"))
   }
@@ -1649,7 +1634,7 @@ object MultimodalQueries {
       .select(col("doc_id"),
         round4(CosineSimilarity(col("ei"), col("ea"))).as("align"))
 
-    val top1 = crossModalTop1(t, probes, idx, aud, img, prePartitioned)
+    val top1 = crossModalTop1(t, probes, idx, prePartitioned)
 
     orderedByAll(
       aligned
@@ -1675,6 +1660,11 @@ object MultimodalQueries {
     crossModalAuditFrom(t, crossModalAudioProbes(t), crossModalImageIndex(t),
       prePartitioned = false)
   }
+
+  /** q220's retrieval tail alone (probes → fused scan → top-1) — exposed
+    * for CrossModalProbe's per-stage attribution. */
+  private[graft] def crossModalTop1Probe(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    crossModalTop1(t, crossModalAudioProbes(t), crossModalImageIndex(t))
 
   private val xmodalLayoutCache = new graft.SessionCache[(String, String)]
 
@@ -1743,29 +1733,29 @@ object MultimodalQueries {
         mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id").as("img_id") +:
             KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket") +:
-            crossModalSigCols: _*))
+            (crossModalSigCols :+ col("embedding")): _*))
         .localCheckpoint()
     })
 
   /** Tonight's batch as a cross-modal probe frame under the frozen store
-    * model: (qid, probed bucket, 4-long sketch), one row per (query, probe).
-    * Delta-sized map-only work — deliberately NOT memoized: computing this
-    * per arrival IS the incremental query's per-night cost. */
+    * model: (qid, probed bucket, 4-long sketch, query embedding), one row
+    * per (query, probe). Delta-sized map-only work — deliberately NOT
+    * memoized: computing this per arrival IS the incremental query's
+    * per-night cost. */
   private[graft] def crossModalBatchProbes(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     import graft.functions.KMeansTrainer
     val km = mediaIncrementalModel(t)
     audioSampleEmbeddings(t).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("qid") +:
         explode(KMeansTrainer.probeBuckets(col("embedding"), km, CrossModalProbes))
-          .as("bucket") +: crossModalSigCols: _*)
+          .as("bucket") +: (crossModalSigCols :+ col("embedding").as("qemb")): _*)
   }
 
   /** The incremental retrieval's top-1 frame — exposed for
     * CrossModalIncrementalSpec's per-doc parity assertions. */
   private[graft] def crossModalIncrementalTop1(
       t: graft.Tables): org.apache.spark.sql.DataFrame =
-    crossModalTop1(t, crossModalBatchProbes(t), crossModalStoreIndex(t),
-      audioSampleEmbeddings(t), mediaPixelEmbeddings(t))
+    crossModalTop1(t, crossModalBatchProbes(t), crossModalStoreIndex(t))
 
   /** INCREMENTAL cross-modal retrieval — the nightly form of q220's content
     * join (the q221-of-q220, completing the incremental-twin convention for

@@ -45,18 +45,31 @@ object CrossModalProbe {
         .join(idx.select(col("bucket"), size(col("ids")).as("n")).as("i"), "bucket")
         .agg(sum(col("count") * col("n"))).head().getLong(0)
     }
-    val shortlisted = timed("shortlist candidates") {
+    val perProbeHits = timed("fused scan (per-probe top1)") {
       probes
         .join(idx.hint("shuffle_hash"), Seq("bucket"))
-        .select(explode(graft.functions.HammingShortlist(
-          col("ids"), col("sigs"),
+        .select(graft.functions.HammingCosineTop1(
+          col("ids"), col("sigs"), col("embs"),
           array(col("sig0"), col("sig1"), col("sig2"), col("sig3")),
-          4, CrossModalHammingSlack, CrossModalShortlistM)).as("img_id"))
+          col("qemb"), 4, CrossModalHammingSlack, 64).as("tc"))
+        .filter(col("tc").isNotNull)
         .count()
     }
+    // Stage isolation: alignment (id-join exact cosine over both corpus
+    // frames), shortlist+fetch+top1 (the retrieval tail), then full audit.
+    import graft.functions.CosineSimilarity
+    val img = mediaPixelEmbeddings(t)
+    val aud = audioSampleEmbeddings(t)
+    timed("alignment only") {
+      img.select(col("doc_id"), col("embedding").as("ei"))
+        .join(aud.select(col("doc_id"), col("embedding").as("ea")), Seq("doc_id"))
+        .select(col("doc_id"), round(CosineSimilarity(col("ei"), col("ea")), 4).as("a"))
+        .filter(col("a") >= CrossModalAlignT).count()
+    }
+    timed("fused scan + global top1") { crossModalTop1Probe(t).count() }
     timed("full q220 audit (warm 1)") { q220.run(spark, sfDir).count() }
     timed("full q220 audit (warm 2)") { q220.run(spark, sfDir).count() }
-    println(s"  rows: probedPairs=$probedPairs shortlisted=$shortlisted")
+    println(s"  rows: probedPairs=$probedPairs perProbeHits=$perProbeHits")
     spark.stop()
   }
 }

@@ -54,20 +54,17 @@ class CrossModalIncrementalSpec extends SharedSparkSpec {
 
     aud.flatMap { case (qid, av) =>
       val qsig = MultimodalQueries.crossModalSignLocal(av)
-      def ham(i: Long): Int = {
-        val isig = sigOf(i)
-        qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum
-      }
-      // Mirror of HammingShortlist's rule: per probed bucket, the
-      // (ham asc, id asc) top-M of the slack-admitted entries.
-      val candIds = probes(av).flatMap { b =>
-        byBucket.getOrElse(b, Array.empty).toSeq.map(_._1)
-          .map(i => (i, ham(i)))
-          .filter(_._2 <= MultimodalQueries.CrossModalHammingSlack)
-          .sortBy { case (i, h) => (h, i) }
-          .take(MultimodalQueries.CrossModalShortlistM)
-          .map(_._1)
-      }
+      // Mirror of the fused HammingCosineTop1 rule: ALL slack-admitted
+      // entries across the probed buckets compete on exact rounded cosine
+      // (the kernel's running max per bucket + the 8-row global max are
+      // together exactly a global (cos desc, id asc) top-1).
+      val candIds = probes(av).flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
+        .map(_._1).distinct
+        .filter { i =>
+          val isig = sigOf(i)
+          qsig.indices.map(h => java.lang.Long.bitCount(isig(h) ^ qsig(h))).sum <=
+            MultimodalQueries.CrossModalHammingSlack
+        }
       val scored = candIds.map(i => (i, round4(cos(av, imgById(i)))))
       if (scored.isEmpty) None
       else Some(qid -> scored.minBy { case (i, c) => (-c, i) })

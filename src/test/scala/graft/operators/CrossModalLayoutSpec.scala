@@ -26,18 +26,19 @@ class CrossModalLayoutSpec extends SharedSparkSpec {
     val t = new graft.Tables(spark, sf001)
     val (idxTbl, prbTbl) = MultimodalQueries.crossModalLayoutTables(t)
     def idxRows(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("bucket"), col("ids"), col("sigs"))
+      df.select(col("bucket"), col("ids"), col("sigs"), col("embs"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getSeq[Long](2),
+          r.getSeq[Float](3)))
         .sortBy(_._1).toSeq
     assert(idxRows(spark.table(idxTbl))
       == idxRows(MultimodalQueries.crossModalImageIndex(t)))
     def prbRows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("qid"), col("bucket"), col("sig0"), col("sig1"),
-        col("sig2"), col("sig3"))
+        col("sig2"), col("sig3"), col("qemb"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5)))
+          r.getLong(4), r.getLong(5), r.getSeq[Float](6)))
         .sortBy(x => (x._1, x._2)).toSeq
     assert(prbRows(spark.table(prbTbl))
       == prbRows(MultimodalQueries.crossModalAudioProbes(t)))
