@@ -271,6 +271,209 @@ object KMeansTrainer {
     best
   }
 
+  /** Two-level coarse model: an L1 quantizer of k1 cells plus one L2
+    * sub-quantizer per L1 cell (≤ k2 centroids each, fewer when a cell has
+    * fewer members) — the k ∝ N blocking the cross-modal family's N^1.5
+    * term needs (PLANS round 14): F = k1·k2 FINE cells of bounded expected
+    * size with assignment cost k1 + k2 distance evals per vector instead
+    * of F (flat k ∝ N assignment would be O(N²·dim); flat TRAINING would
+    * be worse still — this trainer's supersteps cost sample × k2 per
+    * vector because each vector only scores its own cell's children).
+    * Fine cell ids are `l1·k2 + l2` (a fixed stride; cells whose
+    * sub-model trained fewer than k2 centroids simply leave high slots
+    * unused). */
+  final case class Trained2(
+      l1: Trained,
+      sub: IndexedSeq[Trained],
+      k2: Int,
+      iters: Int) {
+    def fineStride: Int = k2
+    def fineCentroid(f: Int): Array[Double] = sub(f / k2).centroids(f % k2)
+  }
+
+  /** Local two-level assignment (parity contract for the serving side):
+    * nearest L1 cell by [[d2]] (lowest id on ties), then nearest of THAT
+    * cell's sub-centroids. */
+  def assignLocal2(v: Array[Double], m: Trained2): Int = {
+    val c1 = assignLocal(v, m.l1)
+    c1 * m.k2 + assignLocal(v, m.sub(c1))
+  }
+
+  /** Single-node reference for [[trainTwoLevel]] — the SAME lockstep
+    * semantics (one global Lloyd loop over all sub-models, one global
+    * shift fixpoint), so distributed/local parity is exact up to
+    * summation order, the [[trainLocal]]/[[train]] discipline. Per-cell
+    * seeds are the cell's k2 smallest vec_ids; empty sub-cells keep their
+    * previous centroid; a cell with fewer than k2 members trains that many
+    * sub-centroids. */
+  def trainTwoLevelLocal(
+      vecs: Seq[(Long, Array[Double])], k1: Int, k2: Int,
+      maxIters: Int, tol: Double): Trained2 = {
+    val l1 = trainLocal(vecs, k1, maxIters, tol)
+    val byCell = vecs.groupBy { case (_, v) => assignLocal(v, l1) }
+    val dim = vecs.head._2.length
+    var subCents: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until k1).map { c =>
+        byCell.getOrElse(c, Seq.empty).sortBy(_._1).take(k2)
+          .map(_._2.clone()).toIndexedSeq
+      }
+    var iters = 0
+    var shift = Double.MaxValue
+    var members = IndexedSeq.fill(k1)(IndexedSeq.empty[Long])
+    var sumD2 = IndexedSeq.fill(k1)(IndexedSeq.empty[Double])
+    while (iters < maxIters && shift >= tol) {
+      val asg = (0 until k1).map { c =>
+        val cents = subCents(c)
+        byCell.getOrElse(c, Seq.empty).map { case (_, v) =>
+          var best = 0; var bd = if (cents.isEmpty) 0.0 else d2(v, cents(0))
+          var j = 1
+          while (j < cents.length) {
+            val d = d2(v, cents(j)); if (d < bd) { bd = d; best = j }; j += 1
+          }
+          (best, v, bd)
+        }
+      }
+      members = (0 until k1).map(c =>
+        subCents(c).indices.map(j => asg(c).count(_._1 == j).toLong))
+      sumD2 = (0 until k1).map(c =>
+        subCents(c).indices.map(j => asg(c).filter(_._1 == j).map(_._3).sum))
+      val next = (0 until k1).map { c =>
+        subCents(c).indices.map { j =>
+          val m = asg(c).filter(_._1 == j)
+          if (m.isEmpty) subCents(c)(j).clone()
+          else {
+            val s = new Array[Double](dim)
+            m.foreach { case (_, v, _) =>
+              var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+            }
+            var i = 0; while (i < dim) { s(i) /= m.size; i += 1 }
+            s
+          }
+        }
+      }
+      shift = math.sqrt((0 until k1).flatMap(c =>
+        subCents(c).indices.map(j => d2(next(c)(j), subCents(c)(j))))
+        .foldLeft(0.0)(math.max))
+      subCents = next
+      iters += 1
+    }
+    Trained2(l1,
+      (0 until k1).map(c => Trained(subCents(c), members(c), sumD2(c), iters)),
+      k2, iters)
+  }
+
+  /** Distributed GROUPED Lloyd's loop: train ALL k1 sub-models in ONE
+    * superstep loop over the corpus — the r13-advice "own trained
+    * cross-modal model with k ∝ N" made affordable. Shape per superstep
+    * (the [[train]] rationale, grouped): sub-centroids broadcast
+    * (F×dim ≈ 10 MB at F = N/256 on the sf100x decade — still
+    * driver-sized); each task folds its partition into per-FINE-cell
+    * sums — every vector scores ONLY its own L1 cell's ≤ k2 children, so
+    * a superstep is sample × (k1 + k2) distance evals, not sample × F;
+    * one job, NO shuffle; the driver merges #partitions × F cells. A
+    * per-cell SEQUENTIAL alternative (k1 separate Lloyd loops) would pay
+    * k1 × iters job-scheduling overheads (~0.1 s each — minutes of dead
+    * time at k1 ≈ 140) for identical arithmetic. L1 cells are assigned
+    * once, before the loop, and ride the persisted RDD. */
+  def trainTwoLevel(
+      emb: DataFrame, k1: Int, k2: Int, maxIters: Int, tol: Double): Trained2 = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val l1 = train(emb, k1, maxIters, tol)
+    val bcL1 = spark.sparkContext.broadcast(l1)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .rdd
+      .map { case (id, vf) =>
+        val v = new Array[Double](vf.length)
+        var i = 0; while (i < v.length) { v(i) = vf(i).toDouble; i += 1 }
+        (assignLocal(v, bcL1.value), id, v)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = l1.centroids.head.length
+    // Per-cell seeds: the cell's k2 smallest ids — a bounded per-key
+    // insertion (each state holds ≤ k2 (id, vector) pairs), collected as
+    // k1 rows ≈ F×dim doubles on the driver.
+    def insertSeed(acc: List[(Long, Array[Double])], x: (Long, Array[Double])) = {
+      val merged = (x :: acc).sortBy(_._1).take(k2)
+      merged
+    }
+    val seeds = vecs.map { case (c, id, v) => (c, (id, v)) }
+      .aggregateByKey(List.empty[(Long, Array[Double])])(
+        insertSeed, (a, b) => (a ++ b).sortBy(_._1).take(k2))
+      .collect().toMap
+    var subCents: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until k1).map(c =>
+        seeds.getOrElse(c, Nil).map(_._2.clone()).toIndexedSeq)
+    var iters = 0
+    var shift = Double.MaxValue
+    var members: IndexedSeq[IndexedSeq[Long]] =
+      (0 until k1).map(c => IndexedSeq.fill(subCents(c).length)(0L))
+    var sumD2: IndexedSeq[IndexedSeq[Double]] =
+      (0 until k1).map(c => IndexedSeq.fill(subCents(c).length)(0.0))
+    val offsets = subCents.scanLeft(0)(_ + _.length)
+    while (iters < maxIters && shift >= tol) {
+      val bc = spark.sparkContext.broadcast(subCents)
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val totalFine = offsets(k1)
+      val cells = vecs.mapPartitions { it =>
+        val sc = bc.value; val off = bcOff.value
+        val sums = Array.fill(totalFine)(null: Array[Double])
+        val ns = new Array[Long](totalFine)
+        val sd2 = new Array[Double](totalFine)
+        it.foreach { case (c, _, v) =>
+          val cents = sc(c)
+          if (cents.nonEmpty) {
+            var best = 0; var bd = d2(v, cents(0))
+            var j = 1
+            while (j < cents.length) {
+              val d = d2(v, cents(j)); if (d < bd) { bd = d; best = j }; j += 1
+            }
+            val f = off(c) + best
+            if (sums(f) == null) sums(f) = new Array[Double](v.length)
+            ns(f) += 1; sd2(f) += bd
+            val s = sums(f)
+            var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+          }
+        }
+        (0 until totalFine).iterator
+          .filter(f => ns(f) > 0)
+          .map(f => (f, sums(f), ns(f), sd2(f)))
+      }.collect()
+      bc.destroy(); bcOff.destroy()
+      val byFine = cells.groupBy(_._1)
+      members = (0 until k1).map(c => subCents(c).indices.map { j =>
+        byFine.get(offsets(c) + j).map(_.map(_._3).sum).getOrElse(0L) })
+      sumD2 = (0 until k1).map(c => subCents(c).indices.map { j =>
+        byFine.get(offsets(c) + j).map(_.map(_._4).sum).getOrElse(0.0) })
+      var maxShift = 0.0
+      val next = (0 until k1).map { c =>
+        subCents(c).indices.map { j =>
+          byFine.get(offsets(c) + j) match {
+            case None => subCents(c)(j)
+            case Some(rows) =>
+              val n = rows.map(_._3).sum
+              val s = new Array[Double](dim)
+              rows.foreach { case (_, sx, _, _) =>
+                var i = 0; while (i < dim) { s(i) += sx(i); i += 1 }
+              }
+              var i = 0; while (i < dim) { s(i) /= n; i += 1 }
+              maxShift = math.max(maxShift, d2(s, subCents(c)(j)))
+              s
+          }
+        }
+      }
+      shift = math.sqrt(maxShift)
+      subCents = next
+      iters += 1
+    }
+    vecs.unpersist(blocking = false)
+    bcL1.destroy()
+    Trained2(l1,
+      (0 until k1).map(c => Trained(subCents(c), members(c), sumD2(c), iters)),
+      k2, iters)
+  }
+
   private val trainedCache = new graft.SessionCache[Trained]
 
   val K = 8
