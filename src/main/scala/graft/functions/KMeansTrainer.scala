@@ -299,6 +299,39 @@ object KMeansTrainer {
     c1 * m.k2 + assignLocal(v, m.sub(c1))
   }
 
+  /** Local parity twin of [[TwoLevelNearestCentroids]]: the `nprobe`
+    * nearest FINE cells through `p1`-probe L1 fan-out — top-p1 NON-EMPTY
+    * L1 cells by (d2, cid) ascending, then their children ranked by
+    * (d2, fineId) ascending (stride-k2 global ids). With p1 = nprobe = 1
+    * this is single fine assignment to the nearest non-empty cell
+    * (= [[assignLocal2]] whenever the nearest L1 cell is non-empty —
+    * empty cells index nothing, so serving skips them). */
+  def probeLocal2(v: Array[Double], m: Trained2, p1: Int, nprobe: Int): IndexedSeq[Int] = {
+    val cells = m.l1.centroids.indices
+      .filter(c => m.sub(c).centroids.nonEmpty)
+      .sortBy(c => (d2(v, m.l1.centroids(c)), c))
+      .take(p1)
+    cells.flatMap { c =>
+      m.sub(c).centroids.indices.map(j =>
+        (d2(v, m.sub(c).centroids(j)), c * m.k2 + j))
+    }.sortBy(identity).take(nprobe).map(_._2)
+  }
+
+  /** The query-side multi-probe FINE bucket list of a two-level model —
+    * the k ∝ N twin of [[probeBuckets]], one fused codegen loop of
+    * k1 + p1·k2 distance evals per row. */
+  def fineProbeBuckets(
+      emb: org.apache.spark.sql.Column, m: Trained2,
+      p1: Int, nprobe: Int): org.apache.spark.sql.Column =
+    graft.functions.TwoLevelNearestCentroids(emb, m, p1, nprobe)
+
+  /** Single FINE bucket assignment under a two-level model — the k ∝ N
+    * twin of [[coarseBucket]] (nearest non-empty L1 cell's nearest child,
+    * k1 + k2 evals per row instead of F). */
+  def fineBucket(
+      emb: org.apache.spark.sql.Column, m: Trained2): org.apache.spark.sql.Column =
+    graft.functions.TwoLevelNearestCentroids(emb, m, 1, 1).getItem(0)
+
   /** Single-node reference for [[trainTwoLevel]] — the SAME lockstep
     * semantics (one global Lloyd loop over all sub-models, one global
     * shift fixpoint), so distributed/local parity is exact up to

@@ -1430,14 +1430,105 @@ object MultimodalQueries {
     * four longs per pair side — still no vectors in the pair exchange.
     * Query-side fan-out is multi-probe (q37's convention)
     * because a matched pair at 0.707 need not share a nearest centroid —
-    * the probe count is MEASURED, not guessed (local mirror sweep on the
-    * real corpora): probes 2/4/8/16 give block recall 0.78/0.91/0.98/1.00
-    * at both gate SFs with candidate volume ∝ probes·√N, and the sketch
-    * loses nothing on top (e2e == block recall at every point). 8 probes
-    * is the knee: ~0.98 recall at 8·√N candidates per query. */
+    * the probe count is MEASURED, not guessed (CrossModalKneeProbe sweep
+    * on the real corpora), and the sketch loses nothing on top (e2e ==
+    * block recall at every measured point). Blocking is the TWO-LEVEL
+    * k ∝ N fine model ([[crossModalFineModel]], [[CrossModalFineProbes]]
+    * — see those scaladocs for the measured knee and the regime's
+    * intrinsic recall/volume exponent). */
   private[graft] val CrossModalAlignT = 0.5
   private[graft] val CrossModalHammingSlack = 88
   private[graft] val CrossModalProbes = 8
+
+  /** L1 fan-out of the two-level fine probe ([[crossModalFineModel]]):
+    * the query's [[CrossModalFineProbes]] fine probes are drawn from its
+    * nearest p1 L1 cells' children. Measured with the fine-probe knee
+    * (CrossModalKneeProbe, PLANS round 15): at nprobe 16, p1 = 4 → 8 still
+    * gains recall (0.977 → 0.996 at sf0.1), p1 = 16 is flat (0.710 → 0.701
+    * at sf1x — noise); the knee is p1 ≈ nprobe/2. */
+  private[graft] val CrossModalL1Probes = 8
+
+  /** FINE probe count of the two-level blocking — the q220/q231 operating
+    * point. Fixed per query (volume nprobe·[[CrossModalFineCell]] = 4096
+    * entries — LINEAR total probed pairs per decade, the r13 `weak`'s
+    * replacement for the flat model's probes·√N), chosen at the measured
+    * knee: block recall 1.0 / 1.0 / 0.996 at sf0.001/sf0.01/sf0.1 vs 0.90
+    * at nprobe 8 (sf0.1), and at the scaling decades it carries ~the same
+    * recall as the r13 flat model at a fraction of its candidate volume
+    * (sf1x: fine 0.71 at 16·256 per query vs flat 0.61 at 8·224 — the
+    * flat "0.98 recall" was a gate-fixture artifact, never true at scale).
+    * Recall at FIXED volume decays with N in this vector space for ANY
+    * blocking (the 0.707 matched-cosine regime's LSH exponent is
+    * ρ ≈ ln(1/0.75)/ln(1/0.547) ≈ 0.48 — fixed-recall candidate volume is
+    * intrinsically ~N^1.5); the engine holds COST linear and counts the
+    * misses honestly (q210's audit-not-assume discipline), and the true
+    * fix is a trained shared encoder that moves matched pairs off 0.707
+    * (the q229 two-tower direction), not index geometry. */
+  private[graft] val CrossModalFineProbes = 16
+
+  /** Bounded expected FINE cell size of the cross-modal quantizer — the
+    * k ∝ N constant. With F = N/cell fine cells, probe volume per query is
+    * nprobe·cell = O(1) and the total probed-pair population is
+    * probes·N·cell = O(N) — the linear replacement for the flat k = √N
+    * model's probes·N·√N (the round-13 `weak`). */
+  private[graft] val CrossModalFineCell = 256
+
+  /** Two-level model shape for a corpus of n docs: F = max(8, ⌈n/cell⌉)
+    * fine cells as k1 ≈ √F L1 cells × k2 = ⌈F/k1⌉ children — assignment
+    * costs k1 + k2 ≈ 2√F evals/vector (CHEAPER than the flat model's √N
+    * once N > cell²) and the trainer's supersteps stay sample × (k1 + k2)
+    * ([[graft.functions.KMeansTrainer.trainTwoLevel]]). */
+  private[graft] def crossModalFineK(n: Long): (Int, Int) = {
+    val f = math.max(8L, (n + CrossModalFineCell - 1) / CrossModalFineCell)
+    val k1 = math.ceil(math.sqrt(f.toDouble)).toInt
+    val k2 = ((f + k1 - 1) / k1).toInt
+    (k1, k2)
+  }
+
+  private val xmodalModelCache =
+    new graft.SessionCache[graft.functions.KMeansTrainer.Trained2]
+
+  /** Train a two-level quantizer from a `(doc_id, embedding)` sample frame,
+    * routing like [[trainCoarseFrom]]: above the crossover (F ≥
+    * [[CoarseDistributedK]] fine cells) the GROUPED distributed loop
+    * ([[graft.functions.KMeansTrainer.trainTwoLevel]] — no corpus-scale
+    * driver state), below it the single-node reference (small-SF fixtures,
+    * where superstep scheduling dominates arithmetic). The sample frame is
+    * eagerly checkpointed first: both trainer phases (L1 loop, grouped L2
+    * loop) scan it, and without the checkpoint each scan would re-run the
+    * decode pipeline behind it. */
+  private[graft] def trainFineFrom(
+      sample: org.apache.spark.sql.DataFrame, k1: Int, k2: Int)
+      : graft.functions.KMeansTrainer.Trained2 =
+    if (coarseTrainsDistributed(k1 * k2)) {
+      graft.functions.KMeansTrainer.trainTwoLevel(
+        sample.select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(),
+        k1, k2, 15, 1e-4)
+    } else {
+      val spark = sample.sparkSession
+      import spark.implicits._
+      val local = sample.as[(Long, Seq[Float])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+      graft.functions.KMeansTrainer.trainTwoLevelLocal(local, k1, k2, 15, 1e-4)
+    }
+
+  /** The cross-modal family's OWN trained quantizer (round-13 advice): a
+    * two-level model over the image-feature space with k ∝ N fine cells of
+    * ~[[CrossModalFineCell]] expected size, replacing the flat k = √N
+    * [[mediaNearDupModel]] in q220/q231's blocking. Same pre-decode sample
+    * recipe as [[trainCoarseModel]] at 32 docs per FINE centroid — the
+    * sample is ⌈N/8⌉-sized, so it always trains distributed at scale
+    * (F ≥ 128 ⇔ N ≥ 32 k docs). Memoized per (session, dir). */
+  private[graft] def crossModalFineModel(
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained2 =
+    xmodalModelCache.get(t.spark, s"${t.dir}#xmfine")({
+      val (k1, k2) = crossModalFineK(t.documents.count())
+      val sampleLimit = math.max(256L, 32L * k1 * k2)
+      trainFineFrom(
+        embedDocSlice(t, t.documents.filter(col("doc_id") < sampleLimit)),
+        k1, k2)
+    })
 
 
   /** CROSS-MODAL alignment + retrieval audit — the text↔image↔audio
@@ -1454,9 +1545,9 @@ object MultimodalQueries {
     *      [[CrossModalAlignT]] — at 100 TB this is the per-pair
     *      keep/drop signal a multimodal corpus is filtered on.
     *   2. RETRIEVAL (the beyond-id join): every audio vector queries the
-    *      IMAGE corpus by content — trained coarse blocks
-    *      ([[mediaNearDupModel]]'s quantizer, index-side single
-    *      assignment, query-side [[CrossModalProbes]]-probe fan-out —
+    *      IMAGE corpus by content — trained two-level k ∝ N fine blocks
+    *      ([[crossModalFineModel]]'s quantizer, index-side single fine
+    *      assignment, query-side [[CrossModalFineProbes]]-probe fan-out —
     *      measured knee of the recall/candidate-volume curve), the 256-bit
     *      sign-sketch Hamming scan fused into one packed-array kernel
     *      ([[graft.functions.HammingShortlist]] at
@@ -1514,14 +1605,16 @@ object MultimodalQueries {
         flatten(transform(col("es"), e => e.getField("embedding"))).as("embs"))
 
   /** q220's IMAGE-side flat index rows: (img_id, bucket, 4-long sketch,
-    * embedding) under the image coarse model — the [[nearDupIndex]]
+    * embedding) under the cross-modal FINE model — the [[nearDupIndex]]
     * discipline at the cross-modal operating point (256-bit sketch,
-    * [[crossModalPlaneSets]]). Assignment plus four signature passes are
-    * O(N·k·dim) with k ∝ √N. */
+    * [[crossModalPlaneSets]]), with `bucket` a k ∝ N fine cell id
+    * ([[crossModalFineModel]]) so the probe-side pair population is linear
+    * in the corpus. Assignment plus four signature passes are
+    * O(N·√F·dim) map-only work. */
   private[graft] def crossModalImageFlat(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     import graft.functions.KMeansTrainer
     mediaPixelEmbeddings(t).select(col("doc_id").as("img_id") +:
-      KMeansTrainer.coarseBucket(col("embedding"), mediaNearDupModel(t))
+      KMeansTrainer.fineBucket(col("embedding"), crossModalFineModel(t))
         .as("bucket") +: (crossModalSigCols :+ col("embedding")): _*)
   }
 
@@ -1536,8 +1629,10 @@ object MultimodalQueries {
     })
 
   /** q220's AUDIO-side probe frame: (qid, probed bucket, 4-long sketch),
-    * one row per (query, probe) — the query corpus' multi-probe lists under
-    * the image coarse model. Memoized per (session, dir): this audit's
+    * one row per (query, probe) — the query corpus' multi-probe FINE cell
+    * lists under the cross-modal two-level model ([[CrossModalL1Probes]]
+    * L1 cells fanned out to [[CrossModalProbes]] fine probes, ≤ nprobe·cell
+    * candidate entries per query). Memoized per (session, dir): this audit's
     * query set is itself a standing corpus (a batch cross-modal join
     * precomputes both sides' assignments), and the probe selection is the
     * same O(N·k·dim) term as the index side. */
@@ -1545,8 +1640,9 @@ object MultimodalQueries {
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmaudprobes")({
       import graft.functions.KMeansTrainer
       audioSampleEmbeddings(t).select(col("doc_id").as("qid") +:
-        explode(KMeansTrainer.probeBuckets(
-          col("embedding"), mediaNearDupModel(t), CrossModalProbes))
+        explode(KMeansTrainer.fineProbeBuckets(
+          col("embedding"), crossModalFineModel(t),
+          CrossModalL1Probes, CrossModalFineProbes))
           .as("bucket") +: (crossModalSigCols :+ col("embedding").as("qemb")): _*)
         .localCheckpoint()
     })
@@ -1728,13 +1824,29 @@ object MultimodalQueries {
   private[graft] def crossModalStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmstoreidx")({
       import graft.functions.KMeansTrainer
-      val km = mediaIncrementalModel(t)
+      val m2 = crossModalStoreFineModel(t)
       packXModal(
         mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id").as("img_id") +:
-            KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket") +:
+            KMeansTrainer.fineBucket(col("embedding"), m2).as("bucket") +:
             (crossModalSigCols :+ col("embedding")): _*))
         .localCheckpoint()
+    })
+
+  /** The FROZEN store-trained two-level quantizer of q224's cross-modal
+    * retrieval — [[crossModalFineModel]]'s incremental twin, trained on
+    * STORE docs only (doc_id % 10 ≠ 0, the [[incrementalModelOf]]
+    * discipline: never retrained per delta, because retraining re-buckets
+    * the standing index) and sized k ∝ store size. Memoized per
+    * (session, dir). */
+  private[graft] def crossModalStoreFineModel(
+      t: graft.Tables): graft.functions.KMeansTrainer.Trained2 =
+    xmodalModelCache.get(t.spark, s"${t.dir}#xmstorefine")({
+      val store = t.documents.filter(col("doc_id") % 10 =!= 0)
+      val (k1, k2) = crossModalFineK(store.count())
+      val sampleLimit = math.max(256L, 32L * k1 * k2)
+      trainFineFrom(
+        embedDocSlice(t, store.filter(col("doc_id") < sampleLimit)), k1, k2)
     })
 
   /** Tonight's batch as a cross-modal probe frame under the frozen store
@@ -1744,10 +1856,11 @@ object MultimodalQueries {
     * per-night cost. */
   private[graft] def crossModalBatchProbes(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     import graft.functions.KMeansTrainer
-    val km = mediaIncrementalModel(t)
+    val m2 = crossModalStoreFineModel(t)
     audioSampleEmbeddings(t).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("qid") +:
-        explode(KMeansTrainer.probeBuckets(col("embedding"), km, CrossModalProbes))
+        explode(KMeansTrainer.fineProbeBuckets(
+          col("embedding"), m2, CrossModalL1Probes, CrossModalFineProbes))
           .as("bucket") +: (crossModalSigCols :+ col("embedding").as("qemb")): _*)
   }
 
@@ -1761,10 +1874,12 @@ object MultimodalQueries {
     * join (the q221-of-q220, completing the incremental-twin convention for
     * the cross-modal family): new AUDIO arrivals (doc_id ≡ 0 mod 10, the
     * ingest split) query the FROZEN store-side image index by content —
-    * store-trained coarse blocks ([[mediaIncrementalModel]], query-side
-    * 8-probe fan-out), the 256-bit packed-array Hamming shortlist
-    * ([[graft.functions.HammingShortlist]]), exact cosine on candidate ids
-    * only, deterministic (cos desc, id asc) top-1.
+    * store-trained two-level k ∝ N fine blocks
+    * ([[crossModalStoreFineModel]], query-side
+    * [[CrossModalL1Probes]]/[[CrossModalFineProbes]] fan-out), the fused
+    * 256-bit packed-array Hamming + exact-cosine scan
+    * ([[graft.functions.HammingCosineTop1]]), deterministic
+    * (cos desc, id asc) top-1.
     * The batch's own images are NOT in the index, so a match is a genuine
     * cross-doc, cross-modal resolution: the arrival's audio found a store
     * doc whose image shares its canonical prefix — the content-level

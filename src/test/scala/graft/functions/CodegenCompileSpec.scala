@@ -69,7 +69,21 @@ class CodegenCompileSpec extends AnyFunSuite {
     ("MortonCode", MortonCode(in(0, LongType), in(1, LongType)),
       row(123456789L, 987654321L)),
     ("HyperplaneSignature", HyperplaneSignature(in(0, floatArr), planes, 4),
-      row(fa(0.5f, -0.25f, 1.5f, 0.75f))))
+      row(fa(0.5f, -0.25f, 1.5f, 0.75f))),
+    ("TwoLevelNearestCentroids", TwoLevelNearestCentroids(in(0, floatArr),
+      // l1 = 2 cells x dim 4; sub = 3 children (2 in cell 0, 1 in cell 1)
+      IndexedSeq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0),
+      IndexedSeq(0.1, 0.0, 0.0, 0.0, -0.1, 0.0, 0.2, 0.0, 1.0, 1.1, 0.9, 1.0),
+      IndexedSeq(0, 2, 3), 2, 4, 2, 2),
+      row(fa(0.5f, -0.25f, 1.5f, 0.75f))),
+    ("HammingCosineTop1", HammingCosineTop1(
+      in(0, ArrayType(LongType)), in(1, ArrayType(LongType)), in(2, floatArr),
+      in(3, ArrayType(LongType)), in(4, floatArr), 1, 40, 4),
+      row(new GenericArrayData(Array[Any](7L, 9L)),
+        new GenericArrayData(Array[Any](3L, -1L)),
+        fa(0.5f, -0.25f, 1.5f, 0.75f, 1.0f, 2.0f, -0.5f, 0.25f),
+        new GenericArrayData(Array[Any](5L)),
+        fa(0.4f, -0.3f, 1.4f, 0.8f))))
 
   for ((name, expr, input) <- cases) {
     test(s"$name: generated code compiles and matches interpreted eval") {

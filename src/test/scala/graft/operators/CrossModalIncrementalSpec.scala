@@ -37,7 +37,7 @@ class CrossModalIncrementalSpec extends SharedSparkSpec {
   /** Single-node mirror of q224's per-query top-1: qid -> (top_img, cos). */
   private def localTop1(t: graft.Tables): Map[Long, (Long, Double)] = {
     import graft.functions.KMeansTrainer
-    val km = MultimodalQueries.mediaIncrementalModel(t)
+    val m2 = MultimodalQueries.crossModalStoreFineModel(t)
     val img = collect(MultimodalQueries.mediaPixelEmbeddings(t))
       .filter(_._1 % 10 != 0)
     val aud = collect(MultimodalQueries.audioSampleEmbeddings(t))
@@ -45,12 +45,14 @@ class CrossModalIncrementalSpec extends SharedSparkSpec {
     val imgById = img.toMap
     val sigOf = img.map { case (id, v) =>
       id -> MultimodalQueries.crossModalSignLocal(v) }.toMap
-    val byBucket = img.groupBy { case (_, v) => KMeansTrainer.assignLocal(v, km) }
+    // Index-side single FINE assignment under the frozen store model
+    // (probeLocal2 at p1 = nprobe = 1 — the engine's fineBucket rule).
+    val byBucket = img.groupBy { case (_, v) =>
+      KMeansTrainer.probeLocal2(v, m2, 1, 1).head }
 
     def probes(v: Array[Double]): Seq[Int] =
-      km.centroids.indices
-        .sortBy(c => (KMeansTrainer.d2(v, km.centroids(c)), c))
-        .take(MultimodalQueries.CrossModalProbes)
+      KMeansTrainer.probeLocal2(v, m2,
+        MultimodalQueries.CrossModalL1Probes, MultimodalQueries.CrossModalFineProbes)
 
     aud.flatMap { case (qid, av) =>
       val qsig = MultimodalQueries.crossModalSignLocal(av)

@@ -38,20 +38,23 @@ class CrossModalSpec extends SharedSparkSpec {
     * (n_docs, n_aligned, n_top1_self, n_top1_dup, n_miss). */
   private def localAudit(t: graft.Tables): Map[String, (Long, Long, Long, Long, Long)] = {
     import graft.functions.KMeansTrainer
-    val km = MultimodalQueries.mediaNearDupModel(t)
+    val m2 = MultimodalQueries.crossModalFineModel(t)
     val img = collect(MultimodalQueries.mediaPixelEmbeddings(t))
     val aud = collect(MultimodalQueries.audioSampleEmbeddings(t))
     val imgById = img.toMap
     val sigOf = img.map { case (id, v) =>
       id -> MultimodalQueries.crossModalSignLocal(v) }.toMap
-    val byBucket = img.groupBy { case (_, v) => KMeansTrainer.assignLocal(v, km) }
+    // Index-side single FINE assignment (nearest non-empty L1 cell's
+    // nearest child — probeLocal2 at p1 = nprobe = 1, the engine's
+    // fineBucket rule).
+    val byBucket = img.groupBy { case (_, v) =>
+      KMeansTrainer.probeLocal2(v, m2, 1, 1).head }
     val srcOf = t.documents.select(col("doc_id"), col("source"))
       .as[(Long, String)].collect().toMap
 
     def probes(v: Array[Double]): Seq[Int] =
-      km.centroids.indices
-        .sortBy(c => (KMeansTrainer.d2(v, km.centroids(c)), c))
-        .take(MultimodalQueries.CrossModalProbes)
+      KMeansTrainer.probeLocal2(v, m2,
+        MultimodalQueries.CrossModalL1Probes, MultimodalQueries.CrossModalFineProbes)
 
     val rows = aud.map { case (qid, av) =>
       val qsig = MultimodalQueries.crossModalSignLocal(av)
@@ -121,7 +124,6 @@ class CrossModalSpec extends SharedSparkSpec {
     // n_top1_dup (its top-1 image is the min-id twin at aligned cosine,
     // whether the pair is identical to byte 512 or only to byte 256).
     // Verify via the local mirror's per-doc rows for precision.
-    val km = MultimodalQueries.mediaNearDupModel(t)
     val img = collect(MultimodalQueries.mediaPixelEmbeddings(t)).toMap
     val aud = collect(MultimodalQueries.audioSampleEmbeddings(t)).toMap
     for ((lo, hi) <- Seq((101L, 102L), (120L, 121L))) {
