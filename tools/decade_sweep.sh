@@ -45,7 +45,7 @@ run() { # sf_dir xmx shuffle_partitions query
 # sessions affordable).
 DEFAULT_QUERIES="q36_dedup_ngram_jaccard q151_setsim_prefix q218_media_neardup \
 q220_crossmodal_align q228_media_index_layout q230_setsim_layout \
-q231_crossmodal_index_layout"
+q231_crossmodal_index_layout q232_crossmodal_emb_layout"
 for q in ${QUERIES:-$DEFAULT_QUERIES}; do
   for sf in ${DECADES:-sf1x sf10x sf100x}; do
     case $sf in
