@@ -1390,7 +1390,12 @@ object MultimodalQueries {
     * memo); no SQL oracle for the same reason q218 has none (trained
     * quantizer + real codec). */
   val q228 = EngineQuery("q228_media_index_layout", None) { t =>
-    nearDupAuditServed(mediaPixelEmbeddings(t),
+    // Both the index AND the verify-fetch embeddings serve from at-rest
+    // tables (round 15): a SPARK_GRAFT_SERVE_LAYOUTS=1 session runs this
+    // audit with zero decode — the index scan, the candidate join, and the
+    // doc_id-bucketed embedding fetch are all storage reads.
+    nearDupAuditServed(
+      t.spark.table(embTableOf(t, "imgemb", mediaPixelEmbeddings(t))),
       t.spark.table(mediaNearDupIndexTable(t)))
   }
 
@@ -1623,9 +1628,28 @@ object MultimodalQueries {
     * maintains this index next to the vectors rather than re-bucketing the
     * corpus per query batch — and at rest it is exactly the frame q231
     * stores bucketed by `bucket`. */
+  /** Memoize a standing scan-side frame CACHED instead of checkpointed:
+    * InMemoryRelation PRESERVES the child plan's outputPartitioning where
+    * a localCheckpoint read (ExistingRDD) reports none — so a frame
+    * materialized behind its bucket exchange serves every subsequent
+    * candidate join EXCHANGE-FREE (measured at sf100x: the per-run
+    * re-shuffle of the 16-probe query frame was ~24 GB — the dominant
+    * term of q220's warm pass once the scan itself went linear). The
+    * count() forces the one-time build (decode, assignment, signatures)
+    * exactly like the eager checkpoint did. */
+  private def cacheStanding(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
+  }
+
   private[graft] def crossModalImageIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmimgidx")({
-      packXModal(crossModalImageFlat(t)).localCheckpoint()
+      // packXModal's groupBy already leaves the frame hashpartitioned by
+      // `bucket` at shuffle width — cached, that partitioning serves the
+      // shuffled-hash join's build side with no per-run exchange.
+      cacheStanding(packXModal(crossModalImageFlat(t)))
     })
 
   /** q220's AUDIO-side probe frame: (qid, probed bucket, 4-long sketch),
@@ -1639,12 +1663,14 @@ object MultimodalQueries {
   private[graft] def crossModalAudioProbes(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmaudprobes")({
       import graft.functions.KMeansTrainer
-      audioSampleEmbeddings(t).select(col("doc_id").as("qid") +:
-        explode(KMeansTrainer.fineProbeBuckets(
-          col("embedding"), crossModalFineModel(t),
-          CrossModalL1Probes, CrossModalFineProbes))
-          .as("bucket") +: (crossModalSigCols :+ col("embedding").as("qemb")): _*)
-        .localCheckpoint()
+      cacheStanding(
+        audioSampleEmbeddings(t).select(col("doc_id").as("qid") +:
+          explode(KMeansTrainer.fineProbeBuckets(
+            col("embedding"), crossModalFineModel(t),
+            CrossModalL1Probes, CrossModalFineProbes))
+            .as("bucket") +: (crossModalSigCols :+ col("embedding").as("qemb")): _*)
+          .repartition(
+            t.spark.sessionState.conf.numShufflePartitions, col("bucket")))
     })
 
   /** Retrieval top-1 of a multi-probe query frame against a PACKED
@@ -1675,16 +1701,18 @@ object MultimodalQueries {
       idx: org.apache.spark.sql.DataFrame,
       prePartitioned: Boolean = false): org.apache.spark.sql.DataFrame = {
     import graft.functions.HammingCosineTop1
-    // Pin the probe side's width explicitly: the shuffle is small (a qid,
-    // a bucket, four longs, one dim-float vector per row) but each joined
+    // Pin the probe side's width explicitly: the per-row payload is small
+    // (a qid, a bucket, four longs, one dim-float vector) but each joined
     // row scans a whole bucket's packed arrays — AQE coalesces by BYTES
     // and measured it down to 4 partitions at sf1x, serializing the
-    // Hamming+cosine compute onto 4 cores. An explicit numPartitions is a
-    // user constraint AQE keeps (and it re-applies per run: a checkpoint
-    // read reports no partitioning). An AT-REST probe table (q231) already
-    // reports hashpartitioning(bucket) at shuffle width from its bucketing
-    // — `prePartitioned` skips the no-op exchange so the layout serves
-    // exchange-free on BOTH sides.
+    // Hamming+cosine compute onto 4 cores. `prePartitioned` callers
+    // already satisfy the distribution WITHOUT a per-run exchange: the
+    // at-rest tables (q231/q232) report hashpartitioning(bucket) from
+    // their bucketing, and the live memoized frames are CACHED behind
+    // their bucket exchange ([[cacheStanding]] — InMemoryRelation
+    // preserves outputPartitioning where a checkpoint read reports none;
+    // the per-run re-shuffle it replaces measured ~24 GB at sf100x).
+    // Only per-delta frames (q224's nightly batch) still repartition here.
     val qry = if (prePartitioned) probes else probes
       .repartition(t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
     // The packed index joins as SHUFFLED HASH build side: k ≈ √N rows —
@@ -1765,14 +1793,19 @@ object MultimodalQueries {
   }
 
   val q220 = EngineQuery("q220_crossmodal_align", None) { t =>
+    // prePartitioned: the memoized probe frame is cached BEHIND its bucket
+    // exchange ([[cacheStanding]]), so every run's candidate join is
+    // exchange-free on both sides — the live form now has the same
+    // serving shape as the at-rest one (q231).
     crossModalAuditFrom(t, crossModalAudioProbes(t), crossModalImageIndex(t),
-      prePartitioned = false)
+      prePartitioned = true)
   }
 
   /** q220's retrieval tail alone (probes → fused scan → top-1) — exposed
     * for CrossModalProbe's per-stage attribution. */
   private[graft] def crossModalTop1Probe(t: graft.Tables): org.apache.spark.sql.DataFrame =
-    crossModalTop1(t, crossModalAudioProbes(t), crossModalImageIndex(t))
+    crossModalTop1(t, crossModalAudioProbes(t), crossModalImageIndex(t),
+      prePartitioned = true)
 
   private val xmodalLayoutCache = new graft.SessionCache[(String, String)]
 
@@ -1825,30 +1858,36 @@ object MultimodalQueries {
       prePartitioned = true)
   }
 
-  private val xmodalEmbTblCache = new graft.SessionCache[(String, String)]
+  private val embTblCache = new graft.SessionCache[String]
 
-  /** DECODED-EMBEDDING tables at rest: the image and audio (doc_id,
-    * embedding) frames written once as doc_id-bucketed tables at shuffle
-    * width under deterministic names. The r14 serve sweep named decode as
-    * the serve path's last linear per-session term (q231's serve kills
-    * train+assign+sign+pack but still decodes both modalities for the
-    * ALIGNMENT join — 406/418 s of its sf100x serve cold); stored, a serve
-    * session touches no media bytes at all. Bucketed by doc_id so the
-    * alignment join (img ⋈ aud on doc_id) runs exchange-free on both
-    * sides — and at 100 TB this table is exactly the "vector column next
-    * to the corpus" a production pipeline maintains instead of re-running
-    * its encoders per session. */
-  private[graft] def crossModalEmbTables(t: graft.Tables): (String, String) =
-    xmodalEmbTblCache.get(t.spark, s"${t.dir}#xmembtbl")({
+  /** A modality's DECODED-EMBEDDING table at rest: the (doc_id, embedding)
+    * frame written once as a doc_id-bucketed, doc_id-sorted table at
+    * shuffle width under a deterministic name. The r14 serve sweep named
+    * decode as the serve path's last linear per-session term (q231's serve
+    * kills train+assign+sign+pack but still decodes both modalities for
+    * the ALIGNMENT join — most of its 418 s sf100x serve cold; q228's
+    * serve likewise decodes for the exact-cosine verify); stored, a serve
+    * session touches no media bytes at all. Bucketed by doc_id so every
+    * id-keyed consumer — the alignment join (img ⋈ aud), the candidate
+    * verify fetch — runs exchange-free on the embedding side. At 100 TB
+    * this is exactly the "vector column next to the corpus" a production
+    * pipeline maintains instead of re-running its encoders per session. */
+  private[graft] def embTableOf(
+      t: graft.Tables, tag: String,
+      emb: => org.apache.spark.sql.DataFrame): String =
+    embTblCache.get(t.spark, s"${t.dir}#$tag#embtbl")({
       val width = t.spark.sessionState.conf.numShufflePartitions
-      val imgTbl = layoutName("xmimgemb", t.dir, width)
-      val audTbl = layoutName("xmaudemb", t.dir, width)
+      val tbl = layoutName(tag, t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, mediaPixelEmbeddings(t), imgTbl, Seq("doc_id"), width)
-      graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, audioSampleEmbeddings(t), audTbl, Seq("doc_id"), width)
-      (imgTbl, audTbl)
+        t.spark, emb, tbl, Seq("doc_id"), width)
+      tbl
     })
+
+  /** [[embTableOf]] of the image and audio modalities — q232's alignment
+    * sides; the image table doubles as q228's serve-side verify source. */
+  private[graft] def crossModalEmbTables(t: graft.Tables): (String, String) =
+    (embTableOf(t, "imgemb", mediaPixelEmbeddings(t)),
+      embTableOf(t, "audemb", audioSampleEmbeddings(t)))
 
   /** q220's audit served ENTIRELY from at-rest artifacts — the zero-decode
     * session: retrieval from q231's packed index + probe tables, alignment
@@ -1882,12 +1921,11 @@ object MultimodalQueries {
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmstoreidx")({
       import graft.functions.KMeansTrainer
       val m2 = crossModalStoreFineModel(t)
-      packXModal(
+      cacheStanding(packXModal(
         mediaPixelEmbeddings(t).filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id").as("img_id") +:
             KMeansTrainer.fineBucket(col("embedding"), m2).as("bucket") +:
-            (crossModalSigCols :+ col("embedding")): _*))
-        .localCheckpoint()
+            (crossModalSigCols :+ col("embedding")): _*)))
     })
 
   /** The FROZEN store-trained two-level quantizer of q224's cross-modal

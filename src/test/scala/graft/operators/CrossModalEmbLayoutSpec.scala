@@ -73,7 +73,7 @@ class CrossModalEmbLayoutSpec extends SharedSparkSpec {
     assert(!plan.contains("ExistingRDD"),
       "q232 served plan still reads a session decode checkpoint:\n" +
         plan.take(1500))
-    assert(plan.contains("graft_xmimgemb") && plan.contains("graft_xmaudemb"),
+    assert(plan.contains("graft_imgemb") && plan.contains("graft_audemb"),
       "q232 served plan does not read the at-rest embedding tables")
   }
 }

@@ -156,6 +156,15 @@ class CrossModalSpec extends SharedSparkSpec {
         l.contains("text"))
     assert(textScans == 0,
       s"q220 plan re-decodes raw text $textScans time(s); both modality frames must come from checkpoints")
+    // The live candidate join serves off the CACHED pre-partitioned frames
+    // (cacheStanding — InMemoryRelation preserves the bucket partitioning,
+    // so per-run exchanges are gone; the exchanges still VISIBLE in the
+    // plan string are the cached plans' own one-time builds, rendered
+    // inside their InMemoryTableScan leaves). Pin that both standing
+    // frames actually serve from cache.
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "q220's standing frames are not serving from cache:\n" + plan.take(1500))
 
     val engine = engineAudit(t)
     val local = localAudit(t)

