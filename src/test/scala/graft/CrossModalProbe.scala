@@ -38,9 +38,10 @@ object CrossModalProbe {
     println(s"== cross-modal (q220 decomposition) ==")
     timed("image index build (packed)") { crossModalImageIndex(t).count() }
     timed("audio probe frame build") { crossModalAudioProbes(t).count() }
+    // Both standing frames are cached pre-partitioned (cacheStanding) —
+    // no per-run repartition, matching the engine's serving shape.
     val idx = crossModalImageIndex(t)
     val probes = crossModalAudioProbes(t)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
     // Hamming-eval population Σ|q_b|·|i_b| — now an arithmetic SUM over the
     // packed index's per-bucket sizes, not a materialized pair join.
     val probedPairs = timed("probed pairs (Σ|q_b|·|i_b|)") {
