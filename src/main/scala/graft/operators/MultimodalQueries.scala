@@ -1809,26 +1809,65 @@ object MultimodalQueries {
 
   private val xmodalLayoutCache = new graft.SessionCache[(String, String)]
 
+  /** The NORMALIZED at-rest form of the probe frame: ONE row per query —
+    * (qid, buckets array<int>, sig0..3) — with NO embedding column. The
+    * r15 build pass stored the exploded per-(query, probe) frame with the
+    * query vector duplicated onto every probe row (nprobe·(300 B) per
+    * query ≈ 24 GB at sf100x — most of q232's serve cold was scanning
+    * it); normalized, the standing artifact is ~100 B/query (~0.5 GB at
+    * sf100x, 50×) and carries only index state — vectors stay in the ONE
+    * place vectors live (the modality embedding tables / session decode
+    * checkpoints), the q146-codebook discipline applied to query state.
+    * Map-only: one [[graft.functions.TwoLevelNearestCentroids]] pass plus
+    * the four signature columns. */
+  private[graft] def crossModalAudioProbesPacked(
+      t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    import graft.functions.KMeansTrainer
+    audioSampleEmbeddings(t).select(col("doc_id").as("qid") +:
+      KMeansTrainer.fineProbeBuckets(
+        col("embedding"), crossModalFineModel(t),
+        CrossModalL1Probes, CrossModalFineProbes).as("buckets") +:
+      crossModalSigCols: _*)
+  }
+
+  /** Materialize the SERVED per-probe frame from the packed table and a
+    * (doc_id, embedding) vector source: join the vectors back ONCE per
+    * query row (exchange-free when both sides are qid/doc_id-bucketed at
+    * the same width), explode to per-(query, probe) rows, land behind the
+    * bucket exchange in the session cache ([[cacheStanding]]) — after
+    * which every run's candidate join is exchange-free, identical to the
+    * live form's shape. The nprobe× vector duplication now exists only in
+    * session cache (the kernel's operand shape), never at rest. */
+  private[graft] def servedProbesFrom(
+      t: graft.Tables, key: String,
+      packed: => org.apache.spark.sql.DataFrame,
+      qemb: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    xmodalIdxCache.get(t.spark, s"${t.dir}#$key")({
+      cacheStanding(
+        packed.join(qemb.select(col("doc_id").as("qid"),
+            col("embedding").as("qemb")), Seq("qid"))
+          .select(col("qid"), explode(col("buckets")).as("bucket"),
+            col("sig0"), col("sig1"), col("sig2"), col("sig3"), col("qemb"))
+          .repartition(
+            t.spark.sessionState.conf.numShufflePartitions, col("bucket")))
+    })
+
   /** q220's retrieval artifacts AT REST: the packed per-bucket image index
-    * (bucket, ids, sigs) AND the multi-probe audio query frame (qid,
-    * bucket, sig0..3), each written once as a `bucket`-bucketed,
-    * bucket-sorted parquet table at the session shuffle width under
-    * deterministic names ([[layoutName]] — re-runs overwrite, never
-    * accumulate). Returns (indexTable, probeTable). With BOTH sides
-    * bucketed by the candidate-join key at the same width, the shortlist
-    * join plans with no exchange on either side — the repartition width
-    * pin became a property of the layout, q228's convention extended to
-    * the query frame (a batch cross-modal join's query corpus is itself a
-    * standing artifact). */
+    * (bucket, ids, sigs, embs) bucketed by `bucket` — the candidate-join
+    * key — AND the NORMALIZED probe frame ([[crossModalAudioProbesPacked]])
+    * bucketed by `qid` — the vector-join key — each written once at the
+    * session shuffle width under deterministic names ([[layoutName]] —
+    * re-runs overwrite, never accumulate). Returns
+    * (indexTable, packedProbeTable). */
   private[graft] def crossModalLayoutTables(t: graft.Tables): (String, String) =
     xmodalLayoutCache.get(t.spark, s"${t.dir}#xmlayout")({
       val width = t.spark.sessionState.conf.numShufflePartitions
       val idxTbl = layoutName("xmidx", t.dir, width)
-      val prbTbl = layoutName("xmprobes", t.dir, width)
+      val prbTbl = layoutName("xmqprobes", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
         t.spark, crossModalImageIndex(t), idxTbl, Seq("bucket"), width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, crossModalAudioProbes(t), prbTbl, Seq("bucket"), width)
+        t.spark, crossModalAudioProbesPacked(t), prbTbl, Seq("qid"), width)
       (idxTbl, prbTbl)
     })
 
@@ -1839,14 +1878,17 @@ object MultimodalQueries {
     * model, bucket assignment, 256-bit signatures and 8-probe lists of
     * BOTH modality frames were session state (at sf100x ~90% of q220's
     * 881 s cold was this one-time build), so a new session re-paid the
-    * whole O(N·k·dim) pipeline before its first candidate. Stored, the
-    * serve path starts at the shortlist join: both tables are bucketed by
-    * `bucket` at shuffle width, so the candidate join runs with NO
-    * exchange on either side; the model itself is not needed to serve
-    * (assignments and probe lists are materialized in the tables). Exact
-    * -cosine verification and the alignment join still read the session's
-    * decode-once embedding checkpoints (candidate-restricted fetch;
-    * decode ≤ 1/modality/session unchanged). Same output as q220 by
+    * whole O(N·k·dim) pipeline before its first candidate. Stored, a
+    * session materializes the served probe frame once
+    * ([[servedProbesFrom]]: qid-bucketed packed probes ⋈ vectors —
+    * exchange-free — then explode + one bucket shuffle into the session
+    * cache) and every run's candidate join is exchange-free against the
+    * bucket-bucketed index table; the model itself is not needed to serve
+    * (assignments and probe lists are materialized in the tables). The
+    * alignment join and the probe vectors still read the session's
+    * decode-once embedding checkpoints (decode ≤ 1/modality/session
+    * unchanged; q232 is the fully-at-rest, zero-decode form). Same output
+    * as q220 by
     * construction — [[crossModalAuditFrom]] is shared verbatim;
     * CrossModalLayoutSpec pins row-for-row equality, the exchange-free
     * served plan, the build-once memo, and deterministic table naming. No
@@ -1854,8 +1896,12 @@ object MultimodalQueries {
     * quantizer). */
   val q231 = EngineQuery("q231_crossmodal_index_layout", None) { t =>
     val (idxTbl, prbTbl) = crossModalLayoutTables(t)
-    crossModalAuditFrom(t, t.spark.table(prbTbl), t.spark.table(idxTbl),
-      prePartitioned = true)
+    // Query vectors come from the session decode checkpoint (q231's
+    // alignment reads it anyway); q232 is the fully-at-rest form.
+    crossModalAuditFrom(t,
+      servedProbesFrom(t, "xmsrvprobes", t.spark.table(prbTbl),
+        audioSampleEmbeddings(t)),
+      t.spark.table(idxTbl), prePartitioned = true)
   }
 
   private val embTblCache = new graft.SessionCache[String]
@@ -1904,8 +1950,13 @@ object MultimodalQueries {
   val q232 = EngineQuery("q232_crossmodal_emb_layout", None) { t =>
     val (idxTbl, prbTbl) = crossModalLayoutTables(t)
     val (imgTbl, audTbl) = crossModalEmbTables(t)
-    crossModalAuditFrom(t, t.spark.table(prbTbl), t.spark.table(idxTbl),
-      prePartitioned = true,
+    // Fully at rest: query vectors join back from the audemb TABLE (both
+    // sides qid/doc_id-bucketed — exchange-free), so the serve session
+    // reads storage only.
+    crossModalAuditFrom(t,
+      servedProbesFrom(t, "xmsrvprobestbl", t.spark.table(prbTbl),
+        t.spark.table(audTbl)),
+      t.spark.table(idxTbl), prePartitioned = true,
       img = t.spark.table(imgTbl), aud = t.spark.table(audTbl))
   }
 

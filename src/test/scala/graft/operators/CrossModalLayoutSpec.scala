@@ -33,6 +33,19 @@ class CrossModalLayoutSpec extends SharedSparkSpec {
         .sortBy(_._1).toSeq
     assert(idxRows(spark.table(idxTbl))
       == idxRows(MultimodalQueries.crossModalImageIndex(t)))
+    // The probe table is NORMALIZED (one row per query, no vectors): its
+    // rows must equal the live packed frame, and the SERVED per-probe
+    // frame rebuilt from it (vectors joined back, exploded) must equal
+    // the live exploded frame row-for-row.
+    def packedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("buckets"), col("sig0"), col("sig1"),
+        col("sig2"), col("sig3"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1).toSeq
+    assert(packedRows(spark.table(prbTbl))
+      == packedRows(MultimodalQueries.crossModalAudioProbesPacked(t)))
     def prbRows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("qid"), col("bucket"), col("sig0"), col("sig1"),
         col("sig2"), col("sig3"), col("qemb"))
@@ -40,24 +53,44 @@ class CrossModalLayoutSpec extends SharedSparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5), r.getSeq[Float](6)))
         .sortBy(x => (x._1, x._2)).toSeq
-    assert(prbRows(spark.table(prbTbl))
+    assert(prbRows(MultimodalQueries.servedProbesFrom(
+        t, "xmsrvprobes", spark.table(prbTbl),
+        MultimodalQueries.audioSampleEmbeddings(t)))
       == prbRows(MultimodalQueries.crossModalAudioProbes(t)))
   }
 
-  test("q231: shortlist join runs off the bucketing — no exchange on bucket") {
-    // Pin the 100 TB shape: an index too big to broadcast.
+  test("q231: vector join and candidate join run off the bucketing/cache — no added exchange") {
+    // Pin the 100 TB shape: an index too big to broadcast. The packed
+    // probe table (qid-bucketed) joins the vector source on qid with no
+    // exchange on the probe side; the served frame (cached behind its
+    // bucket exchange) joins the bucket-bucketed index table with no
+    // per-run exchange on bucket.
     val t = new graft.Tables(spark, sf001)
     val (idxTbl, prbTbl) = MultimodalQueries.crossModalLayoutTables(t)
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
-      val p = spark.table(prbTbl)
-        .join(spark.table(idxTbl).hint("shuffle_hash"), Seq("bucket"))
+      val vj = spark.table(prbTbl)
+        .join(MultimodalQueries.audioSampleEmbeddings(t)
+          .select(col("doc_id").as("qid"), col("embedding"))
+          .hint("shuffle_hash"), Seq("qid"))
         .queryExecution.executedPlan.toString
-      assert(p.contains("Bucketed: true"), p.take(1500))
-      assert(!p.contains("Exchange hashpartitioning(bucket"),
-        "candidate join re-shuffled the stored bucket key:\n" + p.take(1500))
+      assert(vj.contains("Bucketed: true"), vj.take(1500))
+      // Exactly one qid exchange: the checkpoint-backed vector side (it
+      // reports no partitioning); the bucketed probe table contributes
+      // NONE. Two would mean the probe table's bucketing was ignored.
+      val qidShuffles = vj.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(qid"))
+      assert(qidShuffles <= 1,
+        "vector join re-shuffled the qid-bucketed probe table:\n" + vj.take(1500))
+      val served = MultimodalQueries.servedProbesFrom(
+        t, "xmsrvprobes", spark.table(prbTbl),
+        MultimodalQueries.audioSampleEmbeddings(t))
+      val cj = served.join(spark.table(idxTbl).hint("shuffle_hash"), Seq("bucket"))
+        .queryExecution.executedPlan.toString
+      assert(cj.contains("InMemoryTableScan") || cj.contains("TableCacheQueryStage"),
+        "served probe frame must come from the session cache:\n" + cj.take(1500))
     } finally spark.conf.set(key, prev)
   }
 
@@ -67,7 +100,7 @@ class CrossModalLayoutSpec extends SharedSparkSpec {
     assert(first == MultimodalQueries.crossModalLayoutTables(t))
     val width = spark.sessionState.conf.numShufflePartitions
     assert(first._1 == MultimodalQueries.layoutName("xmidx", t.dir, width))
-    assert(first._2 == MultimodalQueries.layoutName("xmprobes", t.dir, width))
+    assert(first._2 == MultimodalQueries.layoutName("xmqprobes", t.dir, width))
     // Same inputs, same name — no per-session UUID accumulation.
     assert(!first._1.matches(".*[0-9a-f]{8}_[0-9a-f]{4}.*"),
       s"layout table name looks UUID-derived: ${first._1}")
