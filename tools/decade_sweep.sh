@@ -51,7 +51,7 @@ for q in ${QUERIES:-$DEFAULT_QUERIES}; do
     case $sf in
       sf1x)   run /root/repo/scaledata/sf1x   12g 32  "$q" ;;
       sf10x)  run /root/repo/scaledata/sf10x  24g 64  "$q" ;;
-      sf100x) run /root/repo/scaledata/sf100x 56g 256 "$q" ;;
+      sf100x) run /root/repo/scaledata/sf100x 72g 256 "$q" ;;
       *)      echo "unknown decade: $sf" ; exit 2 ;;
     esac
   done
