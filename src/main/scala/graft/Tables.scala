@@ -98,6 +98,13 @@ final class SessionCache[V] {
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
     m.computeIfAbsent((spark, dir), _ => mk)
   }
+
+  /** Evict one entry, returning it so the caller can release resources it
+    * pins (unpersist a cached frame, drop a checkpoint). Used where a
+    * standing artifact is superseded within a session — e.g. a spec forcing
+    * a rebuild from a different source, or dir turnover in a sweep. */
+  def remove(spark: SparkSession, dir: String): Option[V] =
+    Option(m.remove((spark, dir)))
 }
 
 /** Shared helpers enforcing the determinism rules of SURVEY.md §7.4. */

@@ -365,8 +365,17 @@ object TextQueries {
   private[operators] def deltaNearDupDropsFromInvs(
       t: graft.Tables,
       refInv: org.apache.spark.sql.DataFrame,
+      deltaInv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    deltaNearDupDropsFromInvsWith(corpusPostings(t)._2, refInv, deltaInv)
+
+  /** [[deltaNearDupDropsFromInvs]] with the per-doc set SIZES injectable —
+    * the serve path passes the at-rest sizes table so the whole delta
+    * near-dup computation runs without the session postings memo (which
+    * would rebuild from text). */
+  private[operators] def deltaNearDupDropsFromInvsWith(
+      sizes: org.apache.spark.sql.DataFrame,
+      refInv: org.apache.spark.sql.DataFrame,
       deltaInv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (_, sizes) = corpusPostings(t)
     val streamInv = refInv
       .withColumn("is_ref", lit(true))
       .unionByName(deltaInv.withColumn("is_ref", lit(false)))

@@ -219,16 +219,23 @@ object LayoutWriter {
     * the table incrementally (q181/q183's append discipline). `df` is
     * by-name and never forced on the serve path — forcing it would run
     * the exact upstream build the layout exists to skip. */
+  /** Whether this session serves at-rest layouts (`SPARK_GRAFT_SERVE_LAYOUTS=1`;
+    * system property so a spec can flip it in-process — JVM env is immutable
+    * after launch). Queries with a live/served dual (q219/q221/q223/q225/q226)
+    * branch on this: flag off = the live session build (the safe default on
+    * fixture dirs regenerated in place), flag on = answer from the standing
+    * at-rest artifacts, building them only if absent. */
+  def servingLayouts: Boolean =
+    sys.env.get("SPARK_GRAFT_SERVE_LAYOUTS")
+      .orElse(sys.props.get("spark.graft.serveLayouts")).contains("1")
+
   def serveOrWriteBucketed(
       spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame,
       table: String,
       bucketCols: Seq[String],
       buckets: Int): Boolean = {
-    // Env for deployments; system property so a spec can exercise the
-    // serve path in-process (JVM env is immutable after launch).
-    val reuse = sys.env.get("SPARK_GRAFT_SERVE_LAYOUTS")
-      .orElse(sys.props.get("spark.graft.serveLayouts")).contains("1")
+    val reuse = servingLayouts
     if (reuse && spark.catalog.tableExists(table)) return true
     if (reuse) {
       val loc = defaultTableLocation(spark, table)

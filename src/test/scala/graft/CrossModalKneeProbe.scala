@@ -50,6 +50,15 @@ object CrossModalKneeProbe {
       s"p50=${stats.getDouble(2)} p99=${stats.getDouble(3)} max=${stats.getLong(1)}")
 
     val aud = audioSampleEmbeddings(t).localCheckpoint()
+    // Recall denominator = the JOINED query population (docs with BOTH an
+    // audio and an image row), not the raw document count: hits can only
+    // come from aud ⋈ img pairs, so a doc missing either modality would
+    // deflate every recall cell and skew the knee the constants are read
+    // from. (On the synthetic fixtures the two counts coincide — asserted
+    // by the printout — but the probe must not assume it.)
+    val nQ = aud.select("doc_id")
+      .join(imgB.select("doc_id"), Seq("doc_id")).count()
+    if (nQ != n) println(s"  NOTE: joined query population $nQ != doc count $n")
 
     // FLAT baseline (the r13-shipped blocking): k = √N cells, probeBuckets.
     if (sys.env.get("KNEE_FLAT").contains("1")) {
@@ -70,7 +79,7 @@ object CrossModalKneeProbe {
           .groupBy("ib").count().withColumnRenamed("count", "q")
           .join(sizesF, Seq("ib"))
           .agg(sum(col("q") * col("count"))).head().getLong(0)
-        println(f"  FLAT  nprobe=$np%2d  block recall=${hit.toDouble / n}%.4f" +
+        println(f"  FLAT  nprobe=$np%2d  block recall=${hit.toDouble / nQ}%.4f" +
           f"  probedPairs=$pairs%12d")
       }
     }
@@ -89,7 +98,7 @@ object CrossModalKneeProbe {
         .groupBy("ib").count().withColumnRenamed("count", "q")
         .join(sizes, Seq("ib"))
         .agg(sum(col("q") * col("count"))).head().getLong(0)
-      println(f"  p1=$p1%2d nprobe=$np%2d  block recall=${hit.toDouble / n}%.4f" +
+      println(f"  p1=$p1%2d nprobe=$np%2d  block recall=${hit.toDouble / nQ}%.4f" +
         f"  probedPairs=$pairs%12d  (${(System.nanoTime() - s0) / 1e9}%5.1fs)")
     }
     spark.stop()

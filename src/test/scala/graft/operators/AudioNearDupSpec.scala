@@ -124,4 +124,35 @@ class AudioNearDupSpec extends SharedSparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(engine == localDropped(t), "sf0.001 parity vs local reference")
   }
+
+  test("q219 served from at-rest tables equals live; served plan reads storage only") {
+    // The round-16 zero-decode upgrade (q228's shape on the audio
+    // modality): index from the bucket-bucketed audnearidx table, verify
+    // fetch from the doc_id-bucketed audemb table.
+    val t = graft.Tables.forPath(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = rows(MultimodalQueries.q219.run(spark, sf001))
+    val served = MultimodalQueries.audioNearDupServed(t)
+    assert(rows(served) == live)
+    assert(live.nonEmpty)
+    // Storage-only plan: no raw-text documents scan anywhere; the index
+    // side reads the bucketed layout. (The candidate set's lazy
+    // checkpoints hide their sub-plans — the embedding serve source is
+    // asserted on the table directly, the MediaLayoutSpec convention.)
+    val plan = served.queryExecution.executedPlan.toString
+    val textScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(textScans == 0, s"served q219 plan scans documents:\n${plan.take(1500)}")
+    assert(plan.contains("Bucketed: true"), "audit side must read the bucketed layout")
+    val embTbl = MultimodalQueries.embTableOf(
+      t, "audemb", MultimodalQueries.audioSampleEmbeddings(t))
+    assert(spark.sql(s"DESCRIBE EXTENDED $embTbl").collect()
+      .exists(r => r.getString(0).contains("Num Buckets")),
+      "audio embedding table must be bucketed")
+    // The q219 body itself routes to the served form under the flag.
+    sys.props("spark.graft.serveLayouts") = "1"
+    try assert(rows(MultimodalQueries.q219.run(spark, sf001)) == live)
+    finally sys.props.remove("spark.graft.serveLayouts")
+  }
 }

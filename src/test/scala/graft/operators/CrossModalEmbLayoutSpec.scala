@@ -63,6 +63,12 @@ class CrossModalEmbLayoutSpec extends SharedSparkSpec {
     val t = new graft.Tables(spark, sf001)
     MultimodalQueries.crossModalLayoutTables(t)
     MultimodalQueries.crossModalEmbTables(t)
+    // The served-probe standing frame is SHARED with q231 (one cache entry
+    // per dir); evict it so this q232 build provably comes from the at-rest
+    // vector table, not a frame an earlier suite built from the session
+    // decode checkpoint (whose cached-build sub-plan would print an
+    // ExistingRDD here and fail the storage-only assertion spuriously).
+    MultimodalQueries.dropServedProbes(t)
     val plan = MultimodalQueries.q232.run(spark, sf001)
       .queryExecution.executedPlan.toString
     val textScans = plan.linesIterator.count(l =>

@@ -54,7 +54,7 @@ class CrossModalLayoutSpec extends SharedSparkSpec {
           r.getLong(4), r.getLong(5), r.getSeq[Float](6)))
         .sortBy(x => (x._1, x._2)).toSeq
     assert(prbRows(MultimodalQueries.servedProbesFrom(
-        t, "xmsrvprobes", spark.table(prbTbl),
+        t, spark.table(prbTbl),
         MultimodalQueries.audioSampleEmbeddings(t)))
       == prbRows(MultimodalQueries.crossModalAudioProbes(t)))
   }
@@ -85,13 +85,71 @@ class CrossModalLayoutSpec extends SharedSparkSpec {
       assert(qidShuffles <= 1,
         "vector join re-shuffled the qid-bucketed probe table:\n" + vj.take(1500))
       val served = MultimodalQueries.servedProbesFrom(
-        t, "xmsrvprobes", spark.table(prbTbl),
+        t, spark.table(prbTbl),
         MultimodalQueries.audioSampleEmbeddings(t))
-      val cj = served.join(spark.table(idxTbl).hint("shuffle_hash"), Seq("bucket"))
-        .queryExecution.executedPlan.toString
+      val cjExec = served.join(spark.table(idxTbl).hint("shuffle_hash"), Seq("bucket"))
+        .queryExecution.executedPlan
+      val cj = cjExec.toString
       assert(cj.contains("InMemoryTableScan") || cj.contains("TableCacheQueryStage"),
         "served probe frame must come from the session cache:\n" + cj.take(1500))
+      // The headline claim is exchange-FREE serving (the ~24 GB per-run
+      // bucket re-shuffle the cache replaces): no Exchange on `bucket` may
+      // sit between the cache scan / bucketed index scan and the candidate
+      // join. Tree traversal (not string matching) because the cached
+      // frame's BUILD plan legitimately contains the one bucket exchange it
+      // was materialized behind — `collect` stops at the InMemoryTableScan
+      // leaf, so only the serving plan is swept.
+      val servingRoot = cjExec match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val bucketExchanges = servingRoot.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if s.outputPartitioning.toString.contains("bucket#") => s
+      }
+      assert(bucketExchanges.isEmpty,
+        s"serving plan re-shuffles bucket (${bucketExchanges.size} exchange(s)):\n" +
+          cj.take(1500))
     } finally spark.conf.set(key, prev)
+  }
+
+  test("probe-snapshot policy: exploded serving operand at rest serves the same audit") {
+    // SPARK_GRAFT_PROBE_SNAPSHOT=1 stores the exploded per-(query, probe)
+    // operand (qemb duplicated nprobe×) as a bucket-bucketed serving
+    // snapshot next to the normalized truth, and the session cache fills
+    // from a pure bucketed scan — no join, no explode, no per-session
+    // shuffle. Both policies must serve the identical audit.
+    val t = new graft.Tables(spark, sf001)
+    val live = rows(MultimodalQueries.q220.run(spark, sf001))
+    MultimodalQueries.dropServedProbes(t)
+    sys.props("spark.graft.probeSnapshot") = "1"
+    try {
+      assert(rows(MultimodalQueries.q231.run(spark, sf001)) == live)
+      val width = spark.sessionState.conf.numShufflePartitions
+      val snapTbl = MultimodalQueries.layoutName("xmsrvsnap", t.dir, width)
+      assert(spark.catalog.tableExists(snapTbl),
+        "snapshot policy must write the exploded serving table")
+      assert(spark.sql(s"DESCRIBE EXTENDED $snapTbl").collect()
+        .exists(r => r.getString(0).contains("Num Buckets")),
+        "serving snapshot must be bucketed")
+      // The cached operand equals the normalized-policy operand row-for-row.
+      val (_, prbTbl) = MultimodalQueries.crossModalLayoutTables(t)
+      def prbRows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("bucket"), col("sig0"), col("sig1"),
+          col("sig2"), col("sig3"), col("qemb"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getSeq[Float](6)))
+          .sortBy(x => (x._1, x._2)).toSeq
+      assert(prbRows(spark.table(snapTbl))
+        == prbRows(MultimodalQueries.crossModalAudioProbes(t)))
+    } finally {
+      sys.props.remove("spark.graft.probeSnapshot")
+      // Rebuild the shared standing frame under the default policy so
+      // later suites see the normalized-policy shape.
+      MultimodalQueries.dropServedProbes(t)
+    }
   }
 
   test("layout builds once per (session, dir), names are deterministic") {

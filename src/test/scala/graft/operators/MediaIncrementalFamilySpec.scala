@@ -131,4 +131,51 @@ class MediaIncrementalFamilySpec extends SharedSparkSpec {
         s"${q.name}: rejected counts must sum to the rejected set")
     }
   }
+
+  test("q221/q225/q226 served from at-rest tables equal live; storage-only plans") {
+    // Round-16 zero-decode serve for the incremental family: the frozen
+    // store index, the batch's frozen-model assignments and the
+    // embeddings all read from bucketed tables — zero decode, zero
+    // training at serve (the quantizer is never consulted; assignments
+    // are materialized).
+    val t = graft.Tables.forPath(spark, sf001)
+    def auditRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    for ((q, m) <- Seq((MultimodalQueries.q221, imageIngest),
+                       (MultimodalQueries.q225, audioIngest),
+                       (MultimodalQueries.q226, videoIngest))) {
+      val live = auditRows(q.run(spark, sf001))
+      val served = MultimodalQueries.ingestAuditServed(t, m)
+      assert(auditRows(served) == live, s"${q.name}: served != live")
+      assert(live.nonEmpty, s"${q.name}: empty audit")
+      val plan = served.queryExecution.executedPlan.toString
+      val textScans = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      assert(textScans == 0, s"${q.name}: served plan scans documents")
+      // The exchange-free claim lives on the decision step's candidate
+      // join (batch ⋈ store on bucket): both sides bucket-bucketed, no
+      // re-shuffle. (The audit tail's own batch scan joins on doc_id, so
+      // the planner rightly disables bucketed reading there; the pair
+      // joins sit behind the candidate set's lazy checkpoints.)
+      val store = spark.table(MultimodalQueries.storeIndexTableOf(t, m))
+      val batch = spark.table(MultimodalQueries.batchIndexTableOf(t, m))
+      val bKey = "spark.sql.autoBroadcastJoinThreshold"
+      val bPrev = spark.conf.get(bKey)
+      try {
+        // Pin the 100 TB shape — indexes too big to broadcast.
+        spark.conf.set(bKey, "-1")
+        val pj = batch.as("b").join(store.as("s"), Seq("bucket"))
+          .queryExecution.executedPlan.toString
+        assert(pj.contains("Bucketed: true"),
+          s"${q.name}: candidate join must read the bucketed layouts:\n${pj.take(1200)}")
+        assert(!pj.contains("Exchange hashpartitioning(bucket"),
+          s"${q.name}: candidate join re-shuffled the stored bucket key")
+      } finally spark.conf.set(bKey, bPrev)
+      // The query body itself routes to the served form under the flag.
+      sys.props("spark.graft.serveLayouts") = "1"
+      try assert(auditRows(q.run(spark, sf001)) == live,
+        s"${q.name}: flag-routed serve != live")
+      finally sys.props.remove("spark.graft.serveLayouts")
+    }
+  }
 }

@@ -138,4 +138,30 @@ class VideoNearDupSpec extends SharedSparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(engine == localDropped(t), "sf0.001 parity vs local reference")
   }
+
+  test("q223 served from at-rest tables equals live; served plan reads storage only") {
+    // Zero-decode serve for the modality whose rebuild is the media
+    // family's named worst case (~107 s/session at sf10x): index from the
+    // vidnearidx table, verify fetch from the videmb table.
+    val t = graft.Tables.forPath(spark, sf001)
+    def auditRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = auditRows(MultimodalQueries.q223.run(spark, sf001))
+    val served = MultimodalQueries.videoNearDupServed(t)
+    assert(auditRows(served) == live)
+    assert(live.nonEmpty)
+    val plan = served.queryExecution.executedPlan.toString
+    val textScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(textScans == 0, s"served q223 plan scans documents:\n${plan.take(1500)}")
+    assert(plan.contains("Bucketed: true"), "audit side must read the bucketed layout")
+    val embTbl = MultimodalQueries.embTableOf(
+      t, "videmb", MultimodalQueries.videoFrameEmbeddings(t))
+    assert(spark.sql(s"DESCRIBE EXTENDED $embTbl").collect()
+      .exists(r => r.getString(0).contains("Num Buckets")),
+      "video embedding table must be bucketed")
+    sys.props("spark.graft.serveLayouts") = "1"
+    try assert(auditRows(MultimodalQueries.q223.run(spark, sf001)) == live)
+    finally sys.props.remove("spark.graft.serveLayouts")
+  }
 }
