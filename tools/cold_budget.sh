@@ -47,4 +47,8 @@ for i in $(seq 1 "$N"); do
   cp "$PASSDIR/BENCH_DETAIL.json" "$TMP/pass_$i.json"
 done
 python3 tools/merge_budget.py "$SF" "$OUT" "$TMP"/pass_*.json
+# Rerun-context budgets for cache-sharing queries: the gate's breach
+# attribution reruns in a fresh-JVM warmed-upstream context, which needs
+# its OWN budget (the r14 q231 calibration defect — see rerun_budget.py).
+python3 tools/rerun_budget.py "$SF" "$OUT" "${RERUN_SAMPLES:-2}"
 echo "[cold_budget] wrote $OUT"
