@@ -350,7 +350,7 @@ object CurationQueries {
       def tbl(tag: String, df: => DataFrame, cols: Seq[String]): String = {
         val name = graft.sources.LayoutWriter.deterministicName(tag, t.dir, width)
         graft.sources.LayoutWriter.serveOrWriteBucketed(
-          t.spark, df, name, cols, width)
+          t.spark, df, name, cols, width, Some(t.dir))
         name
       }
       Map(

@@ -1218,7 +1218,7 @@ object MultimodalQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val tbl = layoutName(tag, t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, idx, tbl, Seq("bucket"), width)
+        t.spark, idx, tbl, Seq("bucket"), width, Some(t.dir))
       tbl
     })
 
@@ -1889,11 +1889,21 @@ object MultimodalQueries {
     sys.env.get("SPARK_GRAFT_PROBE_SNAPSHOT")
       .orElse(sys.props.get("spark.graft.probeSnapshot")).contains("1")
 
+  /** Cache key for the shared served-probe frame. The snapshot-policy bit
+    * is part of the identity: a session that flips
+    * `spark.graft.probeSnapshot` mid-run gets a FRESH frame built under
+    * the new policy instead of silently serving the one built under the
+    * old policy/source (the specs used to rely on remembering to call
+    * [[dropServedProbes]]; now the key enforces it — the drop hook remains
+    * the footprint-release / dir-turnover lever). */
+  private def servedProbesKey(t: graft.Tables, snap: Boolean): String =
+    s"${t.dir}#xmsrvprobes#snap=$snap"
+
   private[graft] def servedProbesFrom(
       t: graft.Tables,
       packed: => org.apache.spark.sql.DataFrame,
       qemb: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    xmodalIdxCache.get(t.spark, s"${t.dir}#xmsrvprobes")({
+    xmodalIdxCache.get(t.spark, servedProbesKey(t, probeSnapshotEnabled))({
       def exploded =
         packed.join(qemb.select(col("doc_id").as("qid"),
             col("embedding").as("qemb")), Seq("qid"))
@@ -1908,7 +1918,7 @@ object MultimodalQueries {
         val width = t.spark.sessionState.conf.numShufflePartitions
         val tbl = layoutName("xmsrvsnap", t.dir, width)
         graft.sources.LayoutWriter.serveOrWriteBucketed(
-          t.spark, exploded, tbl, Seq("bucket"), width)
+          t.spark, exploded, tbl, Seq("bucket"), width, Some(t.dir))
         cacheStanding(t.spark.table(tbl))
       } else cacheStanding(
         exploded.repartition(
@@ -1919,8 +1929,10 @@ object MultimodalQueries {
     * its MEMORY_AND_DISK footprint — the dir-turnover / forced-rebuild
     * hook for [[servedProbesFrom]]'s one-entry-per-dir cache. */
   private[graft] def dropServedProbes(t: graft.Tables): Unit =
-    xmodalIdxCache.remove(t.spark, s"${t.dir}#xmsrvprobes")
-      .foreach(_.unpersist())
+    Seq(true, false).foreach { snap =>
+      xmodalIdxCache.remove(t.spark, servedProbesKey(t, snap))
+        .foreach(_.unpersist())
+    }
 
   /** q220's retrieval artifacts AT REST: the packed per-bucket image index
     * (bucket, ids, sigs, embs) bucketed by `bucket` — the candidate-join
@@ -1935,9 +1947,9 @@ object MultimodalQueries {
       val idxTbl = layoutName("xmidx", t.dir, width)
       val prbTbl = layoutName("xmqprobes", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, crossModalImageIndex(t), idxTbl, Seq("bucket"), width)
+        t.spark, crossModalImageIndex(t), idxTbl, Seq("bucket"), width, Some(t.dir))
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, crossModalAudioProbesPacked(t), prbTbl, Seq("qid"), width)
+        t.spark, crossModalAudioProbesPacked(t), prbTbl, Seq("qid"), width, Some(t.dir))
       (idxTbl, prbTbl)
     })
 
@@ -1995,7 +2007,7 @@ object MultimodalQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val tbl = layoutName(tag, t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, emb, tbl, Seq("doc_id"), width)
+        t.spark, emb, tbl, Seq("doc_id"), width, Some(t.dir))
       tbl
     })
 
@@ -2173,7 +2185,7 @@ object MultimodalQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val tbl = layoutName(s"${m.tag}storeidx", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, storeIndexOf(t, m), tbl, Seq("bucket"), width)
+        t.spark, storeIndexOf(t, m), tbl, Seq("bucket"), width, Some(t.dir))
       tbl
     })
 
@@ -2189,7 +2201,7 @@ object MultimodalQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val tbl = layoutName(s"${m.tag}batchidx", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, batchAssignedOf(t, m), tbl, Seq("bucket"), width)
+        t.spark, batchAssignedOf(t, m), tbl, Seq("bucket"), width, Some(t.dir))
       tbl
     })
 

@@ -1668,9 +1668,9 @@ object TextQueries {
       val preT = graft.sources.LayoutWriter.deterministicName("prefix5", t.dir, width)
       val arrT = graft.sources.LayoutWriter.deterministicName("ngram5arr", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, corpusPrefixPostings(t), preT, Seq("s"), width)
+        t.spark, corpusPrefixPostings(t), preT, Seq("s"), width, Some(t.dir))
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, corpusShingleArrays(t), arrT, Seq("doc_id"), width)
+        t.spark, corpusShingleArrays(t), arrT, Seq("doc_id"), width, Some(t.dir))
       (preT, arrT)
     })
 

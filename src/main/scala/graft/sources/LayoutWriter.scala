@@ -229,30 +229,104 @@ object LayoutWriter {
     sys.env.get("SPARK_GRAFT_SERVE_LAYOUTS")
       .orElse(sys.props.get("spark.graft.serveLayouts")).contains("1")
 
+  /** Cheap content fingerprint of a source data directory: md5 over the
+    * sorted (relative path, length, mtime) of every file under `dir`.
+    * Metadata-only (one recursive listing, no data reads — at 100 TB this
+    * is an object-store LIST, not a scan), yet it changes whenever a
+    * fixture dir is regenerated in place — the stale-serve hazard
+    * deterministic table names alone can't see (same dir path → same
+    * table name → a serve session would silently answer from tables built
+    * over the OLD files). */
+  def dirFingerprint(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.toString.stripPrefix(p.toString)}:" +
+        s"${f.getLen}:${f.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Hidden marker file (underscore prefix = invisible to Spark's parquet
+    * reads) stamping the table location with the fingerprint of the source
+    * dir the artifact was built from. */
+  private def fpMarker(loc: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(loc, "_graft_src_fp")
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, fp: String): Unit = {
+    val out = fs.create(fpMarker(loc), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = fpMarker(loc)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
   def serveOrWriteBucketed(
       spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame,
       table: String,
       bucketCols: Seq[String],
-      buckets: Int): Boolean = {
+      buckets: Int,
+      sourceDir: Option[String] = None): Boolean = {
     val reuse = servingLayouts
     if (reuse && spark.catalog.tableExists(table)) return true
+    // Source fingerprint (computed once, metadata-only) guards the serve
+    // path against a fixture dir regenerated IN PLACE: same path → same
+    // deterministic table name, but the at-rest rows describe files that
+    // no longer exist. A mismatched or missing stamp on pre-existing data
+    // forces a rebuild instead of serving stale audit rows.
+    lazy val srcFp = sourceDir.map(dirFingerprint(spark, _))
     if (reuse) {
       val loc = defaultTableLocation(spark, table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(loc) && fs.listStatus(loc)
         .exists(f => f.isFile && f.getPath.getName.startsWith("part-"))
       if (hasData) {
-        val schema = spark.read.parquet(loc.toString).schema.toDDL
-        spark.sql(
-          s"""CREATE TABLE $table ($schema) USING parquet
-             |CLUSTERED BY (${bucketCols.mkString(", ")})
-             |SORTED BY (${bucketCols.mkString(", ")})
-             |INTO $buckets BUCKETS LOCATION '${loc.toString}'""".stripMargin)
-        return true
+        val fpOk = srcFp match {
+          case None     => true // caller opted out of fingerprinting
+          case Some(fp) => readMarker(fs, loc).contains(fp)
+        }
+        if (fpOk) {
+          val schema = spark.read.parquet(loc.toString).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $table ($schema) USING parquet
+               |CLUSTERED BY (${bucketCols.mkString(", ")})
+               |SORTED BY (${bucketCols.mkString(", ")})
+               |INTO $buckets BUCKETS LOCATION '${loc.toString}'""".stripMargin)
+          return true
+        }
+        // Stale (source changed since the stamp, or unstamped data from an
+        // older write): rebuild below; writeBucketed deletes the location.
       }
     }
     writeBucketed(df, table, bucketCols, buckets, "overwrite")
+    srcFp.foreach { fp =>
+      val loc = defaultTableLocation(spark, table)
+      writeMarker(loc.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        loc, fp)
+    }
     false
   }
 }

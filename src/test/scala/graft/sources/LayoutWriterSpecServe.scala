@@ -90,4 +90,67 @@ class LayoutWriterSpecServe extends SharedSparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $src")
     }
   }
+
+  test("source fingerprint: stale at-rest data forces a rebuild, fresh serves") {
+    // A fixture dir regenerated IN PLACE keeps its path, so deterministic
+    // table names alone would serve the OLD artifact. The _graft_src_fp
+    // stamp must catch it: mismatch (or missing stamp) → rebuild; match →
+    // serve without forcing the build.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fp_src").toFile
+    val tbl = "graft_serve_fp_test"
+    def writeSource(tag: String): Unit = {
+      val f = new java.io.File(srcDir, "data.txt")
+      val w = new java.io.FileWriter(f); w.write(tag); w.close()
+      f.setLastModified(System.currentTimeMillis() + (if (tag == "v2") 5000 else 0))
+    }
+    try {
+      writeSource("v1")
+      // Build once WITH the fingerprint stamp (flag off = plain write).
+      assert(!LayoutWriter.serveOrWriteBucketed(
+        spark, freshRows, tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)))
+      // Drop only the catalog entry, keep the files + stamp (next-JVM sim).
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+          .filter(col("col_name") === "Location").head().getString(1)))
+      val keep = java.nio.file.Files.createTempDirectory("graft_fp_keep").toFile
+      def copyAll(from: java.io.File, to: java.io.File): Unit = {
+        to.mkdirs()
+        from.listFiles().foreach { f =>
+          if (f.isFile) java.nio.file.Files.copy(f.toPath,
+            new java.io.File(to, f.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else copyAll(f, new java.io.File(to, f.getName))
+        }
+      }
+      copyAll(loc, keep)
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+        ignoreIfNotExists = false, purge = false)
+      copyAll(keep, loc)
+      sys.props("spark.graft.serveLayouts") = "1"
+      // Unchanged source → stamp matches → served, build not forced.
+      assert(LayoutWriter.serveOrWriteBucketed(
+        spark, { fail("fp-matched serve forced the build"); freshRows },
+        tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)),
+        "expected serve-from-rest on matching fingerprint")
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+        ignoreIfNotExists = false, purge = false)
+      copyAll(keep, loc)
+      // Regenerate the source in place → stamp mismatch → MUST rebuild.
+      writeSource("v2")
+      var built = false
+      assert(!LayoutWriter.serveOrWriteBucketed(
+        spark, { built = true; freshRows },
+        tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)),
+        "stale fingerprint must not serve")
+      assert(built, "rebuild path did not run the upstream build")
+      // The rebuild re-stamped: a THIRD call now serves again.
+      assert(spark.table(tbl).count() == 200L)
+    } finally {
+      sys.props.remove("spark.graft.serveLayouts")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      srcDir.listFiles().foreach(_.delete()); srcDir.delete()
+    }
+  }
 }

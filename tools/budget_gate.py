@@ -174,13 +174,18 @@ def main():
             # measurements — the synthetic-regression test hook (a fabricated
             # suite breach cannot inflate a REAL rerun of unregressed code,
             # so the attribution path is otherwise untestable end-to-end).
-            fake = dict(kv.split("=") for kv in
-                        os.environ.get("BUDGET_GATE_FAKE_RERUN", "").split(",")
-                        if "=" in kv)
+            fake = {}
+            for kv in os.environ.get("BUDGET_GATE_FAKE_RERUN", "").split(","):
+                if "=" not in kv:
+                    continue
+                k, v = kv.split("=", 1)
+                try:
+                    fake[k] = float(v)
+                except ValueError:
+                    print(f"[budget_gate] FAIL: BUDGET_GATE_FAKE_RERUN entry "
+                          f"{kv!r} has a non-numeric value")
+                    return 1
             for name, t, bmax, limit in offenders:
-                print(f"[budget_gate]   isolated fresh-JVM rerun of {name} ...")
-                t2 = (float(fake[name]) if name in fake
-                      else rerun_cold(name, sf_dir))
                 # The rerun runs in a DIFFERENT context than the suite pass
                 # (fresh JVM, scratch warehouse, warmed upstream chain), so
                 # it is gated against its OWN budget when one is recorded
@@ -189,6 +194,21 @@ def main():
                 # query pass as a "transient" (the r14 q231 calibration
                 # defect: suite budget 2.0 s matched no real context).
                 rb = budgets[name].get("rerun")
+                if rb is None and name in CACHE_UPSTREAM:
+                    # A cache-sharing offender MUST be gated against a budget
+                    # measured in the rerun's own warmed-upstream context —
+                    # silently falling back to the suite limit reintroduces
+                    # the r14 q231 mis-gating for any newly added
+                    # CACHE_UPSTREAM member whose budgets were not refreshed.
+                    print(f"[budget_gate] FAIL: {name} is in CACHE_UPSTREAM "
+                          f"but its budget has no 'rerun' entry — regenerate "
+                          f"with tools/rerun_budget.py (the suite limit is "
+                          f"the wrong context for a warmed rerun)")
+                    failed = True
+                    continue
+                print(f"[budget_gate]   isolated fresh-JVM rerun of {name} ...")
+                t2 = (fake[name] if name in fake
+                      else rerun_cold(name, sf_dir))
                 rlimit = limit_of(rb["max"]) if rb else limit
                 ctx = "rerun budget" if rb else "suite budget (no rerun entry)"
                 if t2 is None:

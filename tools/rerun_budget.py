@@ -24,15 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from budget_gate import CACHE_UPSTREAM, warmup_chain
 
 
+class MeasureError(Exception):
+    pass
+
+
 def measure(name, sf_dir):
-    out = subprocess.run(
-        ["tools/bench_one.sh", name, sf_dir, "1"],
-        capture_output=True, text=True, timeout=900, cwd="/root/repo",
-        env={**os.environ, "SPARK_GRAFT_WARMUP": warmup_chain(name)})
+    try:
+        out = subprocess.run(
+            ["tools/bench_one.sh", name, sf_dir, "1"],
+            capture_output=True, text=True, timeout=900, cwd="/root/repo",
+            env={**os.environ, "SPARK_GRAFT_WARMUP": warmup_chain(name)})
+    except Exception as e:  # TimeoutExpired, OSError, ...
+        raise MeasureError(f"launch/timeout: {e}")
     m = re.search(rf"{re.escape(name)} run1: ([0-9.]+)s", out.stdout)
     if not m:
         tail = (out.stdout + out.stderr).strip().splitlines()[-5:]
-        raise SystemExit(f"[rerun_budget] {name}: no timing in output: {tail}")
+        raise MeasureError(f"no timing in output: {tail}")
     return float(m.group(1))
 
 
@@ -41,16 +48,27 @@ def main():
     path = sys.argv[2] if len(sys.argv) > 2 else "COLD_BUDGET.json"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     budget = json.load(open(path))
+    written, skipped = 0, []
     for name in sorted(CACHE_UPSTREAM):
         if name not in budget["queries"]:
             print(f"[rerun_budget] skip {name}: no suite budget entry")
             continue
+        # One unmeasurable sample must not abort the whole run — collect
+        # per-query, skip that query with a warning, and still write every
+        # successfully measured entry at the end.
         ts = []
-        for i in range(n):
-            t = measure(name, sf_dir)
-            ts.append(t)
-            print(f"[rerun_budget] {name} sample {i + 1}/{n}: {t:.3f}s "
-                  f"(warmup {warmup_chain(name)})")
+        try:
+            for i in range(n):
+                t = measure(name, sf_dir)
+                ts.append(t)
+                print(f"[rerun_budget] {name} sample {i + 1}/{n}: {t:.3f}s "
+                      f"(warmup {warmup_chain(name)})")
+        except MeasureError as e:
+            print(f"[rerun_budget] WARNING: {name} sample "
+                  f"{len(ts) + 1}/{n} unmeasurable, skipping query "
+                  f"(its existing rerun entry, if any, is kept): {e}")
+            skipped.append(name)
+            continue
         ts.sort()
         budget["queries"][name]["rerun"] = {
             "min": round(ts[0], 3),
@@ -58,11 +76,13 @@ def main():
             "max": round(ts[-1], 3),
             "warmup": warmup_chain(name),
         }
+        written += 1
     with open(path, "w") as f:
         json.dump(budget, f, indent=1, sort_keys=True)
-    print(f"[rerun_budget] wrote rerun entries for "
-          f"{sum(1 for q in CACHE_UPSTREAM if q in budget['queries'])} "
-          f"queries to {path}")
+    print(f"[rerun_budget] wrote rerun entries for {written} queries to {path}"
+          + (f" (skipped unmeasurable: {', '.join(skipped)})" if skipped else ""))
+    if skipped:
+        sys.exit(2)
 
 
 if __name__ == "__main__":
