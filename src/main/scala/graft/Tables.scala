@@ -105,6 +105,11 @@ final class SessionCache[V] {
     * a rebuild from a different source, or dir turnover in a sweep. */
   def remove(spark: SparkSession, dir: String): Option[V] =
     Option(m.remove((spark, dir)))
+
+  /** Whether an entry exists — a SPEC probe (e.g. "did this run train a
+    * model?" = "did the model cache fill?"), never a control-flow check. */
+  def contains(spark: SparkSession, dir: String): Boolean =
+    m.containsKey((spark, dir))
 }
 
 /** Shared helpers enforcing the determinism rules of SURVEY.md §7.4. */

@@ -588,6 +588,37 @@ object CurationQueries {
            |       CAST(n_tokens AS BIGINT) AS n_tokens
            |FROM rep ORDER BY ALL""".stripMargin
 
+  /** The incremental funnels' standing inputs as one bundle, buildable
+    * from session memos (live) or the at-rest curation layout family
+    * (served) — q215 and q216 share it, so adding the continuous form's
+    * serve dual could not fork the input wiring. */
+  private[graft] final case class CurationInputs(
+      raw: DataFrame, storeIds: DataFrame, storeKeys: DataFrame,
+      storeInv: DataFrame, corpusInv: DataFrame, sizes: DataFrame,
+      benchHits: DataFrame)
+
+  private[graft] object CurationInputs {
+    def live(t: graft.Tables): CurationInputs =
+      CurationInputs(rawDocs(t), frozenStoreIds(t), frozenStoreKeys(t),
+        storePostings(t), TextQueries.corpusPostings(t)._1,
+        TextQueries.corpusPostings(t)._2, corpusBenchmarkHits(t))
+
+    /** Served: every standing input reads from the bucketed layout tables
+      * — zero corpus text reads, zero store rebuild. */
+    def served(t: graft.Tables): CurationInputs = {
+      val tb = curationLayoutTables(t)
+      val inv = t.spark.table(tb("inv"))
+      val storeIds = t.spark.table(tb("store"))
+      CurationInputs(t.spark.table(tb("meta")), storeIds,
+        t.spark.table(tb("storekeys")),
+        inv.join(storeIds, Seq("doc_id"), "left_semi"), inv,
+        t.spark.table(tb("sizes")), t.spark.table(tb("hits")))
+    }
+
+    def of(t: graft.Tables): CurationInputs =
+      if (graft.sources.LayoutWriter.servingLayouts) served(t) else live(t)
+  }
+
   val q215 = EngineQuery(
     "q215_curation_incremental",
     Some(incrementalFunnelSql)) { t =>
@@ -595,17 +626,9 @@ object CurationQueries {
     // the corpus postings + sizes, the metadata frame and the decontam
     // hit set all read from at-rest tables — the nightly audit replays
     // with ZERO corpus text reads and ZERO store rebuild.
-    if (graft.sources.LayoutWriter.servingLayouts) {
-      val tb = curationLayoutTables(t)
-      val inv = t.spark.table(tb("inv"))
-      val storeIds = t.spark.table(tb("store"))
-      incrementalFunnel(t, t.spark.table(tb("meta")), storeIds,
-        t.spark.table(tb("storekeys")),
-        inv.join(storeIds, Seq("doc_id"), "left_semi"), inv,
-        t.spark.table(tb("sizes")), t.spark.table(tb("hits")))
-    } else incrementalFunnel(t, rawDocs(t), frozenStoreIds(t),
-      frozenStoreKeys(t), storePostings(t), TextQueries.corpusPostings(t)._1,
-      TextQueries.corpusPostings(t)._2, corpusBenchmarkHits(t))
+    val in = CurationInputs.of(t)
+    incrementalFunnel(t, in.raw, in.storeIds, in.storeKeys, in.storeInv,
+      in.corpusInv, in.sizes, in.benchHits)
   }
 
   /** q215's funnel body over injectable standing inputs (live = session
@@ -689,14 +712,16 @@ object CurationQueries {
     /** Initial state of an ingest against the FROZEN store: the memoized
       * store digest keys and standing postings (session artifacts — built
       * once, never re-written by steps), empty delta accumulators. */
-    def frozen(t: graft.Tables): FunnelState = {
-      val keys = frozenStoreKeys(t)
-      val inv = storePostings(t)
-      FunnelState(keys, inv,
-        keys.limit(0).localCheckpoint(),
-        frozenStoreIds(t).limit(0).localCheckpoint(),
-        inv.limit(0).localCheckpoint())
-    }
+    def frozen(t: graft.Tables): FunnelState =
+      frozenFrom(CurationInputs.live(t))
+
+    /** [[frozen]] over an injectable input bundle — the served form seeds
+      * the ledger replay from the at-rest store ledger tables. */
+    def frozenFrom(in: CurationInputs): FunnelState =
+      FunnelState(in.storeKeys, in.storeInv,
+        in.storeKeys.limit(0).localCheckpoint(),
+        in.storeIds.limit(0).localCheckpoint(),
+        in.storeInv.limit(0).localCheckpoint())
   }
 
   /** The per-stage id frames one arrival slice produces:
@@ -720,8 +745,17 @@ object CurationQueries {
     * near-dup delta side and the admitted-postings append. */
   private[graft] def curationStep(
       t: graft.Tables, sliceIds: DataFrame,
+      st: FunnelState): (FunnelState, SliceFrames) =
+    curationStepFrom(CurationInputs.live(t), sliceIds, st)
+
+  /** [[curationStep]] over an injectable input bundle: the live form
+    * passes the session memos, the served form ([[q216]] under
+    * SPARK_GRAFT_SERVE_LAYOUTS=1) the at-rest curation layout tables —
+    * one step body, so the continuous serve tail cannot drift. */
+  private[graft] def curationStepFrom(
+      in: CurationInputs, sliceIds: DataFrame,
       st: FunnelState): (FunnelState, SliceFrames) = {
-    val raw = rawDocs(t)
+    val raw = in.raw
     val slice = raw.join(sliceIds, Seq("doc_id"), "left_semi")
     val g2 = slice.filter(qualityOk)
     // Exact: within-slice min per digest, then the ledger check (store ∪
@@ -746,16 +780,19 @@ object CurationQueries {
     // lower-id member of this slice. The slice survivors' postings are
     // restricted once and checkpointed: they are the near-dup delta side
     // NOW and the admitted-postings reference of every LATER slice.
-    val t3gInv = TextQueries.refPostings(t, t3g).localCheckpoint()
+    val t3gInv = in.corpusInv.join(t3g, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val refInv = st.storeInv.unionByName(st.admittedInv)
     val t4g = t3g
-      .join(TextQueries.deltaNearDupDropsFromInvs(t, refInv, t3gInv),
+      .join(TextQueries.deltaNearDupDropsFromInvsWith(in.sizes, refInv, t3gInv),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    // Decontaminate vs the same raw src0 benchmark set.
+    // Decontaminate vs the same raw src0 benchmark set (the standing hit
+    // artifact restricted to this slice's survivors — id-scale).
     val t5g = raw.join(t4g, Seq("doc_id"), "left_semi")
       .filter(col("source") =!= "src0")
-      .join(benchmarkHitIds(t, t4g), Seq("doc_id"), "left_anti")
+      .join(in.benchHits.join(t4g, Seq("doc_id"), "left_semi"),
+        Seq("doc_id"), "left_anti")
       .select("doc_id")
     val next = FunnelState(
       st.storeKeys, st.storeInv,
@@ -803,18 +840,25 @@ object CurationQueries {
   val q216 = EngineQuery(
     "q216_curation_stream",
     Some(incrementalFunnelSql)) { t =>
-    val raw = rawDocs(t)
+    // Serve-mode dual (round 16): under SPARK_GRAFT_SERVE_LAYOUTS=1 the
+    // continuous replay seeds its frozen ledger and reads every standing
+    // input (metadata, store keys, postings, sizes, decontam hits) from
+    // the at-rest curation layout family — the per-generation work is the
+    // same sequential ledger replay, but with ZERO corpus text reads and
+    // ZERO store rebuild (q214/q215's convention on the continuous form).
+    val in = CurationInputs.of(t)
+    val raw = in.raw
     val isBatch = col("doc_id") % 10 === 0
     def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
-    val storeIds = frozenStoreIds(t)
+    val storeIds = in.storeIds
     // Three id-ordered generations of today's batch (ascending-id slices —
     // curationStep's precondition).
     val gens = generations(raw.filter(isBatch).select(col("doc_id")), 3)
       .localCheckpoint()
-    var st = FunnelState.frozen(t)
+    var st = FunnelState.frozenFrom(in)
     val slices = (1 to 3).map { g =>
       val (next, frames) =
-        curationStep(t, gens.filter(col("gen") === g).select("doc_id"), st)
+        curationStepFrom(in, gens.filter(col("gen") === g).select("doc_id"), st)
       st = next
       frames
     }

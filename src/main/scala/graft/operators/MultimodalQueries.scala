@@ -1669,10 +1669,22 @@ object MultimodalQueries {
 
   private[graft] def crossModalImageIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmimgidx")({
-      // packXModal's groupBy already leaves the frame hashpartitioned by
-      // `bucket` at shuffle width — cached, that partitioning serves the
-      // shuffled-hash join's build side with no per-run exchange.
-      cacheStanding(packXModal(crossModalImageFlat(t)))
+      // LIVE-form reuse (round 16): when q231's at-rest packed index is
+      // present AND source-fingerprint-fresh, a live session reads it
+      // instead of re-paying model-train + assign + sign + pack — no
+      // serve-flag dance; the fingerprint stamp is what makes reuse safe
+      // on fixture dirs regenerated in place. The bucketed scan reports
+      // hashpartitioning(bucket), same distribution the build would have.
+      val width = t.spark.sessionState.conf.numShufflePartitions
+      val idxTbl = layoutName("xmidx", t.dir, width)
+      if (graft.sources.LayoutWriter.registerIfFresh(
+          t.spark, idxTbl, Seq("bucket"), width, Some(t.dir)))
+        cacheStanding(t.spark.table(idxTbl))
+      else
+        // packXModal's groupBy already leaves the frame hashpartitioned by
+        // `bucket` at shuffle width — cached, that partitioning serves the
+        // shuffled-hash join's build side with no per-run exchange.
+        cacheStanding(packXModal(crossModalImageFlat(t)))
     })
 
   /** q220's AUDIO-side probe frame: (qid, probed bucket, 4-long sketch),
@@ -1683,8 +1695,23 @@ object MultimodalQueries {
     * query set is itself a standing corpus (a batch cross-modal join
     * precomputes both sides' assignments), and the probe selection is the
     * same O(N·k·dim) term as the index side. */
-  private[graft] def crossModalAudioProbes(t: graft.Tables): org.apache.spark.sql.DataFrame =
-    xmodalIdxCache.get(t.spark, s"${t.dir}#xmaudprobes")({
+  private[graft] def crossModalAudioProbes(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    // LIVE-form reuse (round 16, the index's twin): a fresh at-rest
+    // normalized probe table means the probe lists are already
+    // materialized — the session joins them with the decode-once audio
+    // checkpoint ([[servedProbesFrom]] — one shared standing frame with
+    // q231/q232) and never consults the fine model. Checked OUTSIDE the
+    // cache builder: servedProbesFrom has its own entry in the same
+    // SessionCache, and ConcurrentHashMap.computeIfAbsent must not nest.
+    // A session frame already BUILT wins over the table (don't pay a
+    // second standing frame mid-session once q231 writes the layout).
+    val width = t.spark.sessionState.conf.numShufflePartitions
+    val prbTbl = layoutName("xmqprobes", t.dir, width)
+    if (!xmodalIdxCache.contains(t.spark, s"${t.dir}#xmaudprobes") &&
+        graft.sources.LayoutWriter.registerIfFresh(
+          t.spark, prbTbl, Seq("qid"), width, Some(t.dir)))
+      servedProbesFrom(t, t.spark.table(prbTbl), audioSampleEmbeddings(t))
+    else xmodalIdxCache.get(t.spark, s"${t.dir}#xmaudprobes")({
       import graft.functions.KMeansTrainer
       cacheStanding(
         audioSampleEmbeddings(t).select(col("doc_id").as("qid") +:
@@ -1695,6 +1722,7 @@ object MultimodalQueries {
           .repartition(
             t.spark.sessionState.conf.numShufflePartitions, col("bucket")))
     })
+  }
 
   /** Retrieval top-1 of a multi-probe query frame against a PACKED
     * cross-modal image index — the kernel shared by the one-shot audit
@@ -1934,6 +1962,25 @@ object MultimodalQueries {
         .foreach(_.unpersist())
     }
 
+  /** SPEC probe: has this session trained the cross-modal fine model?
+    * The live-reuse claim ("a table-present live run performs zero model
+    * training") is exactly "this stays false across the run". */
+  private[graft] def crossModalModelTrained(t: graft.Tables): Boolean =
+    xmodalModelCache.contains(t.spark, s"${t.dir}#xmfine")
+
+  /** Evict the cross-modal session artifacts (packed index, probe frames,
+    * fine model, layout-table memo) so a spec can force the NEXT q220 run
+    * to choose its source fresh — the table-present live-reuse round-trip
+    * is untestable inside one session otherwise (every artifact is
+    * session-memoized by design). */
+  private[graft] def dropCrossModalSession(t: graft.Tables): Unit = {
+    xmodalIdxCache.remove(t.spark, s"${t.dir}#xmimgidx").foreach(_.unpersist())
+    xmodalIdxCache.remove(t.spark, s"${t.dir}#xmaudprobes").foreach(_.unpersist())
+    dropServedProbes(t)
+    xmodalModelCache.remove(t.spark, s"${t.dir}#xmfine")
+    xmodalLayoutCache.remove(t.spark, s"${t.dir}#xmlayout")
+  }
+
   /** q220's retrieval artifacts AT REST: the packed per-bucket image index
     * (bucket, ids, sigs, embs) bucketed by `bucket` — the candidate-join
     * key — AND the NORMALIZED probe frame ([[crossModalAudioProbesPacked]])
@@ -2159,49 +2206,49 @@ object MultimodalQueries {
   private[graft] final case class IngestModality(
       tag: String,
       embedSlice: (graft.Tables, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
-      embeddings: graft.Tables => org.apache.spark.sql.DataFrame,
-      embTag: String)
+      embeddings: graft.Tables => org.apache.spark.sql.DataFrame)
 
   private[graft] lazy val imageIngest: IngestModality =
-    IngestModality("media", embedDocSlice, mediaPixelEmbeddings, "imgemb")
+    IngestModality("media", embedDocSlice, mediaPixelEmbeddings)
   private[graft] lazy val audioIngest: IngestModality =
-    IngestModality("audio", audioEmbedDocSlice, audioSampleEmbeddings, "audemb")
+    IngestModality("audio", audioEmbedDocSlice, audioSampleEmbeddings)
   private[graft] lazy val videoIngest: IngestModality =
-    IngestModality("video", videoEmbedDocSlice, videoFrameEmbeddings, "videmb")
+    IngestModality("video", videoEmbedDocSlice, videoFrameEmbeddings)
 
-  /** A modality's decoded-embedding table at rest ([[embTableOf]]) — the
-    * image and audio tags coincide with q232/q228's tables, so one write
-    * serves every consumer. */
-  private[graft] def embTableFor(t: graft.Tables, m: IngestModality): String =
-    embTableOf(t, m.embTag, m.embeddings(t))
-
-  /** A modality's frozen STORE-side index at rest: [[storeIndexOf]]'s
-    * (doc_id, bucket, sig) rows as a bucket-bucketed table — the standing
-    * artifact the nightly decision step joins, persisted so a serve
-    * session reads it instead of re-paying decode + train + assign
-    * (the q228 upgrade applied to the incremental family). */
-  private[graft] def storeIndexTableOf(t: graft.Tables, m: IngestModality): String =
-    nearDupLayoutCache.get(t.spark, s"${t.dir}#${m.tag}storeidx#layout")({
+  /** A modality's frozen STORE-side ledger at rest, PACKED: [[packIngest]]
+    * of the store's (doc_id, bucket, sig, embedding) rows — one row per
+    * coarse bucket (ids ascending, id-major sig words, id-major vectors,
+    * [[graft.functions.HammingCosineReject]]'s operand layout) as a
+    * bucket-bucketed table. The standing artifact the fused nightly
+    * decision scans; persisting the VECTORS inside it is q231's
+    * convention (they live where a production IVF index keeps them), so a
+    * serve session re-pays neither decode + train + assign NOR the
+    * store-scale pack. */
+  private[graft] def storePackTableOf(t: graft.Tables, m: IngestModality): String =
+    nearDupLayoutCache.get(t.spark, s"${t.dir}#${m.tag}storepack#layout")({
       val width = t.spark.sessionState.conf.numShufflePartitions
-      val tbl = layoutName(s"${m.tag}storeidx", t.dir, width)
+      val tbl = layoutName(s"${m.tag}storepack", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, storeIndexOf(t, m), tbl, Seq("bucket"), width, Some(t.dir))
+        t.spark, storePackedOf(t, m), tbl, Seq("bucket"), width, Some(t.dir))
       tbl
     })
 
-  /** Tonight's batch under the frozen model, AT REST: [[batchAssignedOf]]'s
-    * (doc_id, bucket, sig) rows bucket-bucketed like the store index, so
-    * the served decision step's pair joins run exchange-free on both
-    * sides. In production the nightly delta is freshly decoded by nature —
-    * this table is the ingest ledger's own maintained artifact (the
-    * (bucket, sig) rows q222's ledger appends), which is exactly what a
-    * serve session replays the audit from without touching media bytes. */
-  private[graft] def batchIndexTableOf(t: graft.Tables, m: IngestModality): String =
-    nearDupLayoutCache.get(t.spark, s"${t.dir}#${m.tag}batchidx#layout")({
+  /** Tonight's batch under the frozen model, AT REST: the batch's
+    * (doc_id, bucket, sig, embedding) probe rows bucket-bucketed like the
+    * packed store ledger, so the served decision's ledger scan joins
+    * exchange-free and the batch-internal pack groups without a shuffle.
+    * In production the nightly delta is freshly decoded by nature — this
+    * table is the ingest ledger's own maintained artifact (the rows
+    * q222's ledger appends, plus the vector column the corpus maintains
+    * anyway), which is exactly what a serve session replays the audit
+    * from without touching media bytes. */
+  private[graft] def batchProbeTableOf(t: graft.Tables, m: IngestModality): String =
+    nearDupLayoutCache.get(t.spark, s"${t.dir}#${m.tag}batchprb#layout")({
       val width = t.spark.sessionState.conf.numShufflePartitions
-      val tbl = layoutName(s"${m.tag}batchidx", t.dir, width)
+      val tbl = layoutName(s"${m.tag}batchprb", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, batchAssignedOf(t, m), tbl, Seq("bucket"), width, Some(t.dir))
+        t.spark, ingestFlatOf(t, m, storeSide = false), tbl,
+        Seq("bucket"), width, Some(t.dir))
       tbl
     })
 
@@ -2254,19 +2301,123 @@ object MultimodalQueries {
   private[graft] def mediaStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     storeIndexOf(t, imageIngest)
 
+  /** A split's flat ingest rows under a modality's frozen model:
+    * (doc_id, bucket, sig, embedding) — map-only over the decode-once
+    * checkpoint. The EMBEDDING rides along (unlike [[storeIndexOf]] /
+    * [[batchAssignedOf]]'s 20-byte rows) because the fused decision scans
+    * vectors in place instead of fetching them per candidate. */
+  private def ingestFlatOf(
+      t: graft.Tables, m: IngestModality,
+      storeSide: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{KMeansTrainer, HyperplaneSignature}
+    val km = incrementalModelOf(t, m)
+    val split =
+      if (storeSide) col("doc_id") % 10 =!= 0 else col("doc_id") % 10 === 0
+    m.embeddings(t).filter(split)
+      .select(col("doc_id"),
+        KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+        HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"),
+        col("embedding"))
+  }
+
+  /** Pack flat ingest rows into ONE row per coarse bucket — ids ascending,
+    * signatures id-major (one word each), embeddings id-major in one float
+    * array — [[graft.functions.HammingCosineReject]]'s operand layout
+    * ([[packXModal]]'s shape at the ingest family's operating point).
+    * ~272 B/entry at dim 64. The groupBy leaves the frame
+    * hashpartitioned by `bucket` at shuffle width, which is exactly the
+    * distribution every downstream decision join needs. */
+  private[graft] def packIngest(
+      flat: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    flat.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("sig"), col("embedding")))).as("es"))
+      .select(col("bucket"),
+        transform(col("es"), e => e.getField("doc_id")).as("ids"),
+        transform(col("es"), e => e.getField("sig")).as("sigs"),
+        flatten(transform(col("es"), e => e.getField("embedding"))).as("embs"))
+
+  /** A modality's frozen store ledger in PACKED per-bucket form — the
+    * fused decision's scan operand, memoized per (session, dir, modality)
+    * and CACHED (not checkpointed) so InMemoryRelation preserves the
+    * groupBy's hashpartitioning(bucket) and every nightly run's ledger
+    * join is exchange-free ([[cacheStanding]]'s rationale). Built once
+    * per session; [[storePackTableOf]] is its at-rest twin. */
+  private[graft] def storePackedOf(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
+    mediaStoreIdxCache.get(t.spark, s"${t.dir}#${m.tag}storepack")({
+      cacheStanding(packIngest(ingestFlatOf(t, m, storeSide = true)))
+    })
+
   /** Batch docs a modality's nightly ingest REJECTS: a batch member with a
     * store neighbor (any — the store is already admitted) or an
     * EARLIER batch member (lower doc_id — q125's earlier-member rule) at
     * exact cosine ≥ [[MediaNearDupT]] inside its frozen-model block.
-    * Per-night work is delta-sized beyond the frozen artifacts: the batch
-    * assigns buckets+signatures map-only, candidates form as
-    * batch ⋈ store-index (on bucket + sign-sketch Hamming — ids and one
-    * long per side through the exchange) plus the batch's internal pairs,
-    * and exact cosine verifies embeddings fetched for CANDIDATE ids only.
-    * The store is never re-bucketed, re-signed, or re-decoded. */
+    *
+    * FUSED form (round 16 — the [[crossModalTop1]] lesson applied to the
+    * ingest family): the join-row form evaluated ledger ⋈ batch Hamming
+    * conditions AS JOIN ROWS — Σ_b |store_b|·|batch_b| rows through the
+    * join operator, ~10⁹ condition evaluations at sf100x — then shipped
+    * admitted pairs into two embedding fetch joins and a distinct. Now
+    * the frozen ledger is scanned PACKED ([[storePackedOf]]) by
+    * [[graft.functions.HammingCosineReject]], which runs the identical
+    * Hamming-then-exact-round4-cosine rule as a primitive-array loop with
+    * early exit and emits ONE boolean per arrival: per-night work beyond
+    * the frozen artifacts is the batch's map-only assignment, one
+    * delta-scale pack, and the scan — nothing pair-scale ever exists.
+    * The store is never re-bucketed, re-signed, or re-decoded. (q222's
+    * continuous form keeps the join-row [[ingestStepOf]] — its ledger
+    * grows per slice, and MediaStreamSpec's q222 ≡ q221 pin doubles as a
+    * cross-implementation check of the fused rule.) */
   private[graft] def incrementalDroppedOf(
       t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
-    ingestStepOf(t, m, storeIndexOf(t, m), batchAssignedOf(t, m))
+    fusedIngestRejected(t, batchProbeOf(t, m), storePackedOf(t, m))
+
+  /** The nightly batch's probe frame (doc_id, bucket, sig, embedding),
+    * checkpointed (it feeds both the probe rows and the batch-internal
+    * pack) and repartitioned by `bucket` at full width — the q220 AQE
+    * lesson: each probe row scans a whole packed bucket, so coalescing
+    * these byte-tiny partitions serializes the kernel compute. */
+  private def batchProbeOf(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
+    ingestFlatOf(t, m, storeSide = false).localCheckpoint(eager = false)
+      .repartition(
+        t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
+
+  /** The fused ingest decision over an arbitrary (probe, packed-ledger)
+    * pair — shared by the live nightly forms and the at-rest serve
+    * ([[ingestAuditServed]]), so the serve tail cannot drift. `probe`
+    * must already satisfy hashpartitioning(bucket) ([[batchProbeOf]] /
+    * a bucket-bucketed table scan); both joins and the batch-internal
+    * groupBy then run exchange-free, and what crosses the wire is the
+    * delta-sized probe frame once — id-scale, never pair-scale. The
+    * ledger side joins as SHUFFLED HASH build (k ≈ √N packed rows,
+    * exchange-free off its cached/bucketed distribution; a broadcast
+    * would ship the whole store ledger to every executor). */
+  private[graft] def fusedIngestRejected(
+      t: graft.Tables,
+      probe: org.apache.spark.sql.DataFrame,
+      ledgerPacked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.HammingCosineReject
+    def reject(ids: org.apache.spark.sql.Column, sigs: org.apache.spark.sql.Column,
+        embs: org.apache.spark.sql.Column, bound: org.apache.spark.sql.Column) =
+      HammingCosineReject(ids, sigs, embs,
+        array(col("sig")), col("embedding"), bound,
+        1, MediaHammingSlack, 64, MediaNearDupT)
+    val batchPacked = packIngest(probe).select(col("bucket"),
+      col("ids").as("bids"), col("sigs").as("bsigs"), col("embs").as("bembs"))
+    probe
+      // LEFT: a bucket with no ledger member has no store rejections —
+      // the kernel's null propagates and coalesces to false.
+      .join(ledgerPacked.hint("shuffle_hash"), Seq("bucket"), "left")
+      .join(batchPacked.hint("shuffle_hash"), Seq("bucket"))
+      .filter(
+        coalesce(
+          reject(col("ids"), col("sigs"), col("embs"), lit(Long.MaxValue)),
+          lit(false)) ||
+        reject(col("bids"), col("bsigs"), col("bembs"), col("doc_id")))
+      .select("doc_id")
+  }
 
   /** [[incrementalDroppedOf]] on the image modality — q221's rejected set,
     * exposed for MediaIncrementalSpec/MediaStreamSpec. */
@@ -2297,41 +2448,29 @@ object MultimodalQueries {
       : org.apache.spark.sql.DataFrame =
     batchAssignedOf(t, imageIngest, sliceIds)
 
-  /** One ingest decision step, shared by the nightly and continuous forms
-    * of every modality: the ids of `slice` members with a LEDGER neighbor
-    * (any — everything in the ledger was processed earlier) or an earlier
-    * (lower-id) member of the same slice at exact cosine ≥
-    * [[MediaNearDupT]] inside their frozen-model block. The slice side is
-    * delta-sized; the ledger side joins as its standing (bucket, sig)
-    * index — ids and one long per side through the exchange, embeddings
-    * fetched for CANDIDATE ids only. */
+  /** One ingest decision step in JOIN-ROW form — q222's continuous unit
+    * of work (its ledger GROWS per slice: (bucket, sig) rows without
+    * vectors, appended after each generation's decisions, so the packed
+    * fused operand does not apply): the ids of `slice` members with a
+    * LEDGER neighbor (any — everything in the ledger was processed
+    * earlier) or an earlier (lower-id) member of the same slice at exact
+    * cosine ≥ [[MediaNearDupT]] inside their frozen-model block. The
+    * slice side is delta-sized; the ledger side joins as its standing
+    * (bucket, sig) index — ids and one long per side through the
+    * exchange, embeddings fetched for CANDIDATE ids only. The nightly
+    * forms use the fused [[fusedIngestRejected]] instead; MediaStreamSpec's
+    * q222 ≡ q221 pin makes the two implementations of the identical rule
+    * check each other. */
   private[graft] def ingestStepOf(
       t: graft.Tables, m: IngestModality,
       ledger: org.apache.spark.sql.DataFrame,
-      slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    ingestStepFrom(t, m.embeddings(t), ledger, slice)
-
-  /** [[ingestStepOf]] with the verification-fetch embedding source
-    * injectable and the slice's physical distribution declarable: the live
-    * forms pass the session decode checkpoint; the served forms
-    * ([[ingestAuditServed]]) pass the at-rest embedding table and
-    * `prePartitioned = true` because their slice is a bucket-bucketed
-    * table scan that already satisfies the join distribution — a
-    * checkpoint + repartition there would erase the bucketing (ExistingRDD
-    * reports no partitioning) and re-shuffle what storage already laid
-    * out. */
-  private[graft] def ingestStepFrom(
-      t: graft.Tables,
-      emb: org.apache.spark.sql.DataFrame,
-      ledger: org.apache.spark.sql.DataFrame,
-      slice: org.apache.spark.sql.DataFrame,
-      prePartitioned: Boolean = false): org.apache.spark.sql.DataFrame = {
+      slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val emb = m.embeddings(t)
     // Slice-sized; feeds both joins. The bucket repartition pins the pair
     // joins' width (q220's AQE lesson — byte-tiny shuffles, Σ-pair
     // compute): pinning the slice side forces the co-partitioned ledger
     // exchange to the same width, so AQE cannot coalesce either.
-    val s = if (prePartitioned) slice
-    else slice.localCheckpoint(eager = false)
+    val s = slice.localCheckpoint(eager = false)
       .repartition(
         t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
     val candLedger = s.as("b")
@@ -2365,10 +2504,15 @@ object MultimodalQueries {
     ingestStepOf(t, imageIngest, ledger, slice)
 
   /** A modality's nightly-ingest audit (q221/q225/q226's shared body):
-    * per frozen-model bucket, batch arrivals, rejected, admitted. */
+    * per frozen-model bucket, batch arrivals, rejected, admitted. One
+    * probe frame feeds both the arrival counts and the fused decision —
+    * the batch's assignment pass runs once. */
   private def ingestAudit(
-      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
-    ingestAuditFrom(batchAssignedOf(t, m), incrementalDroppedOf(t, m))
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame = {
+    val probe = batchProbeOf(t, m)
+    ingestAuditFrom(probe.select("doc_id", "bucket"),
+      fusedIngestRejected(t, probe, storePackedOf(t, m)))
+  }
 
   /** The per-bucket ingest report over an arbitrary (batch index, rejected
     * set) pair — shared by the live nightly forms (q221/q225/q226), the
@@ -2386,19 +2530,21 @@ object MultimodalQueries {
           sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_admitted")))
 
   /** A modality's nightly-ingest audit served ENTIRELY from at-rest
-    * artifacts — zero decode, zero training: the frozen store index and
-    * the batch's frozen-model assignments read as bucket-bucketed tables
-    * (pair joins exchange-free on both sides), the exact-cosine verify
-    * fetches CANDIDATE ids from the doc_id-bucketed embedding table. The
-    * quantizer itself is not needed to serve — assignments are
-    * materialized — the q231 discipline applied to the ingest family. */
+    * artifacts — zero decode, zero training, zero store-scale pack: the
+    * packed frozen ledger ([[storePackTableOf]]) and the batch's probe
+    * rows ([[batchProbeTableOf]]) read as bucket-bucketed tables, so the
+    * fused decision's ledger join and batch-internal groupBy run
+    * exchange-free off storage. The quantizer itself is not needed to
+    * serve — assignments are materialized — the q231 discipline applied
+    * to the ingest family; the audit tail is [[ingestAuditFrom]] and the
+    * decision is [[fusedIngestRejected]], shared verbatim with the live
+    * form, so the serve cannot drift. */
   private[graft] def ingestAuditServed(
       t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame = {
-    val emb = t.spark.table(embTableFor(t, m))
-    val store = t.spark.table(storeIndexTableOf(t, m))
-    val batch = t.spark.table(batchIndexTableOf(t, m))
-    ingestAuditFrom(batch,
-      ingestStepFrom(t, emb, store, batch, prePartitioned = true))
+    val probe = t.spark.table(batchProbeTableOf(t, m))
+    val ledger = t.spark.table(storePackTableOf(t, m))
+    ingestAuditFrom(probe.select("doc_id", "bucket"),
+      fusedIngestRejected(t, probe, ledger))
   }
 
   /** INCREMENTAL media near-dup — the nightly-ingest form of q218 (the

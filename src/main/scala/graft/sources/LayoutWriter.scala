@@ -283,6 +283,41 @@ object LayoutWriter {
     }
   }
 
+  /** Flag-INDEPENDENT register-if-fresh: true when `table` is already in
+    * this session's catalog, or when its default location holds data files
+    * whose `_graft_src_fp` stamp matches the current fingerprint of
+    * `sourceDir` (the external bucketed table is then registered exactly
+    * like the serve path). False — registering nothing — when the data is
+    * absent, unstamped, or stale. This is the LIVE-form reuse check (a
+    * query that can answer from a standing layout should, with no flag
+    * dance — the fingerprint makes reuse safe on fixture dirs regenerated
+    * in place, which is what used to force the rebuild-by-default rule). */
+  def registerIfFresh(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      sourceDir: Option[String]): Boolean = {
+    if (spark.catalog.tableExists(table)) return true
+    val loc = defaultTableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(loc) && fs.listStatus(loc)
+      .exists(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (!hasData) return false
+    val fpOk = sourceDir match {
+      case None      => true // caller opted out of fingerprinting
+      case Some(dir) => readMarker(fs, loc).contains(dirFingerprint(spark, dir))
+    }
+    if (!fpOk) return false
+    val schema = spark.read.parquet(loc.toString).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $table ($schema) USING parquet
+         |CLUSTERED BY (${bucketCols.mkString(", ")})
+         |SORTED BY (${bucketCols.mkString(", ")})
+         |INTO $buckets BUCKETS LOCATION '${loc.toString}'""".stripMargin)
+    true
+  }
+
   def serveOrWriteBucketed(
       spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame,
@@ -290,42 +325,23 @@ object LayoutWriter {
       bucketCols: Seq[String],
       buckets: Int,
       sourceDir: Option[String] = None): Boolean = {
-    val reuse = servingLayouts
-    if (reuse && spark.catalog.tableExists(table)) return true
-    // Source fingerprint (computed once, metadata-only) guards the serve
-    // path against a fixture dir regenerated IN PLACE: same path → same
-    // deterministic table name, but the at-rest rows describe files that
-    // no longer exist. A mismatched or missing stamp on pre-existing data
-    // forces a rebuild instead of serving stale audit rows.
-    lazy val srcFp = sourceDir.map(dirFingerprint(spark, _))
-    if (reuse) {
-      val loc = defaultTableLocation(spark, table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasData = fs.exists(loc) && fs.listStatus(loc)
-        .exists(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      if (hasData) {
-        val fpOk = srcFp match {
-          case None     => true // caller opted out of fingerprinting
-          case Some(fp) => readMarker(fs, loc).contains(fp)
-        }
-        if (fpOk) {
-          val schema = spark.read.parquet(loc.toString).schema.toDDL
-          spark.sql(
-            s"""CREATE TABLE $table ($schema) USING parquet
-               |CLUSTERED BY (${bucketCols.mkString(", ")})
-               |SORTED BY (${bucketCols.mkString(", ")})
-               |INTO $buckets BUCKETS LOCATION '${loc.toString}'""".stripMargin)
-          return true
-        }
-        // Stale (source changed since the stamp, or unstamped data from an
-        // older write): rebuild below; writeBucketed deletes the location.
-      }
-    }
+    // Reuse whenever the standing data is PROVABLY current: with a
+    // sourceDir, the fingerprint stamp makes reuse safe even in default
+    // (flag-off) mode — rebuild-by-default existed only because a fixture
+    // dir regenerated in place was undetectable; a no-op maintenance run
+    // over unchanged sources is the production semantics of a layout
+    // query. Without a sourceDir, freshness is unverifiable, so the old
+    // contract holds: default = rebuild, serve only under the flag (and
+    // registerIfFresh is not even consulted — registering the stale-risk
+    // table would let the rebuild read the location it overwrites).
+    if ((servingLayouts || sourceDir.nonEmpty) &&
+        registerIfFresh(spark, table, bucketCols, buckets, sourceDir))
+      return true
     writeBucketed(df, table, bucketCols, buckets, "overwrite")
-    srcFp.foreach { fp =>
+    sourceDir.foreach { dir =>
       val loc = defaultTableLocation(spark, table)
       writeMarker(loc.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        loc, fp)
+        loc, dirFingerprint(spark, dir))
     }
     false
   }

@@ -152,13 +152,13 @@ class MediaIncrementalFamilySpec extends SharedSparkSpec {
       val textScans = plan.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains("documents.parquet"))
       assert(textScans == 0, s"${q.name}: served plan scans documents")
-      // The exchange-free claim lives on the decision step's candidate
-      // join (batch ⋈ store on bucket): both sides bucket-bucketed, no
-      // re-shuffle. (The audit tail's own batch scan joins on doc_id, so
-      // the planner rightly disables bucketed reading there; the pair
-      // joins sit behind the candidate set's lazy checkpoints.)
-      val store = spark.table(MultimodalQueries.storeIndexTableOf(t, m))
-      val batch = spark.table(MultimodalQueries.batchIndexTableOf(t, m))
+      // The exchange-free claim lives on the fused decision's ledger scan
+      // (batch probe ⋈ packed store ledger on bucket): both sides
+      // bucket-bucketed at rest, no re-shuffle. (The audit tail's own
+      // left join keys on doc_id, so the planner rightly disables
+      // bucketed reading there.)
+      val store = spark.table(MultimodalQueries.storePackTableOf(t, m))
+      val batch = spark.table(MultimodalQueries.batchProbeTableOf(t, m))
       val bKey = "spark.sql.autoBroadcastJoinThreshold"
       val bPrev = spark.conf.get(bKey)
       try {
@@ -167,9 +167,9 @@ class MediaIncrementalFamilySpec extends SharedSparkSpec {
         val pj = batch.as("b").join(store.as("s"), Seq("bucket"))
           .queryExecution.executedPlan.toString
         assert(pj.contains("Bucketed: true"),
-          s"${q.name}: candidate join must read the bucketed layouts:\n${pj.take(1200)}")
+          s"${q.name}: ledger scan must read the bucketed layouts:\n${pj.take(1200)}")
         assert(!pj.contains("Exchange hashpartitioning(bucket"),
-          s"${q.name}: candidate join re-shuffled the stored bucket key")
+          s"${q.name}: ledger scan re-shuffled the stored bucket key")
       } finally spark.conf.set(bKey, bPrev)
       // The query body itself routes to the served form under the flag.
       sys.props("spark.graft.serveLayouts") = "1"

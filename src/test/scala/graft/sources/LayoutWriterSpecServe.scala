@@ -127,18 +127,23 @@ class LayoutWriterSpecServe extends SharedSparkSpec {
         org.apache.spark.sql.catalyst.TableIdentifier(tbl),
         ignoreIfNotExists = false, purge = false)
       copyAll(keep, loc)
-      sys.props("spark.graft.serveLayouts") = "1"
-      // Unchanged source → stamp matches → served, build not forced.
+      // Unchanged source → stamp matches → served WITHOUT the serve flag:
+      // a fingerprinted caller reuses in default mode too (a no-op
+      // maintenance run over unchanged sources — the stamp is what made
+      // rebuild-by-default unnecessary).
       assert(LayoutWriter.serveOrWriteBucketed(
         spark, { fail("fp-matched serve forced the build"); freshRows },
         tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)),
-        "expected serve-from-rest on matching fingerprint")
+        "expected default-mode serve-from-rest on matching fingerprint")
       spark.sessionState.catalog.dropTable(
         org.apache.spark.sql.catalyst.TableIdentifier(tbl),
         ignoreIfNotExists = false, purge = false)
       copyAll(keep, loc)
-      // Regenerate the source in place → stamp mismatch → MUST rebuild.
+      // Regenerate the source in place → stamp mismatch → MUST rebuild
+      // (with or without the flag; use the flag to pin the serve path's
+      // staleness refusal specifically).
       writeSource("v2")
+      sys.props("spark.graft.serveLayouts") = "1"
       var built = false
       assert(!LayoutWriter.serveOrWriteBucketed(
         spark, { built = true; freshRows },
