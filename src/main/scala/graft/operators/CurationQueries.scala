@@ -603,11 +603,25 @@ object CurationQueries {
         storePostings(t), TextQueries.corpusPostings(t)._1,
         TextQueries.corpusPostings(t)._2, corpusBenchmarkHits(t))
 
+    private val servedInvCache = new graft.SessionCache[DataFrame]
+
     /** Served: every standing input reads from the bucketed layout tables
-      * — zero corpus text reads, zero store rebuild. */
+      * — zero corpus text reads, zero store rebuild. The postings table is
+      * the one input the CONTINUOUS replay touches per generation (the
+      * slice restriction and the near-dup reference both join it), so it
+      * is pinned in the session cache behind its storage scan — persist
+      * preserves the bucketed outputPartitioning where a checkpoint would
+      * erase it — mirroring the live form's memoized checkpoint economics
+      * (measured: without it, q216's sf100x serve WARM paid ~50% over the
+      * live warm re-scanning parquet postings thrice per run). */
     def served(t: graft.Tables): CurationInputs = {
       val tb = curationLayoutTables(t)
-      val inv = t.spark.table(tb("inv"))
+      val inv = servedInvCache.get(t.spark, s"${t.dir}#curinvpinned")({
+        val df = t.spark.table(tb("inv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      })
       val storeIds = t.spark.table(tb("store"))
       CurationInputs(t.spark.table(tb("meta")), storeIds,
         t.spark.table(tb("storekeys")),

@@ -55,7 +55,12 @@ object MediaIngestProbe {
             bit_count(col("a.sig").bitwiseXOR(col("c.sig"))) <= MediaHammingSlack)
           .count()
       }
-      // The verify path, staged like ingestStepOf does it.
+      // The join-row candidate/verify staging BELOW reproduces the
+      // PRE-r16 decision shape (and q222's continuous step) so its counts
+      // remain the denominators for the fused kernel's win: the shipped
+      // nightly decision (incrementalDroppedOf, timed at the end) now
+      // scans the packed ledger with HammingCosineReject and never forms
+      // these populations as rows.
       val cand = b.as("a").join(s.as("c"),
         col("a.bucket") === col("c.bucket") &&
           bit_count(col("a.sig").bitwiseXOR(col("c.sig"))) <= MediaHammingSlack)
