@@ -152,6 +152,25 @@ class MediaIncrementalFamilySpec extends SharedSparkSpec {
       val textScans = plan.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains("documents.parquet"))
       assert(textScans == 0, s"${q.name}: served plan scans documents")
+      // The fused decision is IN the served plan (both kernel calls ride
+      // the pair joins' condition), the store-scale packed ledger reads
+      // bucketed (its join re-shuffles nothing), and any bucket exchange
+      // left is the audit tail's ID-SCALE arrivals frame (whose bucketed
+      // read the planner rightly disables — it joins on doc_id first).
+      assert(plan.contains("graft_hamming_cosine_reject"),
+        s"${q.name}: served decision does not use the fused kernel")
+      val storepackScans = plan.linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains("storepack")).toSeq
+      assert(storepackScans.nonEmpty &&
+          storepackScans.forall(_.contains("Bucketed: true")),
+        s"${q.name}: packed ledger must read bucketed:\n" +
+          storepackScans.mkString("\n"))
+      val bucketExchanges = plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning(bucket"))
+      assert(bucketExchanges <= 2,
+        s"${q.name}: $bucketExchanges bucket exchanges in the served plan " +
+          "(more than the audit tail's id-scale pair — decision-side " +
+          "re-shuffle of the stored layout?)")
       // The exchange-free claim lives on the fused decision's ledger scan
       // (batch probe ⋈ packed store ledger on bucket): both sides
       // bucket-bucketed at rest, no re-shuffle. (The audit tail's own
