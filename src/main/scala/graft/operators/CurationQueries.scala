@@ -623,6 +623,11 @@ object CurationQueries {
         df
       })
       val storeIds = t.spark.table(tb("store"))
+      // Deliberately NOT pinned: the store restriction (~90% of the
+      // postings) would nearly double the cached footprint next to the
+      // pinned corpus postings — measured at sf100x, pinning it REGRESSED
+      // the serve warm ~20% (cache pressure), so it derives per use from
+      // the pinned inv instead.
       CurationInputs(t.spark.table(tb("meta")), storeIds,
         t.spark.table(tb("storekeys")),
         inv.join(storeIds, Seq("doc_id"), "left_semi"), inv,

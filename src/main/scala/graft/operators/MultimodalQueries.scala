@@ -2616,24 +2616,42 @@ object MultimodalQueries {
     * — MediaStreamSpec pins q222 ≡ q221 row-for-row and drives the same
     * step function from a real readStream/foreachBatch pipeline. */
   val q222 = EngineQuery("q222_media_stream_ingest", None) { t =>
-    val batchIdx = batchAssigned(t).localCheckpoint()
-    val sliced = CurationQueries.generations(batchIdx, 3).localCheckpoint()
-    // The ledger the step joins is store ∪ processed-batch, but it is HELD
-    // as the frozen store index plus a delta-side accumulator: only the
-    // batch side re-checkpoints per arrival (slice-scale writes), because
-    // folding the store into the accumulated frame would re-write the
-    // corpus-scale index on every micro-batch (the curationStep contract).
-    val store = mediaStoreIndex(t)
-    var batchLedger = store.limit(0).localCheckpoint()
+    val width = t.spark.sessionState.conf.numShufflePartitions
+    // The batch's flat rows carry the VECTORS so the frozen-store test can
+    // run fused; the (doc_id, bucket, sig) projection remains the ledger's
+    // 20-byte append unit.
+    val batchFlat = ingestFlatOf(t, imageIngest, storeSide = false)
+      .localCheckpoint()
+    val sliced = CurationQueries.generations(batchFlat, 3).localCheckpoint()
+    // The neighbor set a slice checks is store ∪ processed-batch, split by
+    // SCALE (round 16, the q221 lesson carried into the continuous form):
+    // the FROZEN STORE side — the Σ-pair population that made this query
+    // the media family's largest per-run number once the nightly forms
+    // fused (measured 127–131 s warm at sf100x) — scans the same packed
+    // ledger as q221 through [[fusedIngestRejected]] (which also applies
+    // the earlier-member rule within the slice), while the PROCESSED-batch
+    // ledger — delta-scale by construction, and the part that GROWS per
+    // arrival as vector-free (bucket, sig) rows — keeps the join-row
+    // [[ingestStepOf]]. Only slice-scale frames re-checkpoint per arrival
+    // (the curationStep contract), and the join-row path stays exercised
+    // on the delta side (MediaStreamSpec's foreachBatch pipeline keeps the
+    // FULL join-row form as the independent cross-implementation check).
+    val storePacked = storePackedOf(t, imageIngest)
+    var batchLedger = batchFlat.select("doc_id", "bucket", "sig")
+      .limit(0).localCheckpoint()
     var rejected: org.apache.spark.sql.DataFrame = null
     for (g <- 1 to 3) {
       val slice = sliced.filter(col("gen") === g).drop("gen")
-      val rej =
-        mediaIngestStep(t, store.unionByName(batchLedger), slice).localCheckpoint()
+      val sliceIdx = slice.select("doc_id", "bucket", "sig")
+      val rejStore =
+        fusedIngestRejected(t, slice.repartition(width, col("bucket")),
+          storePacked)
+      val rejProcessed = ingestStepOf(t, imageIngest, batchLedger, sliceIdx)
+      val rej = rejStore.unionByName(rejProcessed).distinct().localCheckpoint()
       rejected = if (rejected == null) rej else rejected.unionByName(rej)
-      batchLedger = batchLedger.unionByName(slice).localCheckpoint()
+      batchLedger = batchLedger.unionByName(sliceIdx).localCheckpoint()
     }
-    ingestAuditFrom(batchIdx, rejected)
+    ingestAuditFrom(batchFlat.select("doc_id", "bucket"), rejected)
   }
 
   val all: Seq[EngineQuery] =
