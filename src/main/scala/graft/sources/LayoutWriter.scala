@@ -253,6 +253,21 @@ object LayoutWriter {
       .map("%02x".format(_)).mkString
   }
 
+  /** Layout format version, part of every marker payload: bump it when a
+    * table's packed layout or physical convention changes under an
+    * unchanged tag/name, and every standing artifact re-stamps stale on
+    * the next run instead of registering old files under new CLUSTERED BY
+    * metadata (a mis-declared bucketing returns wrong rows silently —
+    * exchange elision trusts the declaration). */
+  val LayoutFormatVersion = 1
+
+  /** The full marker payload: format version + the bucket columns the
+    * artifact was written with + the source fingerprint. Versioning the
+    * PAYLOAD (not just the fp) means a layout-convention change or a
+    * bucket-spec change invalidates exactly like a source regeneration. */
+  private def markerPayload(bucketCols: Seq[String], fp: String): String =
+    s"v$LayoutFormatVersion;${bucketCols.mkString(",")};$fp"
+
   /** Hidden marker file (underscore prefix = invisible to Spark's parquet
     * reads) stamping the table location with the fingerprint of the source
     * dir the artifact was built from. */
@@ -298,17 +313,24 @@ object LayoutWriter {
       bucketCols: Seq[String],
       buckets: Int,
       sourceDir: Option[String]): Boolean = {
-    if (spark.catalog.tableExists(table)) return true
     val loc = defaultTableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stampOk = sourceDir match {
+      case None      => true // caller opted out of fingerprinting
+      case Some(dir) => readMarker(fs, loc)
+        .contains(markerPayload(bucketCols, dirFingerprint(spark, dir)))
+    }
+    // The in-catalog fast path must STILL validate the stamp when the
+    // caller names a source: a fixture dir regenerated in place
+    // mid-session (or a persistent metastore carrying a previous
+    // deployment's entry) keeps the catalog entry while the data under it
+    // goes stale — exactly the hazard the fingerprint exists to close.
+    // The listing cost is bounded: callers memoize per (session, dir).
+    if (spark.catalog.tableExists(table)) return stampOk
     val hasData = fs.exists(loc) && fs.listStatus(loc)
       .exists(f => f.isFile && f.getPath.getName.startsWith("part-"))
     if (!hasData) return false
-    val fpOk = sourceDir match {
-      case None      => true // caller opted out of fingerprinting
-      case Some(dir) => readMarker(fs, loc).contains(dirFingerprint(spark, dir))
-    }
-    if (!fpOk) return false
+    if (!stampOk) return false
     val schema = spark.read.parquet(loc.toString).schema.toDDL
     spark.sql(
       s"""CREATE TABLE $table ($schema) USING parquet
@@ -338,11 +360,22 @@ object LayoutWriter {
         registerIfFresh(spark, table, bucketCols, buckets, sourceDir))
       return true
     writeBucketed(df, table, bucketCols, buckets, "overwrite")
-    sourceDir.foreach { dir =>
-      val loc = defaultTableLocation(spark, table)
-      writeMarker(loc.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        loc, dirFingerprint(spark, dir))
-    }
+    sourceDir.foreach(restamp(spark, table, bucketCols, _))
     false
+  }
+
+  /** Re-stamp a standing table's freshness marker against the CURRENT
+    * fingerprint of its source dir — the close of every incremental
+    * maintenance pass (fold a delta in, then declare the artifact current
+    * again; without the restamp the next [[registerIfFresh]] would refuse
+    * the very table the append just brought up to date). */
+  def restamp(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      bucketCols: Seq[String],
+      sourceDir: String): Unit = {
+    val loc = defaultTableLocation(spark, table)
+    writeMarker(loc.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      loc, markerPayload(bucketCols, dirFingerprint(spark, sourceDir)))
   }
 }

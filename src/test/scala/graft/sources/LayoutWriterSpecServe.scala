@@ -158,4 +158,84 @@ class LayoutWriterSpecServe extends SharedSparkSpec {
       srcDir.listFiles().foreach(_.delete()); srcDir.delete()
     }
   }
+
+  test("catalog-resident table: in-session source regeneration still detected") {
+    // The tableExists fast path must NOT trust the catalog entry alone
+    // when the caller names a source: a fixture dir regenerated in place
+    // WITHIN a session (or a persistent metastore across deployments)
+    // keeps the entry while the data under it goes stale.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fp_insess").toFile
+    val tbl = "graft_serve_fp_insession_test"
+    def writeSource(tag: String, bump: Long): Unit = {
+      val f = new java.io.File(srcDir, "data.txt")
+      val w = new java.io.FileWriter(f); w.write(tag); w.close()
+      f.setLastModified(System.currentTimeMillis() + bump)
+    }
+    try {
+      writeSource("v1", 0)
+      assert(!LayoutWriter.serveOrWriteBucketed(
+        spark, freshRows, tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)))
+      // Same session, same catalog entry, UNCHANGED source → reuse.
+      assert(LayoutWriter.serveOrWriteBucketed(
+        spark, { fail("fresh in-session reuse forced the build"); freshRows },
+        tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)))
+      // Regenerate the source in place — the catalog entry survives, the
+      // stamp no longer matches → the next call MUST rebuild.
+      writeSource("v2", 7000)
+      var built = false
+      assert(!LayoutWriter.serveOrWriteBucketed(
+        spark, { built = true; freshRows },
+        tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)),
+        "catalog-resident stale table must not serve")
+      assert(built, "in-session staleness did not trigger the rebuild")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      srcDir.listFiles().foreach(_.delete()); srcDir.delete()
+    }
+  }
+
+  test("marker payload: a bucket-spec change invalidates like a source change") {
+    // The stamp carries (format version, bucket columns, fp): registering
+    // old files under a DIFFERENT bucketing declaration would silently
+    // mis-route an exchange-free join, so a bucket-spec mismatch must
+    // refuse exactly like a stale fingerprint.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fp_bcols").toFile
+    val tbl = "graft_serve_fp_bcols_test"
+    try {
+      val f = new java.io.File(srcDir, "data.txt")
+      val w = new java.io.FileWriter(f); w.write("v1"); w.close()
+      assert(!LayoutWriter.serveOrWriteBucketed(
+        spark, freshRows, tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)))
+      // Next-JVM sim: drop the catalog entry, keep files + stamp.
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+          .filter(col("col_name") === "Location").head().getString(1)))
+      val keep = java.nio.file.Files.createTempDirectory("graft_fp_bkeep").toFile
+      def copyAll(from: java.io.File, to: java.io.File): Unit = {
+        to.mkdirs()
+        from.listFiles().foreach { g =>
+          if (g.isFile) java.nio.file.Files.copy(g.toPath,
+            new java.io.File(to, g.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else copyAll(g, new java.io.File(to, g.getName))
+        }
+      }
+      copyAll(loc, keep)
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+        ignoreIfNotExists = false, purge = false)
+      copyAll(keep, loc)
+      // Same files, same source — but a caller declaring DIFFERENT bucket
+      // columns must not register them.
+      assert(!LayoutWriter.registerIfFresh(
+        spark, tbl, Seq("id"), 4, Some(srcDir.getAbsolutePath)),
+        "bucket-spec mismatch must refuse to register")
+      // The original spec still registers.
+      assert(LayoutWriter.registerIfFresh(
+        spark, tbl, Seq("bucket"), 4, Some(srcDir.getAbsolutePath)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      srcDir.listFiles().foreach(_.delete()); srcDir.delete()
+    }
+  }
 }
