@@ -2206,14 +2206,21 @@ object MultimodalQueries {
   private[graft] final case class IngestModality(
       tag: String,
       embedSlice: (graft.Tables, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
-      embeddings: graft.Tables => org.apache.spark.sql.DataFrame)
+      embeddings: graft.Tables => org.apache.spark.sql.DataFrame,
+      /** SPEC probe: did this session pay the CORPUS-scale decode? (the
+        * decode-once checkpoint cache filled) — never a control-flow
+        * check, per the SessionCache contract. */
+      corpusDecoded: graft.Tables => Boolean)
 
   private[graft] lazy val imageIngest: IngestModality =
-    IngestModality("media", embedDocSlice, mediaPixelEmbeddings)
+    IngestModality("media", embedDocSlice, mediaPixelEmbeddings,
+      t => mediaEmbCache.contains(t.spark, s"${t.dir}#mediaemb"))
   private[graft] lazy val audioIngest: IngestModality =
-    IngestModality("audio", audioEmbedDocSlice, audioSampleEmbeddings)
+    IngestModality("audio", audioEmbedDocSlice, audioSampleEmbeddings,
+      t => audioEmbCache.contains(t.spark, s"${t.dir}#audioemb"))
   private[graft] lazy val videoIngest: IngestModality =
-    IngestModality("video", videoEmbedDocSlice, videoFrameEmbeddings)
+    IngestModality("video", videoEmbedDocSlice, videoFrameEmbeddings,
+      t => videoEmbCache.contains(t.spark, s"${t.dir}#videoemb"))
 
   /** A modality's frozen STORE-side ledger at rest, PACKED: [[packIngest]]
     * of the store's (doc_id, bucket, sig, embedding) rows — one row per
@@ -2247,10 +2254,120 @@ object MultimodalQueries {
       val width = t.spark.sessionState.conf.numShufflePartitions
       val tbl = layoutName(s"${m.tag}batchprb", t.dir, width)
       graft.sources.LayoutWriter.serveOrWriteBucketed(
-        t.spark, ingestFlatOf(t, m, storeSide = false), tbl,
+        t.spark, batchFlatOf(t, m), tbl,
         Seq("bucket"), width, Some(t.dir))
       tbl
     })
+
+  /** Provenance of one nightly fold of admitted arrivals into the packed
+    * at-rest store ledger: which hash files the fold rewrote vs left in
+    * place — the evidence MediaLedgerFoldSpec uses to prove the append
+    * touched only delta-resident files. */
+  private[graft] final case class LedgerFoldStats(
+      table: String, touchedHashFiles: Int, keptFiles: Int)
+
+  /** MAINTENANCE close of the nightly ingest cycle — the q181→q184 append
+    * discipline applied to the PACKED vector ledger: fold night N's
+    * ADMITTED arrivals into [[storePackTableOf]] so night N+1's decisions
+    * scan a maintained table instead of re-paying the store-scale pack
+    * (before this, the ledger was build-only: admitted arrivals never
+    * landed in the table the next night scans).
+    *
+    * File surgery at hash-bucket granularity: a coarse bucket lives in
+    * exactly the bucketed part file `pmod(murmur3(bucket), width)` (the
+    * identity Spark's bucket pruning relies on; bucket ids ride in the
+    * part-file names), so the fold READS only the files whose hash bucket
+    * holds a touched coarse bucket, merges id-asc at the array level
+    * ([[foldPacked]] — batch ids interleave with store ids, a true sorted
+    * merge), APPENDS the merged rows as fresh bucket-aligned files and
+    * only then deletes the superseded ones. Untouched files are never
+    * opened, never rewritten — byte-identical, spec-pinned. Work is
+    * bounded by the admitted delta plus the content of its hash files,
+    * never the ledger.
+    *
+    * The fold restamps the freshness marker (the maintained ledger IS the
+    * current artifact — without the restamp the next [[registerIfFresh]]
+    * would refuse the very table the fold brought up to date) and DROPS
+    * the session's cached packed frame, which would otherwise keep
+    * serving the pre-fold ledger (the drop-hook discipline). */
+  private[graft] def foldAdmittedIntoStorePack(
+      t: graft.Tables, m: IngestModality,
+      admittedIds: org.apache.spark.sql.DataFrame): LedgerFoldStats = {
+    val spark = t.spark
+    val width = spark.sessionState.conf.numShufflePartitions
+    val tbl = storePackTableOf(t, m)
+    val admittedFlat = batchFlatOf(t, m)
+      .join(admittedIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val touched = admittedFlat
+      .select(pmod(hash(col("bucket")), lit(width)).cast("int").as("hb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val all = spark.table(tbl).inputFiles
+    def hbOf(path: String): Int =
+      "_(\\d{5})".r.findFirstMatchIn(path.split('/').last)
+        .fold(-1)(_.group(1).toInt)
+    val (oldFiles, kept) = all.partition(f => touched(hbOf(f)))
+    if (touched.isEmpty) return LedgerFoldStats(tbl, 0, all.length)
+    val merged = foldPacked(
+      spark.read.schema(spark.table(tbl).schema)
+        .parquet(oldFiles.toIndexedSeq: _*),
+      admittedFlat)
+    // Append-then-delete: the new generation lands next to the kept files
+    // before the superseded ones go — a failure in between leaves
+    // duplicates a rebuild clears, never missing rows.
+    graft.sources.LayoutWriter.writeBucketed(
+      merged, tbl, Seq("bucket"), width, "append")
+    val conf = spark.sparkContext.hadoopConfiguration
+    oldFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    graft.sources.LayoutWriter.restamp(spark, tbl, Seq("bucket"), t.dir)
+    mediaStoreIdxCache.remove(spark, s"${t.dir}#${m.tag}storepack")
+      .foreach(_.unpersist())
+    LedgerFoldStats(tbl, oldFiles.length, kept.length)
+  }
+
+  /** Evict a modality's ingest-session artifacts — the corpus decode
+    * checkpoint, the frozen model, the packed/flat frames — WITHOUT
+    * touching the at-rest tables: the "fresh session against a standing
+    * warehouse" simulation ([[dropCrossModalSession]]'s ingest twin), and
+    * the dir-turnover eviction hook for long sessions. */
+  private[graft] def dropIngestSession(t: graft.Tables, m: IngestModality): Unit = {
+    val s = t.spark
+    (m.tag match {
+      case "media" => mediaEmbCache
+      case "audio" => audioEmbCache
+      case _       => videoEmbCache
+    }).remove(s, s"${t.dir}#${m.tag}emb")
+    ingestBatchFlatCache.remove(s, s"${t.dir}#${m.tag}batchflat")
+    mediaIncModelCache.remove(s, s"${t.dir}#${m.tag}inc")
+    mediaStoreIdxCache.remove(s, s"${t.dir}#${m.tag}storepack")
+      .foreach(_.unpersist())
+    mediaStoreIdxCache.remove(s, s"${t.dir}#${m.tag}storeidx")
+    nearDupLayoutCache.remove(s, s"${t.dir}#${m.tag}storepack#layout")
+    nearDupLayoutCache.remove(s, s"${t.dir}#${m.tag}batchprb#layout")
+  }
+
+  /** Drop a modality's packed-ledger artifacts — table, files, and both
+    * session cache entries. The restore hook for specs that FOLD into the
+    * shared deterministic table (the suite JVM shares one session), and
+    * the dir-turnover eviction for long sessions. */
+  private[graft] def dropStorePackArtifacts(t: graft.Tables, m: IngestModality): Unit = {
+    val width = t.spark.sessionState.conf.numShufflePartitions
+    val tbl = layoutName(s"${m.tag}storepack", t.dir, width)
+    nearDupLayoutCache.remove(t.spark, s"${t.dir}#${m.tag}storepack#layout")
+    mediaStoreIdxCache.remove(t.spark, s"${t.dir}#${m.tag}storepack")
+      .foreach(_.unpersist())
+    t.spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // An externally-registered table's files (and the freshness marker)
+    // survive DROP TABLE — left in place they would re-register the folded
+    // ledger as "fresh" for the pristine-store builders that come after.
+    val loc = new org.apache.hadoop.fs.Path(
+      t.spark.sessionState.conf.warehousePath, tbl.toLowerCase)
+    val fs = loc.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
   /** The FROZEN store-trained coarse quantizer for a modality's nightly
     * ingest: trained when the store was built, on STORE docs only
@@ -2301,24 +2418,47 @@ object MultimodalQueries {
   private[graft] def mediaStoreIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     storeIndexOf(t, imageIngest)
 
-  /** A split's flat ingest rows under a modality's frozen model:
-    * (doc_id, bucket, sig, embedding) — map-only over the decode-once
-    * checkpoint. The EMBEDDING rides along (unlike [[storeIndexOf]] /
-    * [[batchAssignedOf]]'s 20-byte rows) because the fused decision scans
-    * vectors in place instead of fetching them per candidate. */
-  private def ingestFlatOf(
+  /** Assignment projection shared by both ingest sides: (doc_id, bucket,
+    * sig, embedding) under the modality's frozen model — map-only over
+    * whatever embedding frame feeds it. The EMBEDDING rides along (unlike
+    * [[storeIndexOf]] / [[batchAssignedOf]]'s 20-byte rows) because the
+    * fused decision scans vectors in place instead of fetching them per
+    * candidate. */
+  private def assignFlat(
       t: graft.Tables, m: IngestModality,
-      storeSide: Boolean): org.apache.spark.sql.DataFrame = {
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.{KMeansTrainer, HyperplaneSignature}
     val km = incrementalModelOf(t, m)
-    val split =
-      if (storeSide) col("doc_id") % 10 =!= 0 else col("doc_id") % 10 === 0
-    m.embeddings(t).filter(split)
-      .select(col("doc_id"),
-        KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
-        HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"),
-        col("embedding"))
+    emb.select(col("doc_id"),
+      KMeansTrainer.coarseBucket(col("embedding"), km).as("bucket"),
+      HyperplaneSignature(col("embedding"), mediaSignPlanes, 64).as("sig"),
+      col("embedding"))
   }
+
+  /** The frozen STORE's flat ingest rows — over the decode-once corpus
+    * checkpoint. Only the ledger BUILD paths pay this; a live nightly
+    * session with a fingerprint-fresh at-rest ledger never calls it. */
+  private[graft] def storeFlatOf(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
+    assignFlat(t, m, m.embeddings(t).filter(col("doc_id") % 10 =!= 0))
+
+  private val ingestBatchFlatCache =
+    new graft.SessionCache[org.apache.spark.sql.DataFrame]
+
+  /** Tonight's BATCH flat rows, decoded DELTA-ONLY ([[IngestModality
+    * .embedSlice]] over the batch docs, never the corpus checkpoint) and
+    * checkpointed per (session, dir, modality). This is what makes the
+    * live nightly forms' cost arrival-bounded: the batch must decode
+    * fresh by nature, but it is delta-sized — and with the store side
+    * reading its at-rest packed ledger ([[storePackedOf]]'s reuse
+    * branch), NOTHING corpus-scale is decoded, trained or packed on the
+    * live path (spec-pinned by MediaIngestReuseSpec). */
+  private[graft] def batchFlatOf(
+      t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
+    ingestBatchFlatCache.get(t.spark, s"${t.dir}#${m.tag}batchflat")(
+      assignFlat(t, m,
+        m.embedSlice(t, t.documents.filter(col("doc_id") % 10 === 0)))
+        .localCheckpoint())
 
   /** Pack flat ingest rows into ONE row per coarse bucket — ids ascending,
     * signatures id-major (one word each), embeddings id-major in one float
@@ -2337,16 +2477,86 @@ object MultimodalQueries {
         transform(col("es"), e => e.getField("sig")).as("sigs"),
         flatten(transform(col("es"), e => e.getField("embedding"))).as("embs"))
 
+  /** Inverse of [[packIngest]]: a packed per-bucket row back to flat
+    * (doc_id, bucket, sig, embedding) rows. Generate preserves the child's
+    * outputPartitioning, so unpacking a bucket-partitioned packed frame
+    * stays exchange-free into a re-pack. */
+  private[graft] def unpackIngest(
+      packed: org.apache.spark.sql.DataFrame,
+      dim: Int = 64): org.apache.spark.sql.DataFrame =
+    packed
+      .select(col("bucket"), col("sigs"), col("embs"),
+        posexplode(col("ids")).as(Seq("i", "doc_id")))
+      .select(col("doc_id"), col("bucket"),
+        get(col("sigs"), col("i")).as("sig"),
+        slice(col("embs"), col("i") * lit(dim) + lit(1), lit(dim)).as("embedding"))
+
+  /** Fold flat delta rows into a packed ledger — ONE delta-sized pack
+    * shuffle plus ONE co-partitioned full-outer join, merging each touched
+    * bucket's parallel arrays id-asc AT THE ARRAY LEVEL (re-zip to entry
+    * structs, concat, array_sort on the leading doc_id, unzip) instead of
+    * exploding to flat rows and re-paying packIngest's groupBy. Work is
+    * bounded by the delta plus the CONTENT of the buckets it lands in —
+    * the q184 fold economics on the packed operand; ids interleave
+    * arbitrarily (the sort is a true merge), so the same fold serves the
+    * continuous ledger (ascending slices) and the nightly at-rest append
+    * (batch ids interleaved with store ids). */
+  private[graft] def foldPacked(
+      ledger: org.apache.spark.sql.DataFrame,
+      deltaFlat: org.apache.spark.sql.DataFrame,
+      dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    val deltaPacked = packIngest(
+      deltaFlat.select("doc_id", "bucket", "sig", "embedding"))
+      .select(col("bucket"), col("ids").as("dids"),
+        col("sigs").as("dsigs"), col("embs").as("dembs"))
+    def entries(ids: org.apache.spark.sql.Column, sigs: org.apache.spark.sql.Column,
+        embs: org.apache.spark.sql.Column) =
+      transform(ids, (id, i) => struct(id.as("doc_id"),
+        get(sigs, i).as("sig"),
+        slice(embs, i * lit(dim) + lit(1), lit(dim)).as("embedding")))
+    val ea = entries(col("ids"), col("sigs"), col("embs"))
+    val eb = entries(col("dids"), col("dsigs"), col("dembs"))
+    // A full-outer row always has at least one non-null side; the empty
+    // slice of the OTHER side stands in for the missing one (same type,
+    // zero entries), so untouched ledger buckets and brand-new delta
+    // buckets both flow through the one merge projection.
+    val merged = array_sort(concat(
+      coalesce(ea, slice(eb, 1, 0)), coalesce(eb, slice(ea, 1, 0))))
+    ledger.join(deltaPacked, Seq("bucket"), "full_outer")
+      .select(col("bucket"), merged.as("es"))
+      .select(col("bucket"),
+        transform(col("es"), e => e.getField("doc_id")).as("ids"),
+        transform(col("es"), e => e.getField("sig")).as("sigs"),
+        flatten(transform(col("es"), e => e.getField("embedding"))).as("embs"))
+  }
+
   /** A modality's frozen store ledger in PACKED per-bucket form — the
     * fused decision's scan operand, memoized per (session, dir, modality)
     * and CACHED (not checkpointed) so InMemoryRelation preserves the
     * groupBy's hashpartitioning(bucket) and every nightly run's ledger
-    * join is exchange-free ([[cacheStanding]]'s rationale). Built once
-    * per session; [[storePackTableOf]] is its at-rest twin. */
+    * join is exchange-free ([[cacheStanding]]'s rationale).
+    *
+    * LIVE-form store reuse (round 17 — the q220/q231 `registerIfFresh`
+    * mechanism applied to the ingest family): the store side is
+    * YESTERDAY'S data by definition, so when the at-rest packed ledger
+    * ([[storePackTableOf]]) is present and source-fingerprint-fresh, a
+    * live session scans it instead of re-paying the store's decode +
+    * assign + sign + pack — the live nightly cold becomes
+    * batch-decode-bound, its irreducible term (the batch is new by
+    * nature). No flag dance, zero fixture-gaming risk: staleness refuses
+    * via the stamp, and the bucketed scan reports the same
+    * hashpartitioning(bucket) the session build would. Absent/stale →
+    * the session build, unchanged. */
   private[graft] def storePackedOf(
       t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
     mediaStoreIdxCache.get(t.spark, s"${t.dir}#${m.tag}storepack")({
-      cacheStanding(packIngest(ingestFlatOf(t, m, storeSide = true)))
+      val width = t.spark.sessionState.conf.numShufflePartitions
+      val tbl = layoutName(s"${m.tag}storepack", t.dir, width)
+      if (graft.sources.LayoutWriter.registerIfFresh(
+          t.spark, tbl, Seq("bucket"), width, Some(t.dir)))
+        cacheStanding(t.spark.table(tbl))
+      else
+        cacheStanding(packIngest(storeFlatOf(t, m)))
     })
 
   /** Batch docs a modality's nightly ingest REJECTS: a batch member with a
@@ -2373,14 +2583,15 @@ object MultimodalQueries {
       t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
     fusedIngestRejected(t, batchProbeOf(t, m), storePackedOf(t, m))
 
-  /** The nightly batch's probe frame (doc_id, bucket, sig, embedding),
-    * checkpointed (it feeds both the probe rows and the batch-internal
-    * pack) and repartitioned by `bucket` at full width — the q220 AQE
-    * lesson: each probe row scans a whole packed bucket, so coalescing
-    * these byte-tiny partitions serializes the kernel compute. */
+  /** The nightly batch's probe frame (doc_id, bucket, sig, embedding) —
+    * the session's delta-decoded checkpoint ([[batchFlatOf]], feeding both
+    * the probe rows and the batch-internal pack) repartitioned by `bucket`
+    * at full width — the q220 AQE lesson: each probe row scans a whole
+    * packed bucket, so coalescing these byte-tiny partitions serializes
+    * the kernel compute. */
   private def batchProbeOf(
       t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame =
-    ingestFlatOf(t, m, storeSide = false).localCheckpoint(eager = false)
+    batchFlatOf(t, m)
       .repartition(
         t.spark.sessionState.conf.numShufflePartitions, col("bucket"))
 
@@ -2397,20 +2608,36 @@ object MultimodalQueries {
   private[graft] def fusedIngestRejected(
       t: graft.Tables,
       probe: org.apache.spark.sql.DataFrame,
-      ledgerPacked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      ledgerPacked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fusedIngestRejectedWith(t, probe, ledgerPacked, packIngest(probe))
+
+  /** [[fusedIngestRejected]] with the PEER operand injectable: `peersPacked`
+    * is the probe's own processed population — the nightly forms pack the
+    * whole batch (every peer is a potential earlier member), the continuous
+    * form (q222) passes its cumulative per-generation ledger INCLUDING the
+    * current slice — scanned with the arrival's own doc_id as the id bound,
+    * so ONE kernel pass applies both the processed-ledger rule and the
+    * within-slice earlier-member rule (ledger members all carry lower ids
+    * by the ascending-slice precondition). One body for all three forms,
+    * so none can drift. */
+  private[graft] def fusedIngestRejectedWith(
+      t: graft.Tables,
+      probe: org.apache.spark.sql.DataFrame,
+      ledgerPacked: org.apache.spark.sql.DataFrame,
+      peersPacked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.HammingCosineReject
     def reject(ids: org.apache.spark.sql.Column, sigs: org.apache.spark.sql.Column,
         embs: org.apache.spark.sql.Column, bound: org.apache.spark.sql.Column) =
       HammingCosineReject(ids, sigs, embs,
         array(col("sig")), col("embedding"), bound,
         1, MediaHammingSlack, 64, MediaNearDupT)
-    val batchPacked = packIngest(probe).select(col("bucket"),
+    val peers = peersPacked.select(col("bucket"),
       col("ids").as("bids"), col("sigs").as("bsigs"), col("embs").as("bembs"))
     probe
       // LEFT: a bucket with no ledger member has no store rejections —
       // the kernel's null propagates and coalesces to false.
       .join(ledgerPacked.hint("shuffle_hash"), Seq("bucket"), "left")
-      .join(batchPacked.hint("shuffle_hash"), Seq("bucket"))
+      .join(peers.hint("shuffle_hash"), Seq("bucket"))
       .filter(
         coalesce(
           reject(col("ids"), col("sigs"), col("embs"), lit(Long.MaxValue)),
@@ -2617,39 +2844,47 @@ object MultimodalQueries {
     * step function from a real readStream/foreachBatch pipeline. */
   val q222 = EngineQuery("q222_media_stream_ingest", None) { t =>
     val width = t.spark.sessionState.conf.numShufflePartitions
-    // The batch's flat rows carry the VECTORS so the frozen-store test can
-    // run fused; the (doc_id, bucket, sig) projection remains the ledger's
-    // 20-byte append unit.
-    val batchFlat = ingestFlatOf(t, imageIngest, storeSide = false)
-      .localCheckpoint()
-    val sliced = CurationQueries.generations(batchFlat, 3).localCheckpoint()
-    // The neighbor set a slice checks is store ∪ processed-batch, split by
-    // SCALE (round 16, the q221 lesson carried into the continuous form):
-    // the FROZEN STORE side — the Σ-pair population that made this query
-    // the media family's largest per-run number once the nightly forms
-    // fused (measured 127–131 s warm at sf100x) — scans the same packed
-    // ledger as q221 through [[fusedIngestRejected]] (which also applies
-    // the earlier-member rule within the slice), while the PROCESSED-batch
-    // ledger — delta-scale by construction, and the part that GROWS per
-    // arrival as vector-free (bucket, sig) rows — keeps the join-row
-    // [[ingestStepOf]]. Only slice-scale frames re-checkpoint per arrival
-    // (the curationStep contract), and the join-row path stays exercised
-    // on the delta side (MediaStreamSpec's foreachBatch pipeline keeps the
-    // FULL join-row form as the independent cross-implementation check).
+    // The batch's flat rows carry the VECTORS: both decision operands run
+    // fused (round 17 — the board's last join-row Hamming population
+    // closed), so the per-generation ledger packs (doc_id, sig, embedding)
+    // per bucket, q231's vectors-live-in-the-index convention.
+    val batchFlat = batchFlatOf(t, imageIngest)
+    val sliced = CurationQueries.generations(batchFlat, 3)
+      .localCheckpoint(eager = false)
+    // The neighbor set a slice checks is store ∪ processed-batch; BOTH
+    // sides now scan packed through [[graft.functions.HammingCosineReject]]:
+    // the FROZEN STORE side scans the same standing packed ledger as q221
+    // with an unbounded id, and the PROCESSED side scans the cumulative
+    // per-generation ledger — [[foldPacked]] repacks only the buckets the
+    // slice touches, and because the fold runs BEFORE the decision the
+    // ledger includes the current slice, so the arrival's own doc_id as
+    // the id bound applies the processed-ledger rule and the within-slice
+    // earlier-member rule in ONE kernel pass ([[fusedIngestRejectedWith]],
+    // shared verbatim with the nightly forms). Only slice-scale frames
+    // re-checkpoint per arrival (the curationStep contract); nothing
+    // pair-scale exists on either side. The join-row [[ingestStepOf]]
+    // remains the independent cross-implementation check — MediaStreamSpec
+    // drives it from a real foreachBatch pipeline and pins
+    // stream ≡ q222 ≡ q221.
     val storePacked = storePackedOf(t, imageIngest)
-    var batchLedger = batchFlat.select("doc_id", "bucket", "sig")
-      .limit(0).localCheckpoint()
+    // Lazy checkpoints: each generation's ledger/decision frame still
+    // materializes exactly once and cuts lineage for everything after it,
+    // but WITHOUT a per-generation job barrier — the three generations'
+    // tiny stages pipeline into the audit's own action (an eager barrier
+    // per arrival was ~60% of the sf0.1 warm pass; a production stream
+    // with unbounded arrivals eagerly checkpoints per trigger, which is
+    // exactly what MediaStreamSpec's foreachBatch pipeline does).
+    var ledgerPacked = packIngest(batchFlat.limit(0))
+      .localCheckpoint(eager = false)
     var rejected: org.apache.spark.sql.DataFrame = null
     for (g <- 1 to 3) {
       val slice = sliced.filter(col("gen") === g).drop("gen")
-      val sliceIdx = slice.select("doc_id", "bucket", "sig")
-      val rejStore =
-        fusedIngestRejected(t, slice.repartition(width, col("bucket")),
-          storePacked)
-      val rejProcessed = ingestStepOf(t, imageIngest, batchLedger, sliceIdx)
-      val rej = rejStore.unionByName(rejProcessed).distinct().localCheckpoint()
+      ledgerPacked = foldPacked(ledgerPacked, slice)
+        .localCheckpoint(eager = false)
+      val rej = fusedIngestRejectedWith(t,
+        slice.repartition(width, col("bucket")), storePacked, ledgerPacked)
+        .localCheckpoint(eager = false)
       rejected = if (rejected == null) rej else rejected.unionByName(rej)
-      batchLedger = batchLedger.unionByName(sliceIdx).localCheckpoint()
     }
     ingestAuditFrom(batchFlat.select("doc_id", "bucket"), rejected)
   }
