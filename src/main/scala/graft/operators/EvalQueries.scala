@@ -507,6 +507,12 @@ object EvalQueries {
   private val rankedPriceCache =
     new graft.SessionCache[(org.apache.spark.sql.DataFrame, Long)]
 
+  /** Evict the memoized exact ranking — the dir-turnover drop hook the
+    * standing checkpoint was missing (a long session sweeping dirs would
+    * otherwise pin one ranked frame per dir for its lifetime). */
+  private[graft] def dropRankedPrice(t: graft.Tables): Unit =
+    rankedPriceCache.remove(t.spark, s"${t.dir}#q208ranked")
+
   val q208 = EngineQuery("q208_quantile_audit", None) { t =>
     val spark = t.spark
     import spark.implicits._

@@ -51,4 +51,34 @@ class PageRankSpec extends SharedSparkSpec {
       r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0)).toSet
     assert(distTop == localTop)
   }
+
+  test("bucketed-probe degrade path: identical ranks, broadcast-free supersteps") {
+    val t = new Tables(spark, sf001)
+    // The documented past-broadcast-scale plan, forced at gate SF: a
+    // one-time src-bucketed edge layout probed by the shuffled id-scale
+    // rank table must reproduce the broadcast loop's ranks exactly.
+    val broad = GraphQueries.pagerank(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = broad.size.toLong
+    val deg = GraphQueries.pagerankDegraded(t, n)
+    val degM = deg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(degM.keySet == broad.keySet)
+    degM.foreach { case (node, r) =>
+      assert(math.abs(r - broad(node)) < 1e-9,
+        s"node $node: degraded $r vs broadcast ${broad(node)}")
+    }
+    // Physical shape of one superstep (pre-checkpoint): rank side builds a
+    // shuffled-hash join, the edge side streams off its bucketed scan —
+    // no broadcast anywhere, no exchange and no sort on src.
+    val edges = spark.table(GraphQueries.degradedEdgeTable(t))
+    val ranks0 = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0 / n))
+    val p = GraphQueries.degradedStep(edges, ranks0, n)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(p.contains("Bucketed: true"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning(src"), p.take(1500))
+    assert(!p.contains("Sort "), p.take(1500))
+  }
 }
