@@ -429,10 +429,18 @@ object CurationQueries {
     * checkpoints RESTRICTED to the admitted ids — no corpus text is
     * re-read (the plans ride in the stats for the spec to pin). */
   private[graft] def appendAdmittedToCurationFamily(
-      t: graft.Tables, admittedIds: DataFrame): FamilyAppendStats = {
+      t: graft.Tables, admittedIds: DataFrame): FamilyAppendStats =
+    appendAdmittedTo(t, admittedIds, curationLayoutTables(t))
+
+  /** [[appendAdmittedToCurationFamily]] with the TARGET tables injectable —
+    * the q234 audit appends into a private family copy (the gate must not
+    * mutate the serving family mid-run); one append body, so the audit
+    * and the real maintenance cannot drift. */
+  private[graft] def appendAdmittedTo(
+      t: graft.Tables, admittedIds: DataFrame,
+      tb: Map[String, String]): FamilyAppendStats = {
     val spark = t.spark
     val width = spark.sessionState.conf.numShufflePartitions
-    val tb = curationLayoutTables(t)
     val adm = admittedIds.select("doc_id").localCheckpoint()
     val deltas: Seq[(String, DataFrame)] = Seq(
       "store" -> adm,
@@ -986,5 +994,59 @@ object CurationQueries {
         .unionByName(rep(5, "decontaminate", stage(acc(_.clean)), "ntok")))
   }
 
-  val all: Seq[EngineQuery] = Seq(q214, q215, q216, q227)
+  /** MAINTENANCE audit of the curation family — q233's text twin: build a
+    * fresh PRIVATE copy of the store-side family tables (tags curf* —
+    * overwritten per run so the fold always exercises from a clean base;
+    * the serving family is never mutated mid-gate), run the real nightly
+    * decisions over the whole batch through [[curationStepFrom]], APPEND
+    * the admitted set's ids/digests/postings through the shared
+    * [[appendAdmittedTo]] body, and report the append's provenance plus
+    * DISTRIBUTED parity fingerprints (count + xxhash64 sum, never a
+    * corpus-scale collect) against rebuilt-from-scratch twins over
+    * store ∪ admitted. No oracle (the report is engine-maintenance
+    * provenance); CurationFamilyFoldSpec pins the stronger invariants —
+    * row-for-row table parity, night-two decision parity, zero corpus
+    * text reads in the append plans. */
+  val q234 = EngineQuery("q234_curation_family_fold", None) { t =>
+    val spark = t.spark
+    val width = spark.sessionState.conf.numShufflePartitions
+    val in = CurationInputs.live(t)
+    def privateTbl(member: String, tag: String, df: DataFrame): (String, String) = {
+      val (_, _, cols) = familySpec.find(_._1 == member).get
+      val name = graft.sources.LayoutWriter.deterministicName(tag, t.dir, width)
+      graft.sources.LayoutWriter.writeBucketed(df, name, cols, width, "overwrite")
+      member -> name
+    }
+    val tb = Map(
+      privateTbl("store", "curfstore", in.storeIds),
+      privateTbl("storekeys", "curfkeys", in.storeKeys),
+      privateTbl("storeinv", "curfinv", in.storeInv))
+    val nStoreBefore = spark.table(tb("store")).count()
+    val batch = in.raw.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val (_, frames) = curationStepFrom(in, batch, FunnelState.frozenFrom(in))
+    val admitted = frames.clean.localCheckpoint()
+    val stats = appendAdmittedTo(t, admitted, tb)
+    val storePlus = in.storeIds.select("doc_id").unionByName(admitted)
+    // decimal(38,0) sum: an ANSI long sum of full-range hashes overflows.
+    def fp(df: DataFrame, cols: Seq[String]): (Long, BigDecimal) = {
+      val r = df.select(count(lit(1)),
+        sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    val parityStore =
+      fp(spark.table(tb("store")), Seq("doc_id")) == fp(storePlus, Seq("doc_id"))
+    val parityKeys = fp(spark.table(tb("storekeys")), Seq("key")) ==
+      fp(storeDigestKeys(t, storePlus), Seq("key"))
+    val parityInv = fp(spark.table(tb("storeinv")), Seq("doc_id", "s")) ==
+      fp(in.corpusInv.join(storePlus, Seq("doc_id"), "left_semi"), Seq("doc_id", "s"))
+    val spark2 = spark; import spark2.implicits._
+    orderedByAll(Seq((nStoreBefore, stats.appendedRows("store"),
+      stats.appendedRows("storekeys"), stats.appendedRows("storeinv"),
+      parityStore && parityKeys && parityInv))
+      .toDF("n_store_before", "n_admitted", "n_keys_appended",
+        "n_postings_appended", "parity_ok"))
+  }
+
+  val all: Seq[EngineQuery] = Seq(q214, q215, q216, q227, q234)
 }

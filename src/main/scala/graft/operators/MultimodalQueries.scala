@@ -2293,13 +2293,26 @@ object MultimodalQueries {
   private[graft] def foldAdmittedIntoStorePack(
       t: graft.Tables, m: IngestModality,
       admittedIds: org.apache.spark.sql.DataFrame): LedgerFoldStats = {
-    val spark = t.spark
-    val width = spark.sessionState.conf.numShufflePartitions
-    val tbl = storePackTableOf(t, m)
     val admittedFlat = batchFlatOf(t, m)
       .join(admittedIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    val touched = admittedFlat
+    val tbl = storePackTableOf(t, m)
+    val stats = foldFlatIntoPackedTable(t.spark, tbl,
+      t.spark.sessionState.conf.numShufflePartitions, admittedFlat)
+    graft.sources.LayoutWriter.restamp(t.spark, tbl, Seq("bucket"), t.dir)
+    mediaStoreIdxCache.remove(t.spark, s"${t.dir}#${m.tag}storepack")
+      .foreach(_.unpersist())
+    stats
+  }
+
+  /** The file-surgery fold itself, over ANY packed bucketed table —
+    * shared by the serving ledger's maintenance ([[foldAdmittedIntoStorePack]],
+    * which adds the restamp + cache eviction) and the q233 audit's private
+    * copy, so the two cannot drift. */
+  private[graft] def foldFlatIntoPackedTable(
+      spark: org.apache.spark.sql.SparkSession, tbl: String, width: Int,
+      deltaFlat: org.apache.spark.sql.DataFrame): LedgerFoldStats = {
+    val touched = deltaFlat
       .select(pmod(hash(col("bucket")), lit(width)).cast("int").as("hb"))
       .distinct().collect().map(_.getInt(0)).toSet
     val all = spark.table(tbl).inputFiles
@@ -2311,7 +2324,7 @@ object MultimodalQueries {
     val merged = foldPacked(
       spark.read.schema(spark.table(tbl).schema)
         .parquet(oldFiles.toIndexedSeq: _*),
-      admittedFlat)
+      deltaFlat)
     // Append-then-delete: the new generation lands next to the kept files
     // before the superseded ones go — a failure in between leaves
     // duplicates a rebuild clears, never missing rows.
@@ -2322,9 +2335,6 @@ object MultimodalQueries {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).delete(p, false)
     }
-    graft.sources.LayoutWriter.restamp(spark, tbl, Seq("bucket"), t.dir)
-    mediaStoreIdxCache.remove(spark, s"${t.dir}#${m.tag}storepack")
-      .foreach(_.unpersist())
     LedgerFoldStats(tbl, oldFiles.length, kept.length)
   }
 
@@ -2889,7 +2899,55 @@ object MultimodalQueries {
     ingestAuditFrom(batchFlat.select("doc_id", "bucket"), rejected)
   }
 
+  /** MAINTENANCE audit of the packed ingest ledger — the q181→q184 index
+    * lifecycle on the VECTOR ledger, exposed as the query a nightly
+    * pipeline runs after its ingest: build a fresh PRIVATE copy of the
+    * packed store ledger (tag `mediafoldprb` — the audit must not mutate
+    * the serving family's ledger mid-gate; overwritten per run, so the
+    * fold is exercised from a clean base every time), run the real
+    * nightly decision against it, FOLD the admitted arrivals in with
+    * file surgery ([[foldFlatIntoPackedTable]] — only hash files holding
+    * touched buckets are read/rewritten), and report the fold's
+    * provenance plus a DISTRIBUTED parity fingerprint (row count +
+    * xxhash64 sum — never a corpus-scale collect) against the
+    * from-scratch pack of store ∪ admitted. No oracle (codec + trained
+    * quantizer); MediaLedgerFoldSpec pins the stronger invariants —
+    * row-for-row parity, byte-identical untouched files, night-two
+    * decision parity. */
+  val q233 = EngineQuery("q233_media_ledger_fold", None) { t =>
+    val spark = t.spark
+    val width = spark.sessionState.conf.numShufflePartitions
+    val tbl = layoutName("mediafoldprb", t.dir, width)
+    val storeFlat = storeFlatOf(t, imageIngest).localCheckpoint(eager = false)
+    graft.sources.LayoutWriter.writeBucketed(
+      packIngest(storeFlat), tbl, Seq("bucket"), width, "overwrite")
+    val batch = batchFlatOf(t, imageIngest)
+    val rejected = fusedIngestRejected(t,
+      batch.repartition(width, col("bucket")), spark.table(tbl))
+    val admittedFlat = batch.join(rejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nBefore = spark.table(tbl).count()
+    val stats = foldFlatIntoPackedTable(spark, tbl, width, admittedFlat)
+    // decimal(38,0) sum: an ANSI long sum of full-range hashes overflows.
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+      val r = df.select(count(lit(1)),
+        sum(xxhash64(col("bucket"), col("ids"), col("sigs"), col("embs"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    val folded = fingerprint(spark.table(tbl))
+    val scratch = fingerprint(packIngest(storeFlat.unionByName(
+      admittedFlat.select("doc_id", "bucket", "sig", "embedding"))))
+    val spark2 = spark; import spark2.implicits._
+    orderedByAll(Seq((nBefore, admittedFlat.count(),
+      stats.touchedHashFiles.toLong, stats.keptFiles.toLong,
+      folded._1, folded == scratch))
+      .toDF("n_buckets_before", "n_admitted", "n_files_rewritten",
+        "n_files_kept", "n_buckets_after", "parity_ok"))
+  }
+
   val all: Seq[EngineQuery] =
     Seq(q39, q109, q135, q136, q218, q219, q220, q221, q222, q223, q224,
-      q225, q226, q228, q231, q232)
+      q225, q226, q228, q231, q232, q233)
 }
