@@ -709,32 +709,48 @@ object CurationQueries {
       * erase it — mirroring the live form's memoized checkpoint economics
       * (measured: without it, q216's sf100x serve WARM paid ~50% over the
       * live warm re-scanning parquet postings thrice per run). */
+    /** Served members a session memoizes as LOCALCHECKPOINTS over plain
+      * SIZE-SPLIT reads of the table locations — the live memos' exact
+      * shape, in storage class AND in partition count, chosen by
+      * measurement (round 17, sf10x serve warm vs live warm 10.1–10.5 s):
+      * raw per-use bucketed scans measured 35–38 s, MEMORY_AND_DISK
+      * persists 27–40 s (columnar IMR re-reads lose to row blocks —
+      * r16's "pinning the restriction regressed 20%" explained), and
+      * WIDTH-inheriting checkpoints (off the bucketed scan) 24–31 s.
+      * The event-log diff located the residual: the bucketed scans pin
+      * table width through the whole replay — exchange elision preserves
+      * it and AQE never coalesces — so the serve replay ran 5745 tasks
+      * where live ran 1543 (its checkpoints ride size-based file splits,
+      * ~5 partitions for these id-scale frames at sf10x). Reading the
+      * LOCATION as plain parquet restores size-based splits at every
+      * scale; bucketing metadata is irrelevant behind a checkpoint (it
+      * erases outputPartitioning either way), and the underscore-prefixed
+      * freshness marker is invisible to the read. */
+    private val PinnedMembers =
+      Seq("inv", "storeinv", "meta", "sizes", "hits", "store", "storekeys")
+
     def served(t: graft.Tables): CurationInputs = {
       val tb = curationLayoutTables(t)
-      val inv = servedInvCache.get(t.spark, s"${t.dir}#curinvpinned")({
-        val df = t.spark.table(tb("inv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        df
-      })
-      // The store restriction reads its own at-rest table (round 17): a
-      // storage scan, NOT a second pinned cache entry — pinning it was
-      // measured −20% on the sf100x serve warm (cache pressure next to
-      // the pinned corpus postings), and deriving it per use re-ran the
-      // restriction every generation. The bucketed scan joins id-keyed
-      // consumers exchange-free like the session checkpoint it replaces.
-      CurationInputs(t.spark.table(tb("meta")), t.spark.table(tb("store")),
-        t.spark.table(tb("storekeys")),
-        t.spark.table(tb("storeinv")), inv,
-        t.spark.table(tb("sizes")), t.spark.table(tb("hits")))
+      def pinned(member: String): DataFrame =
+        servedInvCache.get(t.spark, s"${t.dir}#curpin#$member")({
+          val loc = t.spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tb(member)))
+            .location.toString
+          t.spark.read.parquet(loc).localCheckpoint()
+        })
+      CurationInputs(pinned("meta"), pinned("store"), pinned("storekeys"),
+        pinned("storeinv"), pinned("inv"),
+        pinned("sizes"), pinned("hits"))
     }
 
-    /** Evict + unpersist the pinned served postings — the drop hook the
-      * pinned frame was missing (dir turnover in a long session leaked
-      * the MEMORY_AND_DISK footprint; [[dropCurationFamily]] calls this). */
+    /** Evict every memoized served table — the drop hook the standing
+      * frames were missing (dir turnover in a long session leaked their
+      * footprint; [[dropCurationFamily]] calls this). Checkpoint blocks
+      * free with the RDD's GC once the entry is dropped. */
     private[graft] def dropServed(t: graft.Tables): Unit =
-      servedInvCache.remove(t.spark, s"${t.dir}#curinvpinned")
-        .foreach(_.unpersist())
+      PinnedMembers.foreach { m =>
+        servedInvCache.remove(t.spark, s"${t.dir}#curpin#$m")
+      }
 
     def of(t: graft.Tables): CurationInputs =
       if (graft.sources.LayoutWriter.servingLayouts) served(t) else live(t)
@@ -751,6 +767,19 @@ object CurationQueries {
     incrementalFunnel(t, in.raw, in.storeIds, in.storeKeys, in.storeInv,
       in.corpusInv, in.sizes, in.benchHits)
   }
+
+  /** Broadcast a MATERIALIZED (checkpointed) batch/slice frame when its
+    * TRUE row count sits under [[TextQueries.DeltaBroadcastRows]] — the
+    * stats-proof form of the q90 asymmetry: the intended plans stream the
+    * corpus-scale ledger map-side against the ingest-bounded side, but
+    * the optimizer's ESTIMATE of that side rides its upstream scan stats
+    * (the serve path's at-rest tables are data-scale, so every
+    * slice-bounded derivation estimated over the broadcast threshold and
+    * the ledger got shuffled + sorted per use — the measured 3× serve-warm
+    * gap at sf10x). Counting the checkpoint is a block-scan; a bulk
+    * backfill over the bound keeps the shuffle join (no-degrade). */
+  private def bcastIfSmall(df: DataFrame): DataFrame =
+    if (df.count() <= TextQueries.DeltaBroadcastRows) broadcast(df) else df
 
   /** q215's funnel body over injectable standing inputs (live = session
     * memos, served = at-rest tables): `raw` = per-doc metadata,
@@ -779,11 +808,12 @@ object CurationQueries {
     val batchMin = batchKeyed
       .join(batchKeyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
+    val batchKeys = batchMin.select("key").distinct().localCheckpoint()
     val storeHits = storeKeys
-      .join(batchMin.select("key").distinct(), Seq("key"), "left_semi")
-      .distinct()
+      .join(bcastIfSmall(batchKeys), Seq("key"), "left_semi")
+      .distinct().localCheckpoint()
     val batch3ids = batchMin
-      .join(storeHits, Seq("key"), "left_anti")
+      .join(bcastIfSmall(storeHits), Seq("key"), "left_anti")
       .select("doc_id").localCheckpoint()
     // Near-dup (q125/q185's earlier-member rule) — delta-only pair
     // formation off the standing postings index: store×batch and
@@ -791,9 +821,11 @@ object CurationQueries {
     // the batch's own (both restrictions of the standing corpus index), so
     // the nightly run never touches (or rebuilds) the full-corpus pair
     // artifact.
+    val batchInv = corpusInv.join(batch3ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val batch4ids = batch3ids
-      .join(TextQueries.deltaNearDupDropsFromInvsWith(sizes, storeInv,
-          corpusInv.join(batch3ids, Seq("doc_id"), "left_semi")),
+      .join(TextQueries.deltaNearDupDropsFromInvsWith(sizes, storeInv, batchInv,
+          broadcastDelta = batchInv.count() <= TextQueries.DeltaBroadcastRows),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set (the standing
@@ -888,11 +920,12 @@ object CurationQueries {
     val keyedMin = keyed
       .join(keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
+    val sliceKeys = keyedMin.select("key").distinct().localCheckpoint()
     val ledgerHits = st.storeKeys.unionByName(st.batchKeys)
-      .join(keyedMin.select("key").distinct(), Seq("key"), "left_semi")
-      .distinct()
+      .join(bcastIfSmall(sliceKeys), Seq("key"), "left_semi")
+      .distinct().localCheckpoint()
     val t3g = keyedMin
-      .join(ledgerHits, Seq("key"), "left_anti")
+      .join(bcastIfSmall(ledgerHits), Seq("key"), "left_anti")
       .select("doc_id").localCheckpoint()
     // Near-dup — delta-only pair formation off the standing postings index
     // (q125's economics): a slice doc drops on a pair with any store member
@@ -905,7 +938,8 @@ object CurationQueries {
       .localCheckpoint()
     val refInv = st.storeInv.unionByName(st.admittedInv)
     val t4g = t3g
-      .join(TextQueries.deltaNearDupDropsFromInvsWith(in.sizes, refInv, t3gInv),
+      .join(TextQueries.deltaNearDupDropsFromInvsWith(in.sizes, refInv, t3gInv,
+          broadcastDelta = t3gInv.count() <= TextQueries.DeltaBroadcastRows),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // Decontaminate vs the same raw src0 benchmark set (the standing hit

@@ -1667,6 +1667,27 @@ object MultimodalQueries {
     out
   }
 
+  /** [[cacheStanding]] over a bucketed TABLE scan, forcing the bucketed
+    * read while the cache materializes: planned STANDALONE, the
+    * auto-bucketed-scan heuristic sees no join that needs the bucketing,
+    * reads plain file splits, and the InMemoryRelation then preserves
+    * UnknownPartitioning — measured as 6 bucket exchanges in the served
+    * decision instead of 0 (q184's compaction-write lesson applied to
+    * the cache-fill read). */
+  private def cacheStandingBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      tbl: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      cacheStanding(spark.table(tbl))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private[graft] def crossModalImageIndex(t: graft.Tables): org.apache.spark.sql.DataFrame =
     xmodalIdxCache.get(t.spark, s"${t.dir}#xmimgidx")({
       // LIVE-form reuse (round 16): when q231's at-rest packed index is
@@ -1695,21 +1716,30 @@ object MultimodalQueries {
     * query set is itself a standing corpus (a batch cross-modal join
     * precomputes both sides' assignments), and the probe selection is the
     * same O(N·k·dim) term as the index side. */
+  private val xmodalChoiceCache = new graft.SessionCache[Boolean]
+
   private[graft] def crossModalAudioProbes(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     // LIVE-form reuse (round 16, the index's twin): a fresh at-rest
     // normalized probe table means the probe lists are already
     // materialized — the session joins them with the decode-once audio
     // checkpoint ([[servedProbesFrom]] — one shared standing frame with
-    // q231/q232) and never consults the fine model. Checked OUTSIDE the
-    // cache builder: servedProbesFrom has its own entry in the same
-    // SessionCache, and ConcurrentHashMap.computeIfAbsent must not nest.
+    // q231/q232) and never consults the fine model. Decided OUTSIDE the
+    // frame's cache builder: servedProbesFrom has its own entry in the
+    // same SessionCache, and ConcurrentHashMap.computeIfAbsent must not
+    // nest — but the DECISION itself is memoized in its own cache entry
+    // (round 17): Verify runs queries 4-way concurrent, and an unmemoized
+    // contains-then-get let two first callers race onto DIFFERENT
+    // branches, leaving two standing MEMORY_AND_DISK frames for one dir.
     // A session frame already BUILT wins over the table (don't pay a
     // second standing frame mid-session once q231 writes the layout).
     val width = t.spark.sessionState.conf.numShufflePartitions
     val prbTbl = layoutName("xmqprobes", t.dir, width)
-    if (!xmodalIdxCache.contains(t.spark, s"${t.dir}#xmaudprobes") &&
+    val useServed = xmodalChoiceCache.get(t.spark, s"${t.dir}#xmaudprobes#src")({
+      !xmodalIdxCache.contains(t.spark, s"${t.dir}#xmaudprobes") &&
         graft.sources.LayoutWriter.registerIfFresh(
-          t.spark, prbTbl, Seq("qid"), width, Some(t.dir)))
+          t.spark, prbTbl, Seq("qid"), width, Some(t.dir))
+    })
+    if (useServed)
       servedProbesFrom(t, t.spark.table(prbTbl), audioSampleEmbeddings(t))
     else xmodalIdxCache.get(t.spark, s"${t.dir}#xmaudprobes")({
       import graft.functions.KMeansTrainer
@@ -1976,6 +2006,10 @@ object MultimodalQueries {
   private[graft] def dropCrossModalSession(t: graft.Tables): Unit = {
     xmodalIdxCache.remove(t.spark, s"${t.dir}#xmimgidx").foreach(_.unpersist())
     xmodalIdxCache.remove(t.spark, s"${t.dir}#xmaudprobes").foreach(_.unpersist())
+    // The memoized source decision must fall with the frame it chose —
+    // a stale "live" verdict would pin the next session-shaped run off
+    // the tables it should now reuse.
+    xmodalChoiceCache.remove(t.spark, s"${t.dir}#xmaudprobes#src")
     dropServedProbes(t)
     xmodalModelCache.remove(t.spark, s"${t.dir}#xmfine")
     xmodalLayoutCache.remove(t.spark, s"${t.dir}#xmlayout")
@@ -2354,6 +2388,8 @@ object MultimodalQueries {
     mediaIncModelCache.remove(s, s"${t.dir}#${m.tag}inc")
     mediaStoreIdxCache.remove(s, s"${t.dir}#${m.tag}storepack")
       .foreach(_.unpersist())
+    mediaStoreIdxCache.remove(s, s"${t.dir}#${m.tag}batchprbpin")
+      .foreach(_.unpersist())
     mediaStoreIdxCache.remove(s, s"${t.dir}#${m.tag}storeidx")
     nearDupLayoutCache.remove(s, s"${t.dir}#${m.tag}storepack#layout")
     nearDupLayoutCache.remove(s, s"${t.dir}#${m.tag}batchprb#layout")
@@ -2564,7 +2600,7 @@ object MultimodalQueries {
       val tbl = layoutName(s"${m.tag}storepack", t.dir, width)
       if (graft.sources.LayoutWriter.registerIfFresh(
           t.spark, tbl, Seq("bucket"), width, Some(t.dir)))
-        cacheStanding(t.spark.table(tbl))
+        cacheStandingBucketed(t.spark, tbl)
       else
         cacheStanding(packIngest(storeFlatOf(t, m)))
     })
@@ -2778,10 +2814,21 @@ object MultimodalQueries {
     * form, so the serve cannot drift. */
   private[graft] def ingestAuditServed(
       t: graft.Tables, m: IngestModality): org.apache.spark.sql.DataFrame = {
-    val probe = t.spark.table(batchProbeTableOf(t, m))
-    val ledger = t.spark.table(storePackTableOf(t, m))
+    // Both standing scans pin in the session cache behind their bucketed
+    // table reads (round 17 — the serve dual's warm path re-scanned the
+    // data-scale packed ledger per run, measured 49–50 s vs the live
+    // reuse branch's 6 s at sf100x): the ledger entry IS storePackedOf's
+    // (storePackTableOf ensures the table stands, so its registerIfFresh
+    // branch serves it cached — one cache entry, no serve/live fork), and
+    // the probe rows pin under their own key. InMemoryRelation preserves
+    // the bucketed scans' hashpartitioning, so the decision joins stay
+    // exchange-free off the cache.
+    val probeTbl = batchProbeTableOf(t, m)
+    val probe = mediaStoreIdxCache.get(t.spark, s"${t.dir}#${m.tag}batchprbpin")(
+      cacheStandingBucketed(t.spark, probeTbl))
+    storePackTableOf(t, m)
     ingestAuditFrom(probe.select("doc_id", "bucket"),
-      fusedIngestRejected(t, probe, ledger))
+      fusedIngestRejected(t, probe, storePackedOf(t, m)))
   }
 
   /** INCREMENTAL media near-dup — the nightly-ingest form of q218 (the

@@ -372,10 +372,27 @@ object TextQueries {
     * the serve path passes the at-rest sizes table so the whole delta
     * near-dup computation runs without the session postings memo (which
     * would rebuild from text). */
+  /** Row bound under which a MATERIALIZED delta frame broadcasts as the
+    * pair join's build side (~16 B/posting → ~160 MB at the bound, far
+    * under the broadcast hard limit; on a cluster, re-probed by every
+    * ledger partition, which is where broadcast beats re-shuffling the
+    * ledger). The decision reads the TRUE size (a count on the caller's
+    * checkpoint), never the optimizer estimate: the serve path's delta
+    * derives from at-rest postings tables whose file-size stats land the
+    * estimate over the threshold, and the pair join degraded to a
+    * sort-merge that shuffled + sorted the STORE postings once per
+    * generation (measured 43 s vs 7 s live at sf10x — the live form's
+    * broadcast came from a lucky explode underestimate, not a better
+    * plan). A bulk backfill whose delta exceeds the bound keeps the
+    * shuffle join — the no-degrade contract the no-hint rule existed
+    * for, now enforced on truth instead of estimates. */
+  private[operators] val DeltaBroadcastRows = 10000000L
+
   private[operators] def deltaNearDupDropsFromInvsWith(
       sizes: org.apache.spark.sql.DataFrame,
       refInv: org.apache.spark.sql.DataFrame,
-      deltaInv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      deltaInv: org.apache.spark.sql.DataFrame,
+      broadcastDelta: Boolean = false): org.apache.spark.sql.DataFrame = {
     val streamInv = refInv
       .withColumn("is_ref", lit(true))
       .unionByName(deltaInv.withColumn("is_ref", lit(false)))
@@ -385,8 +402,9 @@ object TextQueries {
     // b.doc_id guard makes overlap harmless: current callers pass disjoint
     // refIds/deltaIds, but without it a doc present on BOTH sides would
     // pair with its own ref copy at Jaccard 1 and drop itself.
+    val buildSide = if (broadcastDelta) broadcast(deltaInv) else deltaInv
     val common = streamInv.as("c")
-      .join(deltaInv.as("b"),
+      .join(buildSide.as("b"),
         col("c.s") === col("b.s") &&
           col("c.doc_id") =!= col("b.doc_id") &&
           (col("c.is_ref") || col("c.doc_id") < col("b.doc_id")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SharedSparkSpec
+import org.apache.spark.sql.functions.{col, hex}
 
 /** q214's funnel on a CONSTRUCTED corpus where every stage has work to do —
   * the fixture corpus has no byte-identical duplicates, so the gate alone
@@ -109,17 +110,27 @@ class CurationE2eSpec extends SharedSparkSpec {
       assert(rows(s214) == live214, "q214 served != live")
       assert(rows(s215) == live215, "q215 served != live")
       assert(live214.nonEmpty && live215.nonEmpty)
-      // Storage-only: the served plans read the curmeta table, never the
-      // documents parquet (the stage frames behind the lazy checkpoints
-      // consume the same table scans — the funnel body is shared verbatim).
+      // Storage-only: neither served plan scans the documents parquet.
       for ((df, q) <- Seq((s214, "q214"), (s215, "q215"))) {
         val plan = df.queryExecution.executedPlan.toString
         val textScans = plan.linesIterator.count(l =>
           l.contains("FileScan parquet") && l.contains("documents.parquet"))
         assert(textScans == 0, s"$q served plan scans documents:\n${plan.take(1200)}")
-        assert(plan.contains("graft_curmeta"),
-          s"$q served plan must read the curation metadata table")
       }
+      // q214's funnel reads the metadata table directly; q215's standing
+      // inputs sit behind the session's served memos (checkpoints over
+      // size-split reads of the table locations — round 17), so its plan
+      // shows ExistingRDD leaves. Provenance is asserted by CONTENT: the
+      // served raw input is row-identical to the at-rest curmeta table.
+      assert(s214.queryExecution.executedPlan.toString.contains("graft_curmeta"),
+        "q214 served plan must read the curation metadata table")
+      val tb = CurationQueries.curationLayoutTables(t)
+      def metaRows(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          col("source"), col("ntok"), col("qok"), hex(col("key")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(metaRows(CurationQueries.CurationInputs.served(t).raw) ==
+        metaRows(spark.table(tb("meta"))),
+        "q215's served metadata memo must be the curmeta table's content")
     } finally sys.props.remove("spark.graft.serveLayouts")
   }
 
@@ -139,16 +150,22 @@ class CurationE2eSpec extends SharedSparkSpec {
       val served = CurationQueries.q216.run(spark, sf)
       assert(rows(served) == live, "q216 served != live")
       assert(live.nonEmpty)
-      // The report tail reads the curmeta table; the per-generation slice
-      // frames sit behind eager checkpoints, so assert on the source of
-      // truth: no documents scan anywhere in the served plan, and the
-      // metadata table is what it joins back to.
+      // The standing inputs sit behind the session's served memos
+      // (checkpoints over the table locations — round 17), so the plan
+      // shows ExistingRDD leaves; assert the source of truth directly: no
+      // documents scan anywhere in the served plan, and the served
+      // metadata memo is row-identical to the at-rest curmeta table.
       val plan = served.queryExecution.executedPlan.toString
       val textScans = plan.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains("documents.parquet"))
       assert(textScans == 0, s"q216 served plan scans documents:\n${plan.take(1200)}")
-      assert(plan.contains("graft_curmeta"),
-        "q216 served plan must read the curation metadata table")
+      val tb = CurationQueries.curationLayoutTables(t)
+      def metaRows(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          col("source"), col("ntok"), col("qok"), hex(col("key")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(metaRows(CurationQueries.CurationInputs.served(t).raw) ==
+        metaRows(spark.table(tb("meta"))),
+        "q216's served metadata memo must be the curmeta table's content")
     } finally sys.props.remove("spark.graft.serveLayouts")
   }
 }

@@ -159,18 +159,36 @@ class MediaIncrementalFamilySpec extends SharedSparkSpec {
       // read the planner rightly disables — it joins on doc_id first).
       assert(plan.contains("graft_hamming_cosine_reject"),
         s"${q.name}: served decision does not use the fused kernel")
-      val storepackScans = plan.linesIterator.filter(l =>
-        l.contains("FileScan parquet") && l.contains("storepack")).toSeq
-      assert(storepackScans.nonEmpty &&
-          storepackScans.forall(_.contains("Bucketed: true")),
-        s"${q.name}: packed ledger must read bucketed:\n" +
-          storepackScans.mkString("\n"))
-      val bucketExchanges = plan.linesIterator.count(
-        _.contains("Exchange hashpartitioning(bucket"))
-      assert(bucketExchanges <= 2,
-        s"${q.name}: $bucketExchanges bucket exchanges in the served plan " +
-          "(more than the audit tail's id-scale pair — decision-side " +
-          "re-shuffle of the stored layout?)")
+      // The packed ledger and the batch probe rows PIN in the session
+      // cache behind their bucketed scans (round 17 — the serve warm
+      // re-scanned the data-scale ledger per run before), so the served
+      // plan reads the cache; the tables stand registered underneath
+      // (InMemoryRelation preserves the scans' hashpartitioning, which
+      // the bucket-exchange bound below still proves).
+      assert(plan.contains("InMemoryTableScan") ||
+          plan.contains("TableCacheQueryStage"),
+        s"${q.name}: served decision must read the pinned table scans")
+      assert(spark.catalog.tableExists(
+          MultimodalQueries.storePackTableOf(t, m)),
+        s"${q.name}: packed ledger table not registered")
+      // Tree traversal, not string matching (the CrossModalLayoutSpec
+      // convention): the pinned frames' BUILD plans legitimately contain
+      // the one bucket exchange they materialized behind, and AQE's
+      // rendered Initial Plan duplicates every line — `collect` stops at
+      // the InMemoryTableScan leaves and sweeps only the serving plan.
+      val servingRoot = served.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val bucketExchanges = servingRoot.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if s.outputPartitioning.toString.contains("bucket#") => s
+      }
+      assert(bucketExchanges.size <= 1,
+        s"${q.name}: ${bucketExchanges.size} bucket exchanges in the served " +
+          "plan (more than the audit tail's id-scale aggregation — " +
+          "decision-side re-shuffle of the stored layout?)")
       // The exchange-free claim lives on the fused decision's ledger scan
       // (batch probe ⋈ packed store ledger on bucket): both sides
       // bucket-bucketed at rest, no re-shuffle. (The audit tail's own

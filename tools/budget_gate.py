@@ -82,6 +82,10 @@ CACHE_UPSTREAM = {
     "q222_media_stream_ingest": "q221_media_neardup_incremental",
     "q225_audio_neardup_incremental": "q219_audio_neardup",
     "q226_video_neardup_incremental": "q223_video_neardup",
+    # maintenance folds: corpus decode + frozen model from the one-shot /
+    # nightly forms (q233), curation memos from the incremental funnel (q234)
+    "q233_media_ledger_fold": "q218_media_neardup,q221_media_neardup_incremental",
+    "q234_curation_family_fold": "q215_curation_incremental",
 }
 
 
