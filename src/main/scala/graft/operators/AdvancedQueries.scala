@@ -954,8 +954,17 @@ object AdvancedQueries {
            |FROM h JOIN n USING (event_type) JOIN med USING (event_type) JOIN mad USING (event_type)
            |GROUP BY 1, 2, 3, 4 ORDER BY ALL""".stripMargin)) { t =>
     import org.apache.spark.sql.expressions.Window
+    // The histogram feeds FIVE consumers (n, the median window, the
+    // deviation histogram, and the final rollup twice-removed); without a
+    // materialization boundary Catalyst inlined it everywhere — the
+    // executed plan ran 16 events scans / 50 exchanges with zero reuse
+    // (plans/r17/q161_mad_outliers_before.txt). One lazy checkpoint holds
+    // it at histogram scale (distinct (event_type, value) — the frame this
+    // query's whole design keeps bounded) and every downstream pass reads
+    // the checkpoint: ONE corpus scan at any scale.
     val h = t.events.groupBy(col("event_type"), col("value").as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
     val w = Window.partitionBy("event_type")
     val med = h.withColumn("cc", sum(col("c")).over(w.orderBy("v")))
@@ -1339,12 +1348,22 @@ object AdvancedQueries {
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) =
     basketArtifacts.get(t.spark, s"${t.dir}#basket$MaxBasketParts") {
+      // The distinct (order, part) base feeds all three artifacts (items,
+      // the pair explode TWICE via the support join, and the order count);
+      // un-checkpointed it re-ran its corpus scan + distinct exchange per
+      // eager artifact job (round 17: the build was 3 jobs × a repeated
+      // distinct — most of q180's 6.6 s suite-cold). One lazy checkpoint
+      // of the base + lazy artifact checkpoints collapse the build into
+      // the first consumer's single job graph; every frame still
+      // materializes exactly once at pair-/id-scale.
       val d = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(eager = false)
       val items = d.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
-        .localCheckpoint()
-      val pairs = basketPairs(d, items, MaxBasketParts).localCheckpoint()
+        .localCheckpoint(eager = false)
+      val pairs = basketPairs(d, items, MaxBasketParts)
+        .localCheckpoint(eager = false)
       val nOrders = d.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       (items, pairs, nOrders)
     }
 

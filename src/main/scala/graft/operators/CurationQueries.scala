@@ -126,8 +126,12 @@ object CurationQueries {
     // Stage 2 — exact dedup (q23's digest keying over the stage-1 survivors;
     // min doc_id per digest survives). The survivor set leaves this stage as
     // an id-scale frame — text never flows between stages.
+    // Lazy stage checkpoints (round 17, the q222/q216 lesson): each
+    // id-frame still materializes once — the propagation loop's first
+    // superstep actions s2ids, the report actions the rest — without a
+    // blocking construction-time job per stage.
     val s2ids = digests(s1).groupBy("key").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").localCheckpoint(eager = false)
     def stage(ids: DataFrame): DataFrame = raw.join(ids, Seq("doc_id"), "left_semi")
 
     // Stage 3 — near-dup dedup. Pairwise Jaccard does not depend on the
@@ -143,7 +147,8 @@ object CurationQueries {
         pairs, maxIters = 40, doublingAfter = TextQueries.DoublingAfter)._1
       .filter(col("doc_id") =!= col("label"))
       .select("doc_id")
-    val s3ids = s2ids.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+    val s3ids = s2ids.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
 
     // Stage 4 — decontamination (q50's 8-shingle overlap). The hit set is
     // the standing corpus-invariant artifact ([[corpusBenchmarkHits]] /
@@ -152,7 +157,7 @@ object CurationQueries {
     val s4ids = stage(s3ids).filter(col("source") =!= "src0")
       .join(benchHits.join(s3ids, Seq("doc_id"), "left_semi"),
         Seq("doc_id"), "left_anti")
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").localCheckpoint(eager = false)
 
     // Stage 5 — chunking of the final set (q83's 64-token windows at
     // stride 48): the pipeline's output unit count and padded token volume.
@@ -781,6 +786,37 @@ object CurationQueries {
   private def bcastIfSmall(df: DataFrame): DataFrame =
     if (df.count() <= TextQueries.DeltaBroadcastRows) broadcast(df) else df
 
+  /** SOUND UPPER BOUNDS on every batch-derived frame a funnel invocation
+    * broadcasts, computed from TWO cheap scans of already-materialized
+    * metadata checkpoints (`raw` for ids, `sizes` for postings — id-scale
+    * frames in both live and served modes). Round 17: the per-frame
+    * truth-count discipline launched one BLOCKING job per decision —
+    * q216's three generations paid 9 such jobs per run, each
+    * materializing a derived join frame mid-construction (4.1 s of its
+    * 4.7 s isolated warm was driver-side construction). Every decided
+    * frame is bounded by the whole batch (slice keys ≤ slice ids ≤ batch
+    * ids; ledger hits ≤ slice keys; slice postings ≤ batch postings), so
+    * two upfront scans bound them all. Still truth, never optimizer
+    * estimates, and still no-degrade: a bulk backfill over the bound
+    * keeps the shuffle join — strictly MORE conservative than per-frame
+    * counts, never less. */
+  private[graft] final case class DeltaBounds(ids: Long, postings: Long) {
+    def idsSmall: Boolean = ids <= TextQueries.DeltaBroadcastRows
+    def postingsSmall: Boolean = postings <= TextQueries.DeltaBroadcastRows
+  }
+
+  private def batchDeltaBounds(
+      raw: DataFrame, sizes: DataFrame,
+      isBatch: org.apache.spark.sql.Column): DeltaBounds =
+    DeltaBounds(
+      raw.filter(isBatch).count(),
+      sizes.filter(isBatch)
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
+
+  /** Broadcast `df` when the caller's precomputed sound bound allows. */
+  private def bcastIfBounded(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   /** q215's funnel body over injectable standing inputs (live = session
     * memos, served = at-rest tables): `raw` = per-doc metadata,
     * `storeIds`/`storeKeys` = the frozen store and its digest-key ledger,
@@ -804,17 +840,27 @@ object CurationQueries {
     // hints: on a bulk backfill the same plan degrades gracefully to a
     // 32-byte-key shuffle join, never a store-wide broadcast. The key set
     // is the standing [[frozenStoreKeys]] artifact (q216 shares it).
+    // Lazy checkpoints throughout the funnel (round 17, q222's measured
+    // lesson applied to the text twin: per-stage EAGER barriers were the
+    // dominant sf0.1 warm cost — each inserted a blocking job where the
+    // frame still materializes exactly once, and the bcastIfSmall counts
+    // force the decision frames at decision time anyway).
     val batchKeyed = digests(batch2)
     val batchMin = batchKeyed
       .join(batchKeyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
-    val batchKeys = batchMin.select("key").distinct().localCheckpoint()
+    // Broadcast decisions ride the TWO upfront batch-level bounds
+    // ([[batchDeltaBounds]] — cheap scans of the meta/sizes checkpoints)
+    // instead of one blocking count per decided frame.
+    val bounds = batchDeltaBounds(raw, sizes, isBatch)
+    val batchKeys = batchMin.select("key").distinct()
+      .localCheckpoint(eager = false)
     val storeHits = storeKeys
-      .join(bcastIfSmall(batchKeys), Seq("key"), "left_semi")
-      .distinct().localCheckpoint()
+      .join(bcastIfBounded(batchKeys, bounds.idsSmall), Seq("key"), "left_semi")
+      .distinct().localCheckpoint(eager = false)
     val batch3ids = batchMin
-      .join(bcastIfSmall(storeHits), Seq("key"), "left_anti")
-      .select("doc_id").localCheckpoint()
+      .join(bcastIfBounded(storeHits, bounds.idsSmall), Seq("key"), "left_anti")
+      .select("doc_id").localCheckpoint(eager = false)
     // Near-dup (q125/q185's earlier-member rule) — delta-only pair
     // formation off the standing postings index: store×batch and
     // batch×batch candidate pairs form fresh from the store postings plus
@@ -822,12 +868,12 @@ object CurationQueries {
     // the nightly run never touches (or rebuilds) the full-corpus pair
     // artifact.
     val batchInv = corpusInv.join(batch3ids, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val batch4ids = batch3ids
       .join(TextQueries.deltaNearDupDropsFromInvsWith(sizes, storeInv, batchInv,
-          broadcastDelta = batchInv.count() <= TextQueries.DeltaBroadcastRows),
+          broadcastDelta = bounds.postingsSmall),
         Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Decontaminate vs the same raw src0 benchmark set (the standing
     // corpus-invariant hit artifact, id-scale semi-join).
     val batch5ids = stage(batch4ids).filter(col("source") =!= "src0")
@@ -904,10 +950,23 @@ object CurationQueries {
   /** [[curationStep]] over an injectable input bundle: the live form
     * passes the session memos, the served form ([[q216]] under
     * SPARK_GRAFT_SERVE_LAYOUTS=1) the at-rest curation layout tables —
-    * one step body, so the continuous serve tail cannot drift. */
+    * one step body, so the continuous serve tail cannot drift.
+    *
+    * `bounds`: a caller with a batch-level [[DeltaBounds]] (q216/q234 —
+    * every slice is a subset of the batch, so the batch bound is sound
+    * for every slice frame) passes it to replace the three per-slice
+    * blocking decision counts; callers without one (the spec drivers)
+    * keep the per-frame truth counts — same decisions either way at any
+    * in-bound size. */
   private[graft] def curationStepFrom(
       in: CurationInputs, sliceIds: DataFrame,
-      st: FunnelState): (FunnelState, SliceFrames) = {
+      st: FunnelState,
+      bounds: Option[DeltaBounds] = None): (FunnelState, SliceFrames) = {
+    def bcastDecided(df: DataFrame, boundSmall: DeltaBounds => Boolean): DataFrame =
+      bounds match {
+        case Some(b) => bcastIfBounded(df, boundSmall(b))
+        case None => bcastIfSmall(df)
+      }
     val raw = in.raw
     val slice = raw.join(sliceIds, Seq("doc_id"), "left_semi")
     val g2 = slice.filter(qualityOk)
@@ -920,13 +979,20 @@ object CurationQueries {
     val keyedMin = keyed
       .join(keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
-    val sliceKeys = keyedMin.select("key").distinct().localCheckpoint()
+    // Lazy checkpoints (round 17, the q222 lesson shared with
+    // incrementalFunnel above): each frame still materializes exactly once
+    // — the bcastIfSmall/broadcastDelta counts force the decision frames
+    // at decision time — but the per-slice EAGER job barriers are gone; a
+    // production trigger that wants the barrier gets it from its own
+    // per-batch action (CurationStreamSpec's foreachBatch pipeline).
+    val sliceKeys = keyedMin.select("key").distinct()
+      .localCheckpoint(eager = false)
     val ledgerHits = st.storeKeys.unionByName(st.batchKeys)
-      .join(bcastIfSmall(sliceKeys), Seq("key"), "left_semi")
-      .distinct().localCheckpoint()
+      .join(bcastDecided(sliceKeys, _.idsSmall), Seq("key"), "left_semi")
+      .distinct().localCheckpoint(eager = false)
     val t3g = keyedMin
-      .join(bcastIfSmall(ledgerHits), Seq("key"), "left_anti")
-      .select("doc_id").localCheckpoint()
+      .join(bcastDecided(ledgerHits, _.idsSmall), Seq("key"), "left_anti")
+      .select("doc_id").localCheckpoint(eager = false)
     // Near-dup — delta-only pair formation off the standing postings index
     // (q125's economics): a slice doc drops on a pair with any store member
     // (either id order), any earlier admitted doc (all lower ids by the
@@ -935,13 +1001,14 @@ object CurationQueries {
     // restricted once and checkpointed: they are the near-dup delta side
     // NOW and the admitted-postings reference of every LATER slice.
     val t3gInv = in.corpusInv.join(t3g, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val refInv = st.storeInv.unionByName(st.admittedInv)
     val t4g = t3g
       .join(TextQueries.deltaNearDupDropsFromInvsWith(in.sizes, refInv, t3gInv,
-          broadcastDelta = t3gInv.count() <= TextQueries.DeltaBroadcastRows),
+          broadcastDelta = bounds.map(_.postingsSmall).getOrElse(
+            t3gInv.count() <= TextQueries.DeltaBroadcastRows)),
         Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Decontaminate vs the same raw src0 benchmark set (the standing hit
     // artifact restricted to this slice's survivors — id-scale).
     val t5g = raw.join(t4g, Seq("doc_id"), "left_semi")
@@ -952,9 +1019,10 @@ object CurationQueries {
     val next = FunnelState(
       st.storeKeys, st.storeInv,
       st.batchKeys.unionByName(
-        keyed.join(t3g, Seq("doc_id"), "left_semi").select("key")).localCheckpoint(),
-      st.admittedIds.unionByName(t3g).localCheckpoint(),
-      st.admittedInv.unionByName(t3gInv).localCheckpoint())
+        keyed.join(t3g, Seq("doc_id"), "left_semi").select("key"))
+        .localCheckpoint(eager = false),
+      st.admittedIds.unionByName(t3g).localCheckpoint(eager = false),
+      st.admittedInv.unionByName(t3gInv).localCheckpoint(eager = false))
     (next, SliceFrames(sliceIds, g2.select("doc_id"), t3g, t4g, t5g))
   }
 
@@ -1009,11 +1077,16 @@ object CurationQueries {
     // Three id-ordered generations of today's batch (ascending-id slices —
     // curationStep's precondition).
     val gens = generations(raw.filter(isBatch).select(col("doc_id")), 3)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // One batch-level bound pair serves every slice's broadcast decisions
+    // (slices partition the batch) — 2 cheap scans instead of 9 blocking
+    // per-frame counts across the three generations.
+    val bounds = Some(batchDeltaBounds(raw, in.sizes, isBatch))
     var st = FunnelState.frozenFrom(in)
     val slices = (1 to 3).map { g =>
       val (next, frames) =
-        curationStepFrom(in, gens.filter(col("gen") === g).select("doc_id"), st)
+        curationStepFrom(in, gens.filter(col("gen") === g).select("doc_id"),
+          st, bounds)
       st = next
       frames
     }
@@ -1045,41 +1118,69 @@ object CurationQueries {
     val spark = t.spark
     val width = spark.sessionState.conf.numShufflePartitions
     val in = CurationInputs.live(t)
-    def privateTbl(member: String, tag: String, df: DataFrame): (String, String) = {
-      val (_, _, cols) = familySpec.find(_._1 == member).get
-      val name = graft.sources.LayoutWriter.deterministicName(tag, t.dir, width)
-      graft.sources.LayoutWriter.writeBucketed(df, name, cols, width, "overwrite")
-      member -> name
-    }
-    val tb = Map(
-      privateTbl("store", "curfstore", in.storeIds),
-      privateTbl("storekeys", "curfkeys", in.storeKeys),
-      privateTbl("storeinv", "curfinv", in.storeInv))
-    val nStoreBefore = spark.table(tb("store")).count()
-    val batch = in.raw.filter(col("doc_id") % 10 === 0).select("doc_id")
-    val (_, frames) = curationStepFrom(in, batch, FunnelState.frozenFrom(in))
-    val admitted = frames.clean.localCheckpoint()
-    val stats = appendAdmittedTo(t, admitted, tb)
-    val storePlus = in.storeIds.select("doc_id").unionByName(admitted)
-    // decimal(38,0) sum: an ANSI long sum of full-range hashes overflows.
-    def fp(df: DataFrame, cols: Seq[String]): (Long, BigDecimal) = {
-      val r = df.select(count(lit(1)),
-        sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
-    }
-    val parityStore =
-      fp(spark.table(tb("store")), Seq("doc_id")) == fp(storePlus, Seq("doc_id"))
-    val parityKeys = fp(spark.table(tb("storekeys")), Seq("key")) ==
-      fp(storeDigestKeys(t, storePlus), Seq("key"))
-    val parityInv = fp(spark.table(tb("storeinv")), Seq("doc_id", "s")) ==
-      fp(in.corpusInv.join(storePlus, Seq("doc_id"), "left_semi"), Seq("doc_id", "s"))
-    val spark2 = spark; import spark2.implicits._
-    orderedByAll(Seq((nStoreBefore, stats.appendedRows("store"),
-      stats.appendedRows("storekeys"), stats.appendedRows("storeinv"),
-      parityStore && parityKeys && parityInv))
-      .toDF("n_store_before", "n_admitted", "n_keys_appended",
-        "n_postings_appended", "parity_ok"))
+    // The audit is a chain of INDEPENDENT actions the driver used to run
+    // back-to-back — three private-table writes, then six fingerprint jobs
+    // — each leaving 32 cores idle through the next one's planning and
+    // tail. Spark's scheduler runs concurrent jobs fine (FIFO back-fill;
+    // Verify's 4-way pool is the in-repo precedent), so the writes run on
+    // a 3-thread pool and the from-scratch parity twins overlap the append
+    // they are independent of (they read the session memos + the admitted
+    // checkpoint, never the private tables the append mutates). Measured
+    // at sf0.1: warm 5.35 s → see PLANS r17b. Results are unchanged —
+    // every future's value feeds the same equality comparisons.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    try {
+      def privateTbl(member: String, tag: String, df: DataFrame): (String, String) = {
+        val (_, _, cols) = familySpec.find(_._1 == member).get
+        val name = graft.sources.LayoutWriter.deterministicName(tag, t.dir, width)
+        graft.sources.LayoutWriter.writeBucketed(df, name, cols, width, "overwrite")
+        member -> name
+      }
+      val tb = Await.result(Future.sequence(Seq(
+        Future(privateTbl("store", "curfstore", in.storeIds)),
+        Future(privateTbl("storekeys", "curfkeys", in.storeKeys)),
+        Future(privateTbl("storeinv", "curfinv", in.storeInv)))), Duration.Inf).toMap
+      val nStoreBefore = spark.table(tb("store")).count()
+      val batch = in.raw.filter(col("doc_id") % 10 === 0).select("doc_id")
+      val (_, frames) = curationStepFrom(in, batch, FunnelState.frozenFrom(in),
+        Some(batchDeltaBounds(in.raw, in.sizes, col("doc_id") % 10 === 0)))
+      // Eager: the append (main thread) and the scratch twins (pool) both
+      // consume it — materialize once BEFORE the threads fork.
+      val admitted = frames.clean.localCheckpoint()
+      val storePlus = in.storeIds.select("doc_id").unionByName(admitted)
+      // decimal(38,0) sum: an ANSI long sum of full-range hashes overflows.
+      def fp(df: DataFrame, cols: Seq[String]): (Long, BigDecimal) = {
+        val r = df.select(count(lit(1)),
+          sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+      }
+      // From-scratch twins: independent of the append — overlap it.
+      val scratchF = Future.sequence(Seq(
+        Future(fp(storePlus, Seq("doc_id"))),
+        Future(fp(storeDigestKeys(t, storePlus), Seq("key"))),
+        Future(fp(in.corpusInv.join(storePlus, Seq("doc_id"), "left_semi"),
+          Seq("doc_id", "s")))))
+      val stats = appendAdmittedTo(t, admitted, tb)
+      // Folded-side fingerprints read the appended tables — after the fold.
+      val foldedF = Future.sequence(Seq(
+        Future(fp(spark.table(tb("store")), Seq("doc_id"))),
+        Future(fp(spark.table(tb("storekeys")), Seq("key"))),
+        Future(fp(spark.table(tb("storeinv")), Seq("doc_id", "s")))))
+      val scratch = Await.result(scratchF, Duration.Inf)
+      val folded = Await.result(foldedF, Duration.Inf)
+      val parityOk = folded == scratch
+      val spark2 = spark; import spark2.implicits._
+      orderedByAll(Seq((nStoreBefore, stats.appendedRows("store"),
+        stats.appendedRows("storekeys"), stats.appendedRows("storeinv"),
+        parityOk))
+        .toDF("n_store_before", "n_admitted", "n_keys_appended",
+          "n_postings_appended", "parity_ok"))
+    } finally pool.shutdown()
   }
 
   val all: Seq[EngineQuery] = Seq(q214, q215, q216, q227, q234)

@@ -230,8 +230,11 @@ object GraphQueries {
     // join, and — via `o` — both wedge sides plus the closing probe);
     // uncheckpointed, the upstream co-purchase self-join re-executes per
     // consumer. Edges ARE the materialized state of every triangle
-    // algorithm — hold them once at graph scale.
-    val edges = edges0.localCheckpoint()
+    // algorithm — hold them once at graph scale. Lazy (round 17): the
+    // frame still materializes exactly once — inside the query's own
+    // action instead of as a blocking construction-time job (two eager
+    // barriers were most of q148's per-run construct time at sf0.1).
+    val edges = edges0.localCheckpoint(eager = false)
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -245,7 +248,7 @@ object GraphQueries {
       when(uLow, col("u")).otherwise(col("v")).as("src"),
       when(uLow, col("v")).otherwise(col("u")).as("dst"),
       when(uLow, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val e1 = o.select(col("src").as("apex"), col("dst").as("x"), col("ddeg").as("dx"))
     val e2 = o.select(col("src").as("apex2"), col("dst").as("y"), col("ddeg").as("dy"))
     val wedges = e1.join(e2,

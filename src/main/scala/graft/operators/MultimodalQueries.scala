@@ -2974,7 +2974,6 @@ object MultimodalQueries {
     val admittedFlat = batch.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val nBefore = spark.table(tbl).count()
-    val stats = foldFlatIntoPackedTable(spark, tbl, width, admittedFlat)
     // decimal(38,0) sum: an ANSI long sum of full-range hashes overflows.
     def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
       val r = df.select(count(lit(1)),
@@ -2983,9 +2982,25 @@ object MultimodalQueries {
       (r.getLong(0),
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
-    val folded = fingerprint(spark.table(tbl))
-    val scratch = fingerprint(packIngest(storeFlat.unionByName(
-      admittedFlat.select("doc_id", "bucket", "sig", "embedding"))))
+    // The from-scratch parity pack reads only the storeFlat/admittedFlat
+    // checkpoints (both materialized above — the pack write actioned
+    // storeFlat, the admitted checkpoint is eager), never the table files
+    // the fold rewrites — so it overlaps the fold on a second driver
+    // thread instead of serializing after it (guide-§2.6 back-fill;
+    // Verify's pool is the in-repo precedent). Same values, same
+    // comparisons — concurrency only moves wall-clock.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val scratchF = scala.concurrent.Future(fingerprint(packIngest(
+      storeFlat.unionByName(
+        admittedFlat.select("doc_id", "bucket", "sig", "embedding")))))(
+      scala.concurrent.ExecutionContext.fromExecutor(pool))
+    val (stats, folded) =
+      try {
+        val s = foldFlatIntoPackedTable(spark, tbl, width, admittedFlat)
+        (s, fingerprint(spark.table(tbl)))
+      } finally pool.shutdown()
+    val scratch = scala.concurrent.Await.result(
+      scratchF, scala.concurrent.duration.Duration.Inf)
     val spark2 = spark; import spark2.implicits._
     orderedByAll(Seq((nBefore, admittedFlat.count(),
       stats.touchedHashFiles.toLong, stats.keptFiles.toLong,
