@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   *    runs of [[KMeansTrainer.trainLocal]], one per subspace. Codebook
   *    state is M×K×16 doubles — driver-sized like q106's merge table;
   *    memoized per (session, dir), the q94/q108 train-once amortization.
-  *  - ENCODE map-only: codebooks ship as broadcast literals inside the
-  *    projection, the per-subspace argmin is a fused array expression —
-  *    the corpus never shuffles to be encoded.
+  *  - ENCODE map-only: codebooks ride the projection as one flat reference
+  *    object and the per-subspace argmin is a fused codegen loop
+  *    ([[PqEncode]]) — the corpus never shuffles to be encoded.
   *  - SEARCH map-only: each query precomputes its M×K distance LUT (also a
-  *    literal-codebook expression), broadcasts, and the ADC score is M
-  *    array lookups + adds per (vector, query) — no shuffle until the
-  *    per-query top-R reduction, which carries ids and scores only.
+  *    fused codebook expression, [[PqLut]]), broadcasts, and the ADC score
+  *    is M array lookups + adds per (vector, query) in generated Java
+  *    ([[PqAdc]]) — no shuffle until the per-query top-R reduction, which
+  *    carries ids and scores only.
   *
   * Determinism: sample and seeds are vec_id-ordered, k-means ties break on
   * centroid id ([[KMeansTrainer]]'s contract), argmin ties break on the
@@ -71,34 +72,32 @@ object PqIndex {
       Model(books)
     })
 
-  /** Squared L2 between a SubDim slice of `emb` (1-based offset) and a
-    * literal codeword, in fixed fold order — matches [[KMeansTrainer.d2]].
-    */
-  private def subD2(emb: Column, offset1: Int, codeword: Array[Double]): Column =
-    graft.dsl.foldSum(zip_with(
-      slice(emb, offset1, SubDim), typedLit(codeword.toSeq),
-      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+  /** The model's codebooks as one flat (s, j, i)-major array — the
+    * reference-object form the fused [[PqCodec]] expressions carry instead
+    * of M×K inlined codeword literals (IndexedSeq so the expressions
+    * compare structurally; plan canonicalization / reuse keep working). */
+  private def flatBooks(m: Model): IndexedSeq[Double] =
+    m.codebooks.flatMap(_.flatMap(_.toIndexedSeq))
 
   /** Map-only PQ encoding: array<int> of M codeword indices per vector.
-    * Ties take the lowest codeword index (array_position finds the FIRST
-    * minimum). */
+    * One fused codegen loop ([[PqEncode]]) — d2 in [[KMeansTrainer.d2]]'s
+    * fold order, ties take the lowest codeword index (strict `<` argmin,
+    * same as array_position's FIRST minimum). PqSpec pins parity against
+    * [[encodeLocal]] on every vector. */
   def encodeExpr(emb: Column, m: Model): Column =
-    array((0 until M).map { s =>
-      val dists = array(m.codebooks(s).map(cw => subD2(emb, s * SubDim + 1, cw)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    PqCodec.encode(emb, flatBooks(m), M, K, SubDim)
 
   /** Per-query ADC lookup table: array (size M) of array (size K) of the
-    * squared L2 between the query's subvector and each codeword. */
+    * squared L2 between the query's subvector and each codeword — one fused
+    * codegen loop ([[PqLut]]), same d2 fold order as [[encodeExpr]]. */
   def lutExpr(emb: Column, m: Model): Column =
-    array((0 until M).map { s =>
-      array(m.codebooks(s).map(cw => subD2(emb, s * SubDim + 1, cw)): _*)
-    }: _*)
+    PqCodec.lut(emb, flatBooks(m), M, K, SubDim)
 
-  /** ADC score: approx squared L2 = Σ_s lut(s)(code(s)) — M lookups+adds. */
+  /** ADC score: approx squared L2 = Σ_s lut(s)(code(s)) — M lookups+adds
+    * per candidate pair, fused and codegen'd ([[PqAdc]]; ascending-s sum
+    * from 0.0, the foldSum order). */
   def adcScore(lut: Column, codes: Column): Column =
-    graft.dsl.foldSum(zip_with(lut, codes,
-      (l, c) => element_at(l, c + 1)))
+    PqCodec.adc(lut, codes)
 
   /** Train the M subspace codebooks on an explicitly provided driver-side
     * sample — the generic twin of [[trainedModel]] for vector columns other

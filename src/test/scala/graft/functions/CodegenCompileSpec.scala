@@ -76,6 +76,24 @@ class CodegenCompileSpec extends AnyFunSuite {
       IndexedSeq(0.1, 0.0, 0.0, 0.0, -0.1, 0.0, 0.2, 0.0, 1.0, 1.1, 0.9, 1.0),
       IndexedSeq(0, 2, 3), 2, 4, 2, 2),
       row(fa(0.5f, -0.25f, 1.5f, 0.75f))),
+    // PQ codec family: m=2 subspaces x k=3 codewords x subDim=2; books flat
+    // (s, j, i)-major. Float input (raw embeddings), double input
+    // (residuals), and the lut×codes ADC fold.
+    ("PqEncode/float", PqEncode(in(0, floatArr),
+      IndexedSeq(0.0, 0.0, 1.0, 1.0, -1.0, 0.5, 2.0, -2.0, 0.0, 1.0, 0.5, 0.5), 2, 3, 2),
+      row(fa(0.5f, -0.25f, 1.5f, 0.75f))),
+    ("PqEncode/double", PqEncode(in(0, ArrayType(DoubleType)),
+      IndexedSeq(0.0, 0.0, 1.0, 1.0, -1.0, 0.5, 2.0, -2.0, 0.0, 1.0, 0.5, 0.5), 2, 3, 2),
+      row(new GenericArrayData(Array[Any](0.5, -0.25, 1.5, 0.75)))),
+    ("PqLut", PqLut(in(0, floatArr),
+      IndexedSeq(0.0, 0.0, 1.0, 1.0, -1.0, 0.5, 2.0, -2.0, 0.0, 1.0, 0.5, 0.5), 2, 3, 2),
+      row(fa(0.5f, -0.25f, 1.5f, 0.75f))),
+    ("PqAdc", PqAdc(
+      in(0, ArrayType(ArrayType(DoubleType))), in(1, ArrayType(IntegerType))),
+      row(new GenericArrayData(Array[Any](
+        new GenericArrayData(Array(0.25, 1.5, 2.0)),
+        new GenericArrayData(Array(3.0, 0.75, 0.1)))),
+        new GenericArrayData(Array[Any](1, 2)))),
     ("HammingCosineTop1", HammingCosineTop1(
       in(0, ArrayType(LongType)), in(1, ArrayType(LongType)), in(2, floatArr),
       in(3, ArrayType(LongType)), in(4, floatArr), 1, 40, 4),

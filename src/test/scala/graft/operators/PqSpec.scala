@@ -56,6 +56,29 @@ class PqSpec extends SharedSparkSpec {
     }
   }
 
+  test("distributed LUT and ADC expressions match the local d2 table on every vector") {
+    import spark.implicits._
+    val m = PqIndex.trainedModel(t)
+    val rows = PqIndex.encoded(t)
+      .select(col("vec_id"), col("embedding"), col("codes"),
+        PqIndex.lutExpr(col("embedding"), m).as("lut"),
+        PqIndex.adcScore(PqIndex.lutExpr(col("embedding"), m), col("codes")).as("adc"))
+      .as[(Long, Seq[Float], Seq[Int], Seq[Seq[Double]], Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, emb, codes, lut, adc) =>
+      val v = emb.map(_.toDouble).toArray
+      val localLut = (0 until PqIndex.M).map { s =>
+        val sub = v.slice(s * PqIndex.SubDim, (s + 1) * PqIndex.SubDim)
+        m.codebooks(s).map(cw => graft.functions.KMeansTrainer.d2(sub, cw)).toSeq
+      }
+      assert(lut == localLut)
+      // ADC = ascending-subspace fold of lut(s)(code(s)) from 0.0 — the
+      // exact foldSum order the old zip_with expression used.
+      val localAdc = (0 until PqIndex.M).foldLeft(0.0)((acc, s) => acc + lut(s)(codes(s)))
+      assert(adc == localAdc)
+    }
+  }
+
   private def topk(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
 
