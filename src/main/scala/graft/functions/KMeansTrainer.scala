@@ -245,19 +245,17 @@ object KMeansTrainer {
     graft.functions.NearestCentroids(
       emb, m.centroids.flatMap(_.toIndexedSeq), m.centroids.head.length, nprobe)
 
-  /** The centroid for a bucket-id COLUMN, as one literal k×dim array
-    * lookup — the building block of residual encoding (vector − its coarse
-    * centroid), map-only like the assignment itself. */
-  def centroidAt(bucket: org.apache.spark.sql.Column, m: Trained): org.apache.spark.sql.Column =
-    element_at(typedLit(m.centroids.map(_.toSeq)), bucket + 1)
-
   /** `emb − centroid(bucket)` as array<double> — the residual a FAISS-style
     * IVF-PQ index quantizes instead of the raw vector (coarse structure is
     * already explained by the bucket; the codebooks only need to cover the
-    * within-cell offsets, which is where PQ accuracy comes from). */
+    * within-cell offsets, which is where PQ accuracy comes from). One fused
+    * codegen loop ([[graft.functions.ResidualTo]]): the previous
+    * zip_with-over-literal-table form ran interpreted per corpus row in
+    * every residual encode build. Same arithmetic element-for-element. */
   def residualTo(emb: org.apache.spark.sql.Column, bucket: org.apache.spark.sql.Column,
       m: Trained): org.apache.spark.sql.Column =
-    zip_with(emb, centroidAt(bucket, m), (x, y) => x.cast("double") - y)
+    graft.functions.ResidualTo(
+      emb, bucket, m.centroids.flatMap(_.toIndexedSeq), m.centroids.head.length)
 
   /** Local nearest-centroid assignment (parity twin of [[coarseBucket]]):
     * lowest d2, ties on the lowest centroid id. */

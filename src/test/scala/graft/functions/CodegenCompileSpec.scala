@@ -94,6 +94,8 @@ class CodegenCompileSpec extends AnyFunSuite {
         new GenericArrayData(Array(0.25, 1.5, 2.0)),
         new GenericArrayData(Array(3.0, 0.75, 0.1)))),
         new GenericArrayData(Array[Any](1, 2)))),
+    ("ResidualTo", ResidualTo(in(0, floatArr), in(1, IntegerType), cents, 4),
+      row(fa(0.5f, -0.25f, 1.5f, 0.75f), 2)),
     ("HammingCosineTop1", HammingCosineTop1(
       in(0, ArrayType(LongType)), in(1, ArrayType(LongType)), in(2, floatArr),
       in(3, ArrayType(LongType)), in(4, floatArr), 1, 40, 4),
