@@ -443,23 +443,48 @@ object CurationQueries {
     * and the real maintenance cannot drift. */
   private[graft] def appendAdmittedTo(
       t: graft.Tables, admittedIds: DataFrame,
-      tb: Map[String, String]): FamilyAppendStats = {
+      tb: Map[String, String],
+      widthOverride: Int = -1): FamilyAppendStats = {
     val spark = t.spark
-    val width = spark.sessionState.conf.numShufflePartitions
+    // The append's bucket width must MATCH the width the target tables
+    // were created with: the serving family is written at session width
+    // (curationLayoutTables), q234's private copy at the decoupled audit
+    // width — the caller that owns the tables passes it.
+    val width =
+      if (widthOverride > 0) widthOverride
+      else spark.sessionState.conf.numShufflePartitions
     val adm = admittedIds.select("doc_id").localCheckpoint()
+    // Lazy checkpoint per delta: the count and the bucketed write below
+    // are two actions on the same frame — without it each delta's digest
+    // derivation / postings semi-join ran twice per nightly fold
+    // (round 18; the checkpoint keeps the append plans free of corpus
+    // text reads, which CurationFamilyFoldSpec pins).
     val deltas: Seq[(String, DataFrame)] = Seq(
       "store" -> adm,
-      "storekeys" -> storeDigestKeys(t, adm),
+      "storekeys" -> storeDigestKeys(t, adm).localCheckpoint(eager = false),
       "storeinv" -> TextQueries.corpusPostings(t)._1
-        .join(adm, Seq("doc_id"), "left_semi"))
-    val stats = deltas.map { case (member, df) =>
-      val (_, _, cols) = familySpec.find(_._1 == member).get
-      val rows = df.count()
-      graft.sources.LayoutWriter.writeBucketed(
-        df, tb(member), cols, width, "append")
-      graft.sources.LayoutWriter.restamp(spark, tb(member), cols, t.dir)
-      (member, rows, df.queryExecution.executedPlan.toString)
-    }
+        .join(adm, Seq("doc_id"), "left_semi").localCheckpoint(eager = false))
+    // The three member tables are disjoint — count + append + restamp of
+    // each runs on its own thread (guide §2.6: overlap independent jobs;
+    // they were serialized, each leaving the cores idle through the next
+    // one's planning and commit).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val stats =
+      try Await.result(Future.sequence(deltas.map { case (member, df) =>
+        Future {
+          val (_, _, cols) = familySpec.find(_._1 == member).get
+          val rows = df.count()
+          graft.sources.LayoutWriter.writeBucketed(
+            df, tb(member), cols, width, "append")
+          graft.sources.LayoutWriter.restamp(spark, tb(member), cols, t.dir)
+          (member, rows, df.queryExecution.executedPlan.toString)
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     FamilyAppendStats(
       stats.map(s => s._1 -> s._2).toMap,
       stats.map(s => s._1 -> s._3).toMap)
@@ -846,18 +871,24 @@ object CurationQueries {
     // frame still materializes exactly once, and the bcastIfSmall counts
     // force the decision frames at decision time anyway).
     val batchKeyed = digests(batch2)
+    // batchMin checkpoints (round 18): it feeds BOTH the store-hit probe
+    // and the exact-survivor anti-join — un-checkpointed, its
+    // groupBy-min shuffle ran twice per funnel. Its two derivations
+    // (batchKeys, storeHits) are single-consumer and inline into their
+    // consumer's job instead of paying a planning pass each (the
+    // checkpoint-discipline note in [[curationStepFrom]]).
     val batchMin = batchKeyed
       .join(batchKeyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
     // Broadcast decisions ride the TWO upfront batch-level bounds
     // ([[batchDeltaBounds]] — cheap scans of the meta/sizes checkpoints)
     // instead of one blocking count per decided frame.
     val bounds = batchDeltaBounds(raw, sizes, isBatch)
     val batchKeys = batchMin.select("key").distinct()
-      .localCheckpoint(eager = false)
     val storeHits = storeKeys
       .join(bcastIfBounded(batchKeys, bounds.idsSmall), Seq("key"), "left_semi")
-      .distinct().localCheckpoint(eager = false)
+      .distinct()
     val batch3ids = batchMin
       .join(bcastIfBounded(storeHits, bounds.idsSmall), Seq("key"), "left_anti")
       .select("doc_id").localCheckpoint(eager = false)
@@ -976,20 +1007,27 @@ object CurationQueries {
     // hits are bounded by |slice| and anti-filter the slice. No explicit
     // hints — the ledger is never a broadcast build side.
     val keyed = digests(g2)
+    // Checkpoint DISCIPLINE (round 18 — fewer, load-bearing frames): a
+    // lazy localCheckpoint still pays a full physical-planning pass at
+    // construction (Dataset.checkpoint calls toRdd immediately), and the
+    // r17 shape planned ~8 frames per slice × 3 generations — ~2.5 s of
+    // pure driver-side planning per q216 run with every executor idle
+    // (PhaseProbe: construct-bound). A frame now checkpoints only when
+    // that buys something: MULTIPLE consumers (keyedMin feeds the ledger
+    // probe, the exact survivors and the admitted-key accumulator; t3g /
+    // t3gInv / t4g feed 2–4 consumers each) — single-consumer frames
+    // (sliceKeys, ledgerHits) and the pure state UNIONS (each leg already
+    // a checkpoint scan, so the union re-executes nothing) inline into
+    // their consumer's one job. Decisions are unchanged: the
+    // bcastDecided bounds are precomputed scalars, never frame counts.
     val keyedMin = keyed
       .join(keyed.groupBy("key").agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id"), "left_semi")
-    // Lazy checkpoints (round 17, the q222 lesson shared with
-    // incrementalFunnel above): each frame still materializes exactly once
-    // — the bcastIfSmall/broadcastDelta counts force the decision frames
-    // at decision time — but the per-slice EAGER job barriers are gone; a
-    // production trigger that wants the barrier gets it from its own
-    // per-batch action (CurationStreamSpec's foreachBatch pipeline).
-    val sliceKeys = keyedMin.select("key").distinct()
       .localCheckpoint(eager = false)
+    val sliceKeys = keyedMin.select("key").distinct()
     val ledgerHits = st.storeKeys.unionByName(st.batchKeys)
       .join(bcastDecided(sliceKeys, _.idsSmall), Seq("key"), "left_semi")
-      .distinct().localCheckpoint(eager = false)
+      .distinct()
     val t3g = keyedMin
       .join(bcastDecided(ledgerHits, _.idsSmall), Seq("key"), "left_anti")
       .select("doc_id").localCheckpoint(eager = false)
@@ -1016,13 +1054,16 @@ object CurationQueries {
       .join(in.benchHits.join(t4g, Seq("doc_id"), "left_semi"),
         Seq("doc_id"), "left_anti")
       .select("doc_id")
+    // State unions ride UN-checkpointed: every leg is already a
+    // checkpointed slice-scale frame, so a later slice's ledger probe
+    // unions g−1 checkpoint scans plus one cheap key projection per leg —
+    // no recompute, no per-slice planning barrier.
     val next = FunnelState(
       st.storeKeys, st.storeInv,
       st.batchKeys.unionByName(
-        keyed.join(t3g, Seq("doc_id"), "left_semi").select("key"))
-        .localCheckpoint(eager = false),
-      st.admittedIds.unionByName(t3g).localCheckpoint(eager = false),
-      st.admittedInv.unionByName(t3gInv).localCheckpoint(eager = false))
+        keyedMin.join(t3g, Seq("doc_id"), "left_semi").select("key")),
+      st.admittedIds.unionByName(t3g),
+      st.admittedInv.unionByName(t3gInv))
     (next, SliceFrames(sliceIds, g2.select("doc_id"), t3g, t4g, t5g))
   }
 
@@ -1116,18 +1157,23 @@ object CurationQueries {
     * text reads in the append plans. */
   val q234 = EngineQuery("q234_curation_family_fold", None) { t =>
     val spark = t.spark
-    val width = spark.sessionState.conf.numShufflePartitions
+    // Private-table width: decoupled from core count (round 18 — the
+    // audit's outputs are width-independent, see LayoutWriter.auditBuckets).
+    val width = graft.sources.LayoutWriter.auditBuckets(spark)
     val in = CurationInputs.live(t)
     // The audit is a chain of INDEPENDENT actions the driver used to run
-    // back-to-back — three private-table writes, then six fingerprint jobs
-    // — each leaving 32 cores idle through the next one's planning and
-    // tail. Spark's scheduler runs concurrent jobs fine (FIFO back-fill;
-    // Verify's 4-way pool is the in-repo precedent), so the writes run on
-    // a 3-thread pool and the from-scratch parity twins overlap the append
-    // they are independent of (they read the session memos + the admitted
-    // checkpoint, never the private tables the append mutates). Measured
-    // at sf0.1: warm 5.35 s → see PLANS r17b. Results are unchanged —
-    // every future's value feeds the same equality comparisons.
+    // back-to-back — three private-table writes, then a funnel, then six
+    // fingerprint jobs — each leaving 32 cores idle through the next one's
+    // planning and tail. Spark's scheduler runs concurrent jobs fine (FIFO
+    // back-fill; Verify's 4-way pool is the in-repo precedent):
+    //  - the three private writes run on a pool AND overlap the funnel
+    //    construct + admitted checkpoint on the main thread (round 18 —
+    //    neither reads the private tables);
+    //  - the from-scratch parity twins overlap the append they are
+    //    independent of (they read the session memos + the admitted
+    //    checkpoint, never the private tables the append mutates).
+    // Results are unchanged — every future's value feeds the same
+    // equality comparisons.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -1140,11 +1186,10 @@ object CurationQueries {
         graft.sources.LayoutWriter.writeBucketed(df, name, cols, width, "overwrite")
         member -> name
       }
-      val tb = Await.result(Future.sequence(Seq(
+      val tbF = Future.sequence(Seq(
         Future(privateTbl("store", "curfstore", in.storeIds)),
         Future(privateTbl("storekeys", "curfkeys", in.storeKeys)),
-        Future(privateTbl("storeinv", "curfinv", in.storeInv)))), Duration.Inf).toMap
-      val nStoreBefore = spark.table(tb("store")).count()
+        Future(privateTbl("storeinv", "curfinv", in.storeInv))))
       val batch = in.raw.filter(col("doc_id") % 10 === 0).select("doc_id")
       val (_, frames) = curationStepFrom(in, batch, FunnelState.frozenFrom(in),
         Some(batchDeltaBounds(in.raw, in.sizes, col("doc_id") % 10 === 0)))
@@ -1165,7 +1210,10 @@ object CurationQueries {
         Future(fp(storeDigestKeys(t, storePlus), Seq("key"))),
         Future(fp(in.corpusInv.join(storePlus, Seq("doc_id"), "left_semi"),
           Seq("doc_id", "s")))))
-      val stats = appendAdmittedTo(t, admitted, tb)
+      // The append mutates the private tables — wait for their writes.
+      val tb = Await.result(tbF, Duration.Inf).toMap
+      val nStoreBefore = spark.table(tb("store")).count()
+      val stats = appendAdmittedTo(t, admitted, tb, width)
       // Folded-side fingerprints read the appended tables — after the fold.
       val foldedF = Future.sequence(Seq(
         Future(fp(spark.table(tb("store")), Seq("doc_id"))),

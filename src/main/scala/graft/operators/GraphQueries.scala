@@ -120,7 +120,17 @@ object GraphQueries {
     * none. Written once per (session, dir). */
   private[operators] def degradedEdgeTable(t: Tables): String =
     graphLayoutCache.get(t.spark, s"${t.dir}#predges")({
-      val width = t.spark.sessionState.conf.numShufflePartitions
+      // Bucket width derives from the EDGE DATA, never the core count
+      // (round 18 — the session shuffle width is `local[$cores]` here,
+      // which is both meaningless at the >5×10⁷-node scale this path
+      // exists for and unstable across driver core counts): one edge
+      // count (the table is about to be scanned 8 more times by the
+      // supersteps), ~24 B/row, guide-§6 file-size target, floored at
+      // the session width so the superstep probes keep full parallelism.
+      val e = degEdges(t).count()
+      val width = math.max(
+        t.spark.sessionState.conf.numShufflePartitions,
+        math.min(4096L, e * 24L / (256L << 20) + 1L).toInt)
       val tbl = graft.sources.LayoutWriter.deterministicName(
         "predges", t.dir, width)
       graft.sources.LayoutWriter.writeBucketed(degEdges(t), tbl, "src", width)

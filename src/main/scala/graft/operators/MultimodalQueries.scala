@@ -161,12 +161,18 @@ object Multimodal {
     var pos = 8
     var w = 0; var h = 0; var ctype = -1
     var seenIhdr = false; var seenIend = false
-    val idat = new java.io.ByteArrayOutputStream()
+    // IDAT reassembly: real files overwhelmingly carry ONE IDAT chunk, so
+    // the common case inflates straight out of `bytes` at (offset, len) —
+    // zero copy; multi-IDAT files concatenate (round 18; was an
+    // unconditional ByteArrayOutputStream copy per record).
+    var idatOff = -1; var idatLen = 0
+    var idatMulti: java.io.ByteArrayOutputStream = null
+    val crc = crcScratch.get()
     while (!seenIend) {
       if (pos + 12 > bytes.length) return None
       val len = be32(pos)
       if (len < 0 || pos + 12L + len > bytes.length) return None
-      val crc = new java.util.zip.CRC32()
+      crc.reset()
       crc.update(bytes, pos + 4, 4 + len)
       if (crc.getValue != (be32(pos + 8 + len).toLong & 0xffffffffL)) return None
       new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
@@ -181,7 +187,17 @@ object Multimodal {
           if (w <= 0 || h <= 0 || depth != 8 || compression != 0 ||
             filterMethod != 0 || interlace != 0) return None
           seenIhdr = true
-        case "IDAT" => if (!seenIhdr) return None else idat.write(bytes, pos + 8, len)
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          if (idatOff < 0 && idatMulti == null) { idatOff = pos + 8; idatLen = len }
+          else {
+            if (idatMulti == null) {
+              idatMulti = new java.io.ByteArrayOutputStream()
+              idatMulti.write(bytes, idatOff, idatLen)
+              idatOff = -1
+            }
+            idatMulti.write(bytes, pos + 8, len)
+          }
         case "IEND" => seenIend = true
         case _      => () // ancillary chunks (tEXt, pHYs, ...) are skippable
       }
@@ -196,8 +212,11 @@ object Multimodal {
     if (w.toLong * h * channels > (1L << 28)) return None
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h) // +1 filter byte per scanline
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
+    val inf = inflScratch.get()
+    inf.reset()
+    if (idatMulti != null) inf.setInput(idatMulti.toByteArray)
+    else if (idatOff >= 0) inf.setInput(bytes, idatOff, idatLen)
+    else return None
     var got = 0
     try {
       while (got < raw.length && !inf.finished()) {
@@ -213,7 +232,7 @@ object Multimodal {
       }
     } catch {
       case _: java.util.zip.DataFormatException => return None
-    } finally inf.end()
+    }
     if (got != raw.length) return None
     val out = new Array[Byte](stride * h)
     var y = 0
@@ -453,17 +472,75 @@ object Multimodal {
     out
   }
 
-  /** Real 8-bit grayscale PNG encode via the JDK's ImageIO — lossless, so
-    * [[decodePng]] recovers the exact pixel bytes (round-trip proven in
-    * MultimodalSpec). Used to synthesize q109's image payloads. */
+  /** Per-thread codec scratch (round 18, guide §4.5 applied to the JVM
+    * codec boundary): Deflater/Inflater wrap native zlib streams whose
+    * construction/finalization dominated the per-record cost of the
+    * synthetic-media paths at 256-pixel payloads — one pair per executor
+    * thread, `reset()` per record, instead of allocate+end per record.
+    * Thread-confined by construction (a task never shares its thread
+    * mid-record), so this is invisible to results. */
+  private val deflScratch = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue() = new java.util.zip.Deflater()
+  }
+  private val inflScratch = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue() = new java.util.zip.Inflater()
+  }
+  private val crcScratch = new ThreadLocal[java.util.zip.CRC32] {
+    override def initialValue() = new java.util.zip.CRC32()
+  }
+
+  /** Real 8-bit grayscale PNG encode — stdlib-only, single IDAT, filter 0
+    * scanlines, default-level zlib — lossless, so [[decodePng]] recovers
+    * the exact pixel bytes (round-trip proven in MultimodalSpec, which
+    * separately pins the DECODER against ImageIO-encoded files). Used to
+    * synthesize q109's image payloads. Round 18: this replaced
+    * `javax.imageio.ImageIO.write` — a per-row BufferedImage + writer +
+    * stream stack that dominated the synthesis fixture's cost in every
+    * media query (the decode under test was cheaper than the fixture
+    * feeding it); the compression level matches ImageIO's (zlib default),
+    * so the decoder's inflate work is unchanged. */
   def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(pixels.length == w * h, s"${pixels.length} pixels for ${w}x$h")
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    img.getRaster.setDataElements(0, 0, w, h, pixels)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // Raw scanlines: one filter byte (0 = None) + w gray bytes per row.
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pixels, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val defl = deflScratch.get()
+    defl.reset()
+    defl.setInput(raw)
+    defl.finish()
+    var comp = new Array[Byte](raw.length + (raw.length >> 1) + 64)
+    var clen = 0
+    while (!defl.finished()) {
+      if (clen == comp.length) comp = java.util.Arrays.copyOf(comp, comp.length * 2)
+      clen += defl.deflate(comp, clen, comp.length - clen)
+    }
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + clen) + 12)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val crc = crcScratch.get()
+    def chunk(ctype: String, data: Array[Byte], dlen: Int): Unit = {
+      out.putInt(dlen)
+      val typeBytes = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.put(typeBytes)
+      out.put(data, 0, dlen)
+      crc.reset()
+      crc.update(typeBytes)
+      crc.update(data, 0, dlen)
+      out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", comp, clen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out.array()
   }
 
   /** Canonical 44-byte-header RIFF/WAVE (PCM, 16-bit, mono) around raw
@@ -2963,7 +3040,11 @@ object MultimodalQueries {
     * decision parity. */
   val q233 = EngineQuery("q233_media_ledger_fold", None) { t =>
     val spark = t.spark
-    val width = spark.sessionState.conf.numShufflePartitions
+    // Private-copy width: decoupled from core count (round 18 — the
+    // fold's decisions and the parity fingerprint are width-independent,
+    // see LayoutWriter.auditBuckets; `width = local[$cores]` made the
+    // 32-core audit write and fold 4× the files of the 8-core one).
+    val width = graft.sources.LayoutWriter.auditBuckets(spark)
     val tbl = layoutName("mediafoldprb", t.dir, width)
     val storeFlat = storeFlatOf(t, imageIngest).localCheckpoint(eager = false)
     graft.sources.LayoutWriter.writeBucketed(

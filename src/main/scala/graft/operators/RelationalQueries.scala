@@ -514,15 +514,30 @@ object RelationalQueries {
            |FROM lineitem
            |ORDER BY ALL""".stripMargin)) { t =>
     val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
-    val wide = t.lineitem.agg(
+    // Round 18: THREE exact NDVs in one agg forced Spark's multi-distinct
+    // Expand — every input row multiplied ×4 (one replica per distinct
+    // column + one for the plain aggregates) through the first hash
+    // aggregate, with null-padded grouping keys. Splitting each NDV into
+    // its own single-distinct aggregation keeps every pass Expand-free
+    // (a single distinct plans as a two-level group-by — partial distinct
+    // before the exchange), prunes each NDV scan to ONE column, and the
+    // four 1-row subtrees are independent, so the scheduler overlaps
+    // their stages inside the one job (the 1-row joins are broadcast
+    // nest-loops, not exchanges). Values are identical — same exact
+    // aggregates over the same rows — and the oracle SQL is unchanged;
+    // the hash gate pins it.
+    val stats = t.lineitem.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap { c =>
         Seq(count(col(c)).as(s"cnt_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"),
           round(min(col(c)), 4).as(s"min_$c"),
           round(max(col(c)), 4).as(s"max_$c"),
           round(avg(col(c)), 4).as(s"mean_$c"))
       }: _*)
+    val wide = cols.foldLeft(stats) { (acc, c) =>
+      acc.crossJoin(
+        t.lineitem.select(col(c)).agg(countDistinct(col(c)).as(s"ndv_$c")))
+    }
     val rows = explode(array(cols.map { c =>
       struct(lit(c).as("col_name"),
         col("n_rows"),

@@ -538,8 +538,13 @@ object SinkQueries {
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
       batch: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.broadcast
+    // Lazy: b's four consumers (parts/dels/upds/inserts) still
+    // materialize it exactly once — inside the first broadcast build —
+    // without a blocking job per micro-batch (round 18). The EAGER
+    // checkpoint below (merged) is the one the self-overwrite hazard
+    // needs; b never reads storeDir.
     val b = batch.withColumn("p", (col("o_orderkey") % 8).cast("int"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val parts = b.select(col("p")).distinct()
     val current = spark.read.parquet(storeDir)
       .join(broadcast(parts), Seq("p"), "left_semi")

@@ -1454,14 +1454,24 @@ object TextQueries {
   private[graft] def ingestedPostingsStats(t: graft.Tables): PostingsIngestStats =
     ingestedPostingsLayouts.get(t.spark, t.dir)({
       val tbl = graft.sources.LayoutWriter.deterministicName("postings_ing", t.dir, 8)
+      // Per-generation provenance counts off each generation's OWN
+      // checkpointed frame (round 18): the r17 shape counted the whole
+      // table after every append — generation g's count re-read g+1
+      // generations of files (10 generation-scans for a 4-generation
+      // ingest) and serialized a blocking job between appends. The lazy
+      // checkpoint materializes once inside the append's write job; the
+      // count then reads blocks. Same numbers: appends are lossless, so
+      // rows-appended == rows-of-generation (StreamIngestSpec pins
+      // table count == sum of the deltas).
       val rows = (0 until 4).map { g =>
+        val gen = invPostings(
+          t.documents.filter(pmod(col("doc_id"), lit(4)) === g))
+          .localCheckpoint(eager = false)
         graft.sources.LayoutWriter.writeBucketed(
-          invPostings(t.documents.filter(pmod(col("doc_id"), lit(4)) === g)),
-          tbl, "s", 8, if (g == 0) "overwrite" else "append")
-        t.spark.table(tbl).count()
+          gen, tbl, "s", 8, if (g == 0) "overwrite" else "append")
+        gen.count()
       }
-      PostingsIngestStats(tbl,
-        rows.zip(0L +: rows.dropRight(1)).map { case (after, before) => after - before })
+      PostingsIngestStats(tbl, rows)
     })
 
   /** q144's query served from the CONTINUOUSLY-INGESTED index (4 appended

@@ -132,6 +132,21 @@ object LayoutWriter {
     (files.length, after, total)
   }
 
+  /** Bucket width for the MAINTENANCE AUDITS' private scratch tables
+    * (q233's packed-ledger copy, q234's family copy). Decoupled from the
+    * session shuffle width (round 18): the audits' decisions and parity
+    * fingerprints are width-independent, and `width = local[$cores]` made
+    * the 32-core bench write 4× the files — and pay 4× the per-file
+    * commit/open overhead — of the 8-core run for the SAME audit (the
+    * r17 driver run measured the pair at 33 s cold at 32c vs 4.4 s at
+    * 8c). The default (8) keeps the private tables' file layout identical
+    * across the driver's core counts; a production deployment sizes it
+    * from ledger bytes / target file size (guide §6: 128 MB–1 GB files)
+    * via spark.graft.audit.buckets — a data-derived number, never the
+    * executor count. */
+  def auditBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.audit.buckets").map(_.toInt).getOrElse(8)
+
   /** Deterministic at-rest table name keyed on (tag, data dir, bucket
     * count): same artifact → same name, so re-runs and fresh sessions
     * OVERWRITE one catalog table instead of accumulating UUID-named

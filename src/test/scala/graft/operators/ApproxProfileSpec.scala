@@ -29,12 +29,21 @@ class ApproxProfileSpec extends SharedSparkSpec {
     }
   }
 
-  test("q138: the sketch removes q126's Expand — one pass, no row multiplication") {
-    def plan(q: graft.EngineQuery) =
+  test("neither profiler plans an Expand; q138 stays one-pass") {
+    // Round 18: q126's exact NDVs split into per-column single-distinct
+    // aggregations (two-level group-by, scans pruned to one column each),
+    // so the multi-distinct Expand — every input row ×4 through the first
+    // hash aggregate — is gone from BOTH profilers. q138's advantage is
+    // now pass count alone: the sketch is one corpus pass, the exact
+    // profile four (its subtrees overlap inside one job, but each is its
+    // own scan).
+    def planOf(q: graft.EngineQuery) =
       q.run(spark, sf001).queryExecution.executedPlan.toString
-    assert(plan(RelationalQueries.q126).contains("Expand"),
-      "q126's exact multi-distinct no longer plans an Expand — update this guard")
-    assert(!plan(RelationalQueries.q138).contains("Expand"),
+    assert(!planOf(RelationalQueries.q126).contains("Expand"),
+      "q126's exact profile re-grew a multi-distinct Expand")
+    assert(!planOf(RelationalQueries.q138).contains("Expand"),
       "q138 plans an Expand — the approximate profiler lost its one-pass shape")
+    assert(planOf(RelationalQueries.q138).split("FileScan").length - 1 == 1,
+      "q138 must stay ONE corpus pass")
   }
 }
