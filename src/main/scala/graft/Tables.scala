@@ -136,15 +136,18 @@ object dsl {
   def toks(c: Column): Column = split(c, " ")
 
   /** k-token shingles ("w1 w2 .. wk") per document, distinct. Caller must
-    * filter size(tokens) >= k first: Spark `sequence(1, n)` with n < 1
-    * yields a DESCENDING sequence instead of an empty one.
-    * IMPORTANT: pass a materialized array COLUMN, not `split(...)` inline —
-    * an expression inside the per-index lambda is re-evaluated per shingle
-    * position (O(tokens²) per document). */
+    * filter size(tokens) >= k first (below k the kernel returns an empty
+    * array). Round 18: a fused codegen expression
+    * ([[graft.functions.ShingleJoin]]) replaced the
+    * `array_distinct(transform(sequence, i => concat_ws(slice)))` form —
+    * higher-order functions are CodegenFallback, so the text family's
+    * hottest map expression ran interpreted AND broke whole-stage codegen
+    * for its enclosing stage. Same array: same window positions, same
+    * space join (null-skipping, ConcatWs's own runtime), same
+    * first-occurrence-order distinct — every shingle-bearing oracle hash
+    * is unchanged. */
   def shingles(tokCol: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(tokCol) - (k - 1)),
-      i => concat_ws(" ", slice(tokCol, i, lit(k)))))
+    graft.functions.ShingleJoin(tokCol, k)
 
   /** Left-fold double sum over an array column — identical accumulation
     * order to the DuckDB mirror `list_reduce(list_prepend(0.0, xs), +)`,

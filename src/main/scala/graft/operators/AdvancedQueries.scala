@@ -1535,7 +1535,10 @@ object AdvancedQueries {
         .groupBy(date_trunc("month", col("o_orderdate")).as("mon"), col("l_partkey"))
         .agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val w = Window.partitionBy("mon").orderBy(col("n_orders").desc, col("l_partkey"))
-      m.withColumn("rnk", row_number().over(w)).localCheckpoint()
+      // Lazy (round 18, the q180 lesson): the first report's action
+      // materializes the rollup once for both its consumers (top + prev)
+      // instead of a separate blocking build job before it.
+      m.withColumn("rnk", row_number().over(w)).localCheckpoint(eager = false)
     }
     val top = r.filter(col("rnk") <= 3).as("t")
     val prev = r.as("p")

@@ -602,34 +602,58 @@ object TextQueries {
            |                       AND a.doc_id < c.doc_id)
            |SELECT doc_a, doc_b, lang, dist FROM p
            |WHERE dist * 4 <= mn ORDER BY ALL""".stripMargin)) { t =>
-    val b = t.documents.select(
-      col("doc_id"), col("lang"), col("text"),
-      concat_ws(" ", slice(toks(col("text")), 1, 2)).as("pfx"))
-    val a = b.select(col("doc_id").as("doc_a"), col("lang"), col("pfx"), col("text").as("ta"))
-    val c = b.select(col("doc_id").as("doc_b"), col("lang"), col("pfx"), col("text").as("tc"))
-    // Engine-side speedups the oracle doesn't need: (1) a length pre-guard —
-    // |len(a)-len(b)| lower-bounds edit distance, and no row can pass the
-    // final test unless 4·|Δlen| ≤ min(len), so the guard never changes the
-    // result; (2) the banded DP via levenshtein's threshold arg (O(n·k)
-    // instead of O(n·m)): bound ≤ min_len/4 ≤ 577/4 < 145, and beyond the
-    // threshold the function returns -1, which the ≥ 0 filter drops — those
-    // rows fail the exact test anyway.
-    // ONE filter, conjuncts in explicit cost order: id ordering, then the
-    // length pre-guard (|len a - len b| lower-bounds edit distance, prunes
-    // ~75% of blocked pairs, loses no passing row), then the O(n*m) DP.
-    // Across separate .filter() calls the optimizer is free to reorder the
-    // merged conjuncts — it moved `doc_a < doc_b` BEHIND the levenshtein,
-    // doubling the DP evaluations (measured 3.1s -> 7.1s at sf0.1). Inside
-    // one And-chain the written order is the evaluation order, and And
-    // short-circuits. `dist` is then re-projected only for the handful of
-    // survivors.
-    val mn = least(length(col("ta")), length(col("tc")))
+    // Decide with small rows, move big rows once (guide §8 / round 18):
+    // the r17 shape self-joined TEXT-carrying rows on the block key, so
+    // one hot (lang, pfx) block was a single shuffle partition doing ALL
+    // of its n² O(n·m) edit-distance work in one task — at the sf1x
+    // scaling decade q55 ran 27 s warm at 8 AND 32 cores (a straggler no
+    // core count can split; AQE skew-join cannot split a single key).
+    // Now: (1) pairs form on (doc_id, length)-only rows — the hot block's
+    // pair EXPANSION is still one task, but it is comparison-cheap; the
+    // length pre-guard (|Δlen| lower-bounds edit distance; no row can
+    // pass 4·dist ≤ mn unless 4·|Δlen| ≤ mn) prunes ~75% of blocked pairs
+    // before any text moves; (2) surviving pairs fetch their texts by two
+    // doc_id equi-joins, which re-distributes the expensive DP evaluation
+    // by PAIR across the full width instead of by block; (3) the DP is
+    // the BANDED threshold form — levenshtein(a, b, k) is O(n·k) and
+    // returns −1 past the bound, and with k = ⌊mn/4⌋ the ≥ 0 test is
+    // exactly the 4·dist ≤ mn test on ints (d ≤ ⌊mn/4⌋ ⟺ 4d ≤ mn), so
+    // the survivors' `dist` needs no second DP. Same rows, same dist —
+    // the oracle hash pins it.
+    val k = t.documents.select(
+      col("doc_id"), col("lang"),
+      concat_ws(" ", slice(toks(col("text")), 1, 2)).as("pfx"),
+      length(col("text")).as("len"))
+    val ka = k.select(col("doc_id").as("doc_a"), col("lang"), col("pfx"),
+      col("len").as("la"))
+    val kc = k.select(col("doc_id").as("doc_b"), col("lang"), col("pfx"),
+      col("len").as("lc"))
+    val mn = least(col("la"), col("lc"))
+    val cand = ka.join(kc, Seq("lang", "pfx"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lc")) * 4 <= mn)
+      .select(col("doc_a"), col("doc_b"), col("lang"), mn.as("mn"))
+      // Explicit width pin (the nearDupDroppedFrom lesson): the pair
+      // frame is ~28 B/row but each row costs an O(n·k) DP downstream,
+      // and AQE coalesces by BYTES — unpinned it folded the whole DP
+      // stage into ONE task (thread-dumped at sf1x: a single executor
+      // thread in levenshteinDistance while 31 idled).
+      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
+    val texts = t.documents.select(col("doc_id"), col("text"))
     orderedByAll(
-      a.join(c, Seq("lang", "pfx"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(length(col("ta")) - length(col("tc"))) * 4 <= mn &&
-          levenshtein(col("ta"), col("tc")).cast("long") * 4 <= mn)
-        .withColumn("dist", levenshtein(col("ta"), col("tc")).cast("long"))
+      cand
+        .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tc")), "doc_b")
+        .withColumn("dist",
+          org.apache.spark.sql.GraftShims.column(
+            org.apache.spark.sql.catalyst.expressions.Levenshtein(
+              org.apache.spark.sql.GraftShims.expression(col("ta")),
+              org.apache.spark.sql.GraftShims.expression(col("tc")),
+              Some(org.apache.spark.sql.GraftShims.expression(
+                floor(col("mn") / 4).cast("int")))))
+            .cast("long"))
+        .filter(col("dist") >= 0)
         .select(col("doc_a"), col("doc_b"), col("lang"), col("dist")))
   }
 

@@ -96,6 +96,10 @@ class CodegenCompileSpec extends AnyFunSuite {
         new GenericArrayData(Array[Any](1, 2)))),
     ("ResidualTo", ResidualTo(in(0, floatArr), in(1, IntegerType), cents, 4),
       row(fa(0.5f, -0.25f, 1.5f, 0.75f), 2)),
+    ("ShingleJoin", ShingleJoin(in(0, strArr), 3),
+      row(sa("the", "quick", "brown", "fox", "the", "quick", "brown"))),
+    ("ShingleJoin/short-input", ShingleJoin(in(0, strArr), 5),
+      row(sa("too", "short"))),
     ("HammingCosineTop1", HammingCosineTop1(
       in(0, ArrayType(LongType)), in(1, ArrayType(LongType)), in(2, floatArr),
       in(3, ArrayType(LongType)), in(4, floatArr), 1, 40, 4),

@@ -251,15 +251,27 @@ class PlanInvariantsSpec extends SharedSparkSpec {
     assert(p.contains("PartitionFilters"), p.take(800))
   }
 
-  test("q55: join condition evaluates id test and length guard BEFORE the DP") {
+  test("q55: guards prune pairs before any text moves; the DP is banded and width-pinned") {
+    // Round 18 shape (guide §8): pairs form on (doc_id, length)-only rows
+    // — the id test and the length pre-guard live in the BLOCK join, and
+    // no levenshtein may appear there (texts haven't been attached yet);
+    // the DP evaluates after the text fetches, in its BANDED threshold
+    // form; and the pair frame pins its width explicitly so AQE's
+    // coalesce-by-bytes cannot fold the CPU-heavy DP stage into one task
+    // (the 27-s-at-any-core-count straggler the sf1x decade exposed).
     val p = plan("q55_dedup_fuzzy")
-    val cond = p.linesIterator
-      .find(l => l.contains("Join") && l.contains("levenshtein")).getOrElse("")
-    val idIdx = cond.indexOf("doc_a")
-    val guardIdx = cond.indexOf("abs(")
-    val levIdx = cond.indexOf("levenshtein")
-    assert(idIdx >= 0 && guardIdx >= 0 && levIdx >= 0, cond)
-    assert(idIdx < guardIdx && guardIdx < levIdx,
-      s"conjunct order regressed (id@$idIdx guard@$guardIdx lev@$levIdx): $cond")
+    val blockJoin = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("doc_a") && l.contains("abs(("))
+      .getOrElse("")
+    assert(blockJoin.nonEmpty, "lost the guarded block join:\n" + p.take(1200))
+    assert(!blockJoin.contains("levenshtein"),
+      "the DP crept back into the block join (texts shuffled by block):\n" + blockJoin)
+    assert(p.contains("levenshtein"), p.take(800))
+    // banded: the threshold argument is present in the DP expression
+    assert(p.linesIterator.exists(l =>
+      l.contains("levenshtein") && l.contains("FLOOR")),
+      "levenshtein lost its banded threshold argument:\n" + p.take(1200))
+    assert(p.contains("hashpartitioning(doc_a") && p.contains("REPARTITION_BY_NUM"),
+      "the pair frame lost its explicit width pin:\n" + p.take(1200))
   }
 }

@@ -63,8 +63,15 @@ if PFX in _used:
 con.execute(f"CREATE VIEW ks AS SELECT unnest(generate_series(0, {F-1})) AS k")
 
 def gen(table, sql):
+    # 32+ row groups per table (round 18): a single-row-group file reads
+    # as ONE scan task at any core count — the fixture artifact that made
+    # every scan-rooted stage look core-flat in the 8-vs-32 scaling table.
+    # Real decades have many files/row groups; give the fixture the same
+    # splittability so core-scaling numbers measure the ENGINE.
+    nrows = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+    rg = max(1024, nrows // 64)
     con.execute(f"""COPY ({sql}) TO '{out}/{table}.parquet'
-                    (FORMAT parquet, COMPRESSION zstd)""")
+                    (FORMAT parquet, COMPRESSION zstd, ROW_GROUP_SIZE {rg})""")
     n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n} rows")
 
